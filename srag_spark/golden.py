@@ -1,0 +1,426 @@
+"""Golden (frozen) pure-Python reference parsers.
+
+These functions DEFINE the engine's extraction semantics.  The Spark
+pipeline (srag_spark.operators.parse) must produce span sequences that are
+row-wise equal to these on ``(kind, text, media_ref, order)`` — the
+per-row invariant from BASELINE.json.
+
+Provenance of each spec:
+
+* ``tokenize_ws`` / ``reconstruct_text`` reproduce the reference's text
+  parser exactly: Java ``split("\\s+").filter(_.nonEmpty)`` with synthetic
+  ordinal offsets (srag-application TextPreparatorPipeline.scala:48-60) and
+  single-space join reconstruction (srag-domain Transcript.scala:23-24).
+  Java's split+filter ≡ Python ``str.split()`` — pinned by the reference
+  fixture "hello   world\\nfrom text" → ["hello","world","from","text"]
+  (TextPreparatorPipelineSpec.scala:36,45-46).
+
+* ``extract_html_blocks`` implements the north-rule HTML boilerplate
+  heuristic (the reference declares but does not implement Document
+  ingestion — README.md:180-181).  It is an Arc90/Boilerpipe-class
+  text-density / link-density block scorer, frozen HERE as the oracle.
+
+* ``parse_pdf_runs`` implements the north-rule PDF reading-order spec over
+  a deterministic text-run encoding (page\\tx\\ty\\ttext lines), frozen
+  HERE as the oracle.
+
+* ``segment_audio_words`` segments ASR word spans (AssemblyAI word shape:
+  per-word text + millisecond start offsets,
+  AssemblyAIAdapter.scala:293-309) into sentence-like segments.
+
+All functions are deterministic, dependency-free, and version-stable.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+# ---------------------------------------------------------------------------
+# Frozen constants (changing any of these invalidates every golden fixture)
+# ---------------------------------------------------------------------------
+HTML_MIN_WORDS = 8          # blocks shorter than this are boilerplate
+HTML_MAX_LINK_DENSITY = 1.0 / 3.0
+PDF_COLUMN_SPLIT_X = 306.0  # US-Letter midpoint in points
+PDF_PARA_Y_GAP = 20.0       # new paragraph when vertical gap exceeds this
+AUDIO_GAP_MS = 1000         # new segment when inter-word silence exceeds this
+AUDIO_SENTENCE_END = (".", "!", "?")
+
+
+# ---------------------------------------------------------------------------
+# P1 / P4 — whitespace word-span parse + reconstruction
+# ---------------------------------------------------------------------------
+def tokenize_ws(text: str) -> list[str]:
+    """Whitespace tokenization, empty tokens dropped.
+
+    ≡ Java ``text.split("\\s+").filter(_.nonEmpty)``
+    (TextPreparatorPipeline.scala:48-60).
+    """
+    if text is None:
+        return []
+    return text.split()
+
+
+def reconstruct_text(words: list[str]) -> str:
+    """``words.mkString(" ")`` (Transcript.scala:23-24)."""
+    return " ".join(words)
+
+
+# ---------------------------------------------------------------------------
+# P11 — HTML boilerplate strip (frozen spec; north rule)
+# ---------------------------------------------------------------------------
+_SCRIPT_STYLE_RE = re.compile(
+    r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_BLOCK_SPLIT_RE = re.compile(
+    r"</?(?:p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|section|article|"
+    r"header|footer|nav|aside|blockquote|pre|figure|figcaption|main|form|"
+    r"br|hr)\b[^>]*>",
+    re.IGNORECASE,
+)
+_ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]+>")
+_ENTITIES = {
+    "&amp;": "&",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&#39;": "'",
+    "&apos;": "'",
+    "&nbsp;": " ",
+}
+
+
+def _unescape(text: str) -> str:
+    for ent, ch in _ENTITIES.items():
+        text = text.replace(ent, ch)
+    return text
+
+
+def _strip_tags(fragment: str) -> str:
+    return _unescape(_TAG_RE.sub(" ", fragment))
+
+
+@dataclass
+class HtmlBlock:
+    text: str
+    word_count: int
+    link_word_count: int
+    kept: bool
+
+    @property
+    def link_density(self) -> float:
+        if self.word_count == 0:
+            return 1.0
+        return self.link_word_count / self.word_count
+
+
+def score_html_blocks(html: str) -> list[HtmlBlock]:
+    """Segment HTML into blocks and score each by text/link density.
+
+    Spec (frozen):
+      1. remove comments, then <script>/<style> elements with content;
+      2. split on block-level tags (see _BLOCK_SPLIT_RE) — each fragment
+         between consecutive block tags is one candidate block;
+      3. per block: link words = whitespace tokens inside <a> elements;
+         total words = whitespace tokens after stripping all tags and
+         unescaping entities;
+      4. keep iff word_count >= HTML_MIN_WORDS
+         and link_density < HTML_MAX_LINK_DENSITY.
+    """
+    if not html:
+        return []
+    cleaned = _COMMENT_RE.sub(" ", html)
+    cleaned = _SCRIPT_STYLE_RE.sub(" ", cleaned)
+    blocks: list[HtmlBlock] = []
+    for fragment in _BLOCK_SPLIT_RE.split(cleaned):
+        link_words = 0
+        for m in _ANCHOR_RE.finditer(fragment):
+            link_words += len(tokenize_ws(_strip_tags(m.group(1))))
+        words = tokenize_ws(_strip_tags(fragment))
+        if not words:
+            continue  # whitespace-only fragments are not blocks at all
+        wc = len(words)
+        ld = 1.0 if wc == 0 else link_words / wc
+        kept = wc >= HTML_MIN_WORDS and ld < HTML_MAX_LINK_DENSITY
+        blocks.append(
+            HtmlBlock(
+                text=reconstruct_text(words),
+                word_count=wc,
+                link_word_count=link_words,
+                kept=kept,
+            )
+        )
+    return blocks
+
+
+def extract_html_blocks(html: str) -> list[str]:
+    """Kept main-content block texts, in DOM order."""
+    return [b.text for b in score_html_blocks(html) if b.kept]
+
+
+# ---------------------------------------------------------------------------
+# P12 — PDF reading-order parse (frozen spec; north rule)
+# ---------------------------------------------------------------------------
+def parse_pdf_runs(payload: str) -> list[str]:
+    """Parse a PDF text-run payload into reading-order paragraph texts.
+
+    Payload encoding (one text run per line, tab-separated):
+        page \\t x \\t y \\t text
+    with page:int, x/y:float in points (origin top-left, y grows downward).
+
+    Spec (frozen):
+      1. parse runs; malformed lines raise ValueError (counted as a parse
+         failure by the caller);
+      2. column assignment: x < PDF_COLUMN_SPLIT_X → column 0, else 1;
+      3. reading order: sort by (page, column, y, x) — all ascending;
+      4. paragraph merge: a run continues the current paragraph iff same
+         (page, column) and y - prev_y <= PDF_PARA_Y_GAP; else a new
+         paragraph starts;
+      5. paragraph text = run texts whitespace-normalized and joined with
+         a single space.
+    """
+    if not payload or not payload.strip():
+        return []
+    runs = []
+    for line in payload.split("\n"):
+        if not line.strip():
+            continue
+        parts = line.split("\t")
+        if len(parts) != 4:
+            raise ValueError(f"malformed pdf run line: {line!r}")
+        page = int(parts[0])
+        x = float(parts[1])
+        y = float(parts[2])
+        text = parts[3]
+        column = 0 if x < PDF_COLUMN_SPLIT_X else 1
+        runs.append((page, column, y, x, text))
+    runs.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
+    paragraphs: list[list[str]] = []
+    prev = None
+    for page, column, y, x, text in runs:
+        words = tokenize_ws(text)
+        if not words:
+            continue
+        if (
+            prev is not None
+            and prev[0] == page
+            and prev[1] == column
+            and y - prev[2] <= PDF_PARA_Y_GAP
+        ):
+            paragraphs[-1].extend(words)
+        else:
+            paragraphs.append(list(words))
+        prev = (page, column, y)
+    return [reconstruct_text(p) for p in paragraphs]
+
+
+# ---------------------------------------------------------------------------
+# P2 — audio word-span segmentation (frozen spec)
+# ---------------------------------------------------------------------------
+def segment_audio_words(words: list[tuple[str, int]]) -> list[str]:
+    """Segment (word, start_ms) ASR spans into sentence-like segments.
+
+    Spec (frozen): start a new segment when the previous word ends with
+    sentence punctuation (AUDIO_SENTENCE_END) or the gap between start
+    offsets exceeds AUDIO_GAP_MS.  Segment text = words joined with a
+    single space (Transcript.scala:23-24 reconstruction).  A single
+    whole-text span (the Whisper degenerate case,
+    WhisperAdapter.scala:52-80) passes through as one segment.
+    """
+    segments: list[list[str]] = []
+    prev_word: str | None = None
+    prev_off: int | None = None
+    for text, off in words:
+        if not text:
+            continue
+        new_seg = (
+            prev_word is None
+            or prev_word.endswith(AUDIO_SENTENCE_END)
+            or (prev_off is not None and off - prev_off > AUDIO_GAP_MS)
+        )
+        if new_seg:
+            segments.append([])
+        segments[-1].append(text)
+        prev_word, prev_off = text, off
+    return [reconstruct_text(s) for s in segments]
+
+
+# ---------------------------------------------------------------------------
+# Whole-document golden extraction (the per-row invariant generator)
+# ---------------------------------------------------------------------------
+def extract_document(
+    spans: list[dict],
+) -> tuple[list[tuple[str, str | None, str | None]], int, int, int]:
+    """Run the full golden extraction over one document's ordered spans.
+
+    Input spans: dicts with keys kind, text, media_ref, offset (already in
+    offset order).  Returns (out_spans, blocks_kept, blocks_dropped,
+    parse_failures) where out_spans is the ordered list of
+    (kind, text, media_ref); the output ``seq`` is its list index.
+
+    Routing (P6, PreparatorPipelineRouter.scala:30-34 generalized to span
+    granularity):
+      text  → one output span per whitespace word (P1)
+      html  → one output span per kept block (P11)
+      pdf   → one output span per reading-order paragraph (P12)
+      audio → consecutive audio spans form one ASR run, segmented together
+              (P2); segment boundaries never cross a non-audio span
+      media → passed through verbatim as an anchor (order invariant)
+      other/None kind, or a parser error → parse_failure, span dropped
+    """
+    out: list[tuple[str, str | None, str | None]] = []
+    kept = 0
+    dropped = 0
+    failures = 0
+
+    ordered = sorted(
+        enumerate(spans),
+        key=lambda p: (
+            p[1].get("offset") if p[1].get("offset") is not None else p[0],
+            p[0],
+        ),
+    )
+
+    i = 0
+    n = len(ordered)
+    while i < n:
+        span = ordered[i][1]
+        kind = span.get("kind")
+        if kind == "audio":
+            run: list[tuple[str, int]] = []
+            j = i
+            while j < n and ordered[j][1].get("kind") == "audio":
+                s = ordered[j][1]
+                off = s.get("offset")
+                run.append((s.get("text") or "", off if off is not None else 0))
+                j += 1
+            for seg in segment_audio_words(run):
+                out.append(("audio", seg, None))
+            i = j
+            continue
+        if kind == "text":
+            for w in tokenize_ws(span.get("text") or ""):
+                out.append(("text", w, None))
+        elif kind == "html":
+            blocks = score_html_blocks(span.get("text") or "")
+            for b in blocks:
+                if b.kept:
+                    out.append(("html", b.text, None))
+                    kept += 1
+                else:
+                    dropped += 1
+        elif kind == "pdf":
+            try:
+                for para in parse_pdf_runs(span.get("text") or ""):
+                    out.append(("pdf", para, None))
+            except (ValueError, TypeError):
+                failures += 1
+        elif kind == "media":
+            out.append(("media", None, span.get("media_ref")))
+        else:
+            failures += 1
+        i += 1
+    return out, kept, dropped, failures
+
+
+# ---------------------------------------------------------------------------
+# P7 — recursive chunker (frozen spec; the reference delegates to
+# langchain4j DocumentSplitters.recursive(max, max*0.2) — a black box —
+# so OUR recursive spec is the oracle, same shape: paragraph ▸ line ▸
+# sentence ▸ word splitting with max size and overlap)
+# ---------------------------------------------------------------------------
+CHUNK_MAX_CHARS = 1000  # TextChunker.scala:14 call-site value
+CHUNK_OVERLAP = 200     # maxTokensPerChunk * 0.2
+
+_SENTENCE_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+
+
+def _split_level(text: str, level: int) -> list[str]:
+    if level == 0:
+        return [p for p in re.split(r"\n{2,}", text)]
+    if level == 1:
+        return [p for p in text.split("\n")]
+    if level == 2:
+        return _SENTENCE_SPLIT_RE.split(text)
+    return text.split(" ")
+
+
+def recursive_chunk(
+    text: str,
+    max_chars: int = CHUNK_MAX_CHARS,
+    overlap: int = CHUNK_OVERLAP,
+) -> list[str]:
+    """Recursive character chunker (frozen spec).
+
+    Splits by paragraph, then line, then sentence, then word until every
+    piece fits ``max_chars``; greedily packs adjacent pieces back together
+    (joined with a single space) without exceeding ``max_chars``; between
+    consecutive chunks, carries a suffix of up to ``overlap`` chars (whole
+    trailing words) of the previous chunk as the next chunk's prefix.
+    Empty segments dropped (TextChunker.scala:17).
+    """
+    norm = reconstruct_text(tokenize_ws(text))
+    if not norm:
+        return []
+    if len(norm) <= max_chars:
+        return [norm]
+
+    def atomize(piece: str, level: int) -> list[str]:
+        if len(piece) <= max_chars or level > 3:
+            return [piece]
+        out: list[str] = []
+        for sub in _split_level(piece, level):
+            sub = sub.strip()
+            if not sub:
+                continue
+            out.extend(atomize(sub, level + 1))
+        return out
+
+    atoms = atomize(norm, 0)
+
+    chunks: list[str] = []
+    cur = ""
+    for atom in atoms:
+        candidate = atom if not cur else cur + " " + atom
+        if len(candidate) <= max_chars:
+            cur = candidate
+            continue
+        if cur:
+            chunks.append(cur)
+            tail_words: list[str] = []
+            tail_len = 0
+            for w in reversed(cur.split(" ")):
+                extra = len(w) + (1 if tail_words else 0)
+                if tail_len + extra > overlap:
+                    break
+                tail_words.append(w)
+                tail_len += extra
+            prefix = " ".join(reversed(tail_words))
+            cur = (prefix + " " + atom).strip() if prefix else atom
+            while len(cur) > max_chars:
+                # atom longer than max even after level-3 split (a single
+                # mega-word): hard-cut without overlap
+                chunks.append(cur[:max_chars])
+                cur = cur[max_chars:]
+        else:
+            while len(atom) > max_chars:
+                chunks.append(atom[:max_chars])
+                atom = atom[max_chars:]
+            cur = atom
+    if cur:
+        chunks.append(cur)
+    return [c for c in chunks if c]
+
+
+# ---------------------------------------------------------------------------
+# P8 — query-time word-group chunker (QueryService.scala:28-33)
+# ---------------------------------------------------------------------------
+def word_group_chunks(text: str, chunk_size: int = 1000) -> list[str]:
+    """``text.split("\\s+").grouped(chunkSize).map(_.mkString(" "))``."""
+    words = tokenize_ws(text)
+    return [
+        reconstruct_text(words[i : i + chunk_size])
+        for i in range(0, len(words), chunk_size)
+    ]
