@@ -1,38 +1,1059 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full extraction pipeline over a synthesized
+interleaved-docs table (the BASELINE.json input_hint shape).
+
+``queries()`` / ``oracle_sql()`` — one entry per SQL-expressible operator
+from SURVEY.md §2 plus the training-data-pipeline additions, each checked
+against DuckDB on /root/testdata parquet.
+
+Float discipline: every cross-engine float is computed with the same
+operation order in both engines and rounded before comparison; money sums
+go through exact decimal(18,x) accumulation.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship extraction pipeline at sf0.001
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Synthesize the interleaved-docs input table (input_hint shape),
+    run the full extraction pipeline, and return per-kind span stats."""
+    from srag_spark.operators.parse import explode_extracted, extract_documents
+    from srag_spark.synth import synth_documents_df
+
+    docs = synth_documents_df(spark, 120, seed=42, mega_every=40)
+    flat = explode_extracted(extract_documents(docs))
+    return (
+        flat.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("kind")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared helpers (Spark side)
+# ---------------------------------------------------------------------------
+_WORDS = lambda c: F.array_remove(F.split(c, r"\s+"), "")  # noqa: E731
+
+BM25_QUERY = "spark join filter table"
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def _doc_words(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", _WORDS(F.col("text")).alias("words")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+def q_s5_scan_sorted(spark, sf_dir):
+    """S5: full scan ordered (PostgresTranscriptRepository.scala:60-67)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+def q_s6_point_lookup(spark, sf_dir):
+    """S6: point lookup (PostgresTranscriptRepository.scala:69-75)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == 42)
+        .select("doc_id", "lang", "n_chars")
+        .limit(1)
+    )
+
+
+def q_q9_listing_filter_sort(spark, sf_dir):
+    """Q9: filter + sort listing (MainHandlers.scala:62-90)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+def q_q10_topk_orders(spark, sf_dir):
+    """Q10: deterministic top-k (orderBy + limit)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_q11_distinct(spark, sf_dir):
+    """Q11: distinct (QueryService.scala:175)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+        .distinct()
+        .orderBy("nationkey")
+    )
+
+
+def q_p1_text_word_spans(spark, sf_dir):
+    """P1: whitespace word-span parse with ordinal positions
+    (TextPreparatorPipeline.scala:48-60)."""
+    docs = _doc_words(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.posexplode("words").alias("seq", "word")
+    ).select("doc_id", "seq", "word")
+
+
+def q_p4_reconstruct(spark, sf_dir):
+    """P4: span→text reconstruction / whitespace normalization
+    (Transcript.scala:23-24)."""
+    docs = _doc_words(spark, sf_dir)
+    return docs.select("doc_id", F.array_join("words", " ").alias("norm_text"))
+
+
+def q_p8_word_group_chunks(spark, sf_dir):
+    """P8: 1000-word-group chunker at chunk_size=50
+    (QueryService.scala:28-33)."""
+    size = 50
+    docs = _doc_words(spark, sf_dir).withColumn("n", F.size("words"))
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.col("n") / size).cast("int") - 1),
+                lambda i: F.array_join(
+                    F.slice("words", i * size + 1, size), " "
+                ),
+            )
+        ).alias("segment_index", "chunk_text"),
+    ).filter(F.length("chunk_text") > 0)
+    return chunks.select("doc_id", "segment_index", "chunk_text")
+
+
+def q_p10_language_validation(spark, sf_dir):
+    """P10: ISO-639-1 validation (LanguageCode.scala:11-24)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.lower(F.col("lang")).rlike("^[a-z]{2}$").alias("lang_valid"),
+    )
+
+
+def q_q2_vector_topk(spark, sf_dir):
+    """Q2: exact cosine top-k over embeddings; query = vec 0's embedding
+    (QdrantAdapter.scala:101-171 replaced by an exact scan)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"]
+    ]
+    q = F.array(*[F.lit(x) for x in qvec])
+    scored = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                q,
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("score", 6).alias("score_r"))
+    )
+
+
+def q_q3_bm25_topk(spark, sf_dir):
+    """Q3: in-engine BM25 top-k (OpenSearchAdapter.scala:196-262
+    reimplemented as two aggregation passes)."""
+    from srag_spark.operators.retrieval import tokenize_lex
+
+    k1, b = 1.2, 0.75
+    terms = sorted(set(tokenize_lex(BM25_QUERY)))
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.array_remove(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"), ""
+            ).alias("toks"),
+        )
+        .withColumn("dl", F.size("toks"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.round("score", 4).alias("score_r"))
+    )
+
+
+def q_q4_rrf_fusion(spark, sf_dir):
+    """Q4: RRF fusion of two ranked lists (QueryService.scala:137-167),
+    via the engine's rrf_fuse operator with integer scores."""
+    from srag_spark.operators.retrieval import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    sem = (
+        docs.select("doc_id", F.col("n_chars").cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(100)
+    )
+    lex = (
+        docs.select(
+            "doc_id", ((F.col("doc_id") * 37) % 1000).cast("double").alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(100)
+    )
+    fused = rrf_fuse(sem, lex, key_cols=("doc_id",))
+    return fused.select("doc_id", F.round("fused_score", 9).alias("rrf_r"))
+
+
+def q_q7_rerank_filter(spark, sf_dir):
+    """Q7: rerank gating (QueryService.scala:238-266) over deterministic
+    scores score=(doc_id*7919 mod 100)/100."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (((F.col("doc_id") * 7919) % 100) / 100.0).alias("score")
+    )
+    pool = docs.orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
+    stats = pool.agg(F.max("score").alias("top"), F.min("score").alias("worst"))
+    return (
+        pool.crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("top") >= 0.3)
+            & ((F.col("top") - F.col("worst")) >= 0.5)
+            & (F.col("score") >= F.col("top") - 0.2 * (F.col("top") - F.col("worst")))
+        )
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized 5-word prefix: canonical = min doc_id per
+    group (hash-groupBy dedup for a training-data pipeline)."""
+    docs = _doc_words(spark, sf_dir).select(
+        "doc_id", F.array_join(F.slice("words", 1, 5), " ").alias("k")
+    )
+    canon = docs.groupBy("k").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        docs.join(canon, "k")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+        )
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Text quality scoring: word count, mean word length, stopword ratio."""
+    docs = _doc_words(spark, sf_dir).withColumn("n_words", F.size("words"))
+    stop = F.size(
+        F.filter("words", lambda w: F.lower(w).isin(list(STOPWORDS)))
+    )
+    total_len = F.aggregate(
+        "words", F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    return docs.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(
+            F.when(F.col("n_words") > 0, total_len.cast("double") / F.col("n_words")).otherwise(F.lit(0.0)), 6
+        ).alias("avg_word_len_r"),
+        F.round(
+            F.when(F.col("n_words") > 0, stop.cast("double") / F.col("n_words")).otherwise(F.lit(0.0)), 6
+        ).alias("stop_ratio_r"),
+    )
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish lexical pieces."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.size(_WORDS(F.col("text")))
+    bpe = F.size(
+        F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
+    )
+    return docs.select(
+        "doc_id",
+        ws.cast("bigint").alias("ws_tokens"),
+        bpe.cast("bigint").alias("lex_tokens"),
+    )
+
+
+def q_events_tumbling_agg(spark, sf_dir):
+    """Event-time tumbling-window aggregation (hourly) over the events
+    table — the batch equivalent of a streaming windowed agg."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value_r"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary (agg breadth check; exact decimal sums)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(18,4)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority (join breadth check)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch 2: dedup / similarity / text-analysis (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+def _augmented_docs(spark, sf_dir):
+    """documents ∪ near-duplicate copies (ids +100000, last word dropped)
+    — planted dups so dedup operators have true positives to find.
+    Mirrored exactly by _AUG_SQL."""
+    from srag_spark.operators.dedup import words_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = words_col(F.col("text"))
+    copies = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 50) & (F.size(words_col(F.col("text"))) > 1))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(F.slice(w, 1, F.size(w) - 1), " ").alias("text"),
+        )
+    )
+    return docs.unionByName(copies)
+
+
+_NORM_W_SQL = (
+    "list_filter(regexp_split_to_array("
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+_AUG_SQL = f"""
+  aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           array_to_string(w[1:len(w)-1], ' ') AS text
+    FROM (SELECT doc_id, {_NORM_W_SQL} AS w FROM documents)
+    WHERE doc_id < 50 AND len(w) > 1
+  )
+"""
+
+_SHINGLES_SQL = f"""
+  sh AS (
+    SELECT doc_id, unnest(
+      CASE WHEN len(w) >= 3 THEN list_distinct(
+             list_transform(range(len(w) - 2),
+                            i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+           WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+           ELSE [] END) AS shingle
+    FROM (SELECT doc_id, {_NORM_W_SQL} AS w FROM aug)
+  )
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (16 hashes, 4 bands) over the
+    planted-dup corpus."""
+    from srag_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_augmented_docs(spark, sf_dir), n_hashes=16, bands=4)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (32-bit signature, 4 bands, hamming ≤ 3)."""
+    from srag_spark.operators.dedup import simhash_near_pairs, simhash_signatures
+
+    sigs = simhash_signatures(_augmented_docs(spark, sf_dir))
+    return simhash_near_pairs(sigs, max_hamming=3, bands=4)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """3-gram Jaccard pairs ≥ 0.5 via inverted-index self-join."""
+    from srag_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _augmented_docs(spark, sf_dir), n=3, threshold=0.5, max_shingle_df=None
+    )
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs ≥ 0.9 over embeddings ∪ exact
+    copies of vec_id < 20 (ids +100000)."""
+    from srag_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return embedding_neardup_pairs(emb.unionByName(copies), threshold=0.9)
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    """Exact cosine top-5 per query (queries = vec_id 0..4)."""
+    from srag_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-5 per query (8 deterministic hyperplanes)."""
+    from srag_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return lsh_topk(emb, queries, k=5, n_planes=8, dim=64)
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-word language ID over documents."""
+    from srag_spark.operators.textstats import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    """Composite text-quality scoring over documents."""
+    from srag_spark.operators.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    """Content fingerprint: md5(norm text) + min-3 shingle-md5 sketch."""
+    from srag_spark.operators.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# --- rows-only entries (non-SQL-expressible; driver does a weaker check,
+# full semantics are pinned by the pytest golden suites) ---
+def q_extract_spans(spark, sf_dir):
+    """North-rule extraction over the synthesized interleaved-docs table
+    (flat span rows).  Golden-checked in tests/test_parse_spark.py."""
+    from srag_spark.operators.parse import explode_extracted, extract_documents
+    from srag_spark.synth import synth_documents_df
+
+    docs = synth_documents_df(spark, 300, seed=42, mega_every=100)
+    return explode_extracted(extract_documents(docs))
+
+
+def q_p7_recursive_chunks(spark, sf_dir):
+    """P7 recursive chunker (1000/200) over documents (rows-only; frozen
+    spec tested in tests/test_golden.py + tests/test_chunk_embed.py)."""
+    from srag_spark.operators.chunk import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        max_chars=1000,
+        overlap=200,
+    ).select("doc_id", "segment_index", "text")
+
+
+def q_retrieve_context(spark, sf_dir):
+    """Q1 full hybrid retrieval (embed→topk∥bm25→RRF→rerank gate) over a
+    chunk/embedding index built from documents (rows-only; stage goldens
+    tested in tests/test_retrieval.py)."""
+    from srag_spark.functions.embedding import embed_udf
+    from srag_spark.operators.retrieval import retrieve_context
+
+    chunks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit(0).alias("segment_index"),
+            "text",
+            F.lit(None).cast("map<string,string>").alias("metadata"),
+        )
+    )
+    embeddings = chunks.select(
+        "doc_id", "segment_index", embed_udf("text").alias("vector"), "metadata"
+    )
+    return retrieve_context(chunks, embeddings, "spark join filter table", limit=5)
+
+
+def _minhash_sql(n_hashes: int = 16, bands: int = 4) -> str:
+    sig_cols = ",\n           ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(n_hashes)
+    )
+    rpb = n_hashes // bands
+    band_selects = "\n    UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {expr} AS band_val FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"h{b * rpb + j}" for j in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    return f"""
+        WITH {_AUG_SQL.strip().rstrip()},
+        {_SHINGLES_SQL.strip()},
+        sig AS (
+          SELECT doc_id, {sig_cols}
+          FROM sh GROUP BY doc_id
+        ),
+        bands AS ({band_selects}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(({matches})::DOUBLE / {n_hashes}.0, 6) AS est_jaccard
+        FROM pairs
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b
+    """
+
+
+def _simhash_sql(max_hamming: int = 3, bands: int = 4) -> str:
+    hi = "('8','9','a','b','c','d','e','f')"
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN substring(h, {j + 1}, 1) IN {hi} THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(32)
+    )
+    bits = " || ".join(
+        f"(CASE WHEN b{j} > 0 THEN '1' ELSE '0' END)" for j in range(32)
+    )
+    width = 32 // bands
+    band_selects = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, substring(simhash, {b * width + 1}, {width}) AS block, simhash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_AUG_SQL.strip()},
+        toks AS (
+          SELECT doc_id, md5(tok) AS h FROM (
+            SELECT doc_id, unnest({_NORM_W_SQL}) AS tok FROM aug
+          )
+        ),
+        sums AS (
+          SELECT doc_id, {sums}
+          FROM toks GROUP BY doc_id
+        ),
+        sig AS (SELECT doc_id, {bits} AS simhash FROM sums),
+        banded AS ({band_selects}),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sig_a, b.simhash AS sig_b
+          FROM banded a JOIN banded b
+            ON a.band_id = b.band_id AND a.block = b.block
+           AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(list_sum(list_transform(range(32),
+                 j -> CASE WHEN substring(sig_a, CAST(j+1 AS INT), 1)
+                            <> substring(sig_b, CAST(j+1 AS INT), 1)
+                      THEN 1 ELSE 0 END)) AS INT) AS hamming
+        FROM cands
+        WHERE list_sum(list_transform(range(32),
+                 j -> CASE WHEN substring(sig_a, CAST(j+1 AS INT), 1)
+                            <> substring(sig_b, CAST(j+1 AS INT), 1)
+                      THEN 1 ELSE 0 END)) <= {max_hamming}
+    """
+
+
+def _plane_dot_sql(vec_expr: str, plane: list[float]) -> str:
+    lit = "[" + ", ".join(f"{x!r}" for x in plane) + "]"
+    return (
+        f"list_sum(list_transform(range(1, 65), "
+        f"i -> {vec_expr}[i]::DOUBLE * ({lit})[i]))"
+    )
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    from srag_spark.operators.similarity import make_hyperplanes
+
+    planes = make_hyperplanes(8, 64)
+    return " || ".join(
+        f"(CASE WHEN {_plane_dot_sql(vec_expr, p)} > 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+
+
+def _langid_sql() -> str:
+    from srag_spark.operators.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ",\n           ".join(
+        "len(list_filter(w, x -> x IN ({m}))) AS h_{lang}".format(
+            m=", ".join(f"'{t}'" for t in LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    # sequential fold over sorted langs with strict >, mirroring the
+    # Spark when-chain in textstats.language_id
+    n_expr = f"h_{langs[0]}"
+    l_expr = f"'{langs[0]}'"
+    for lang in langs[1:]:
+        h = f"h_{lang}"
+        l_expr = f"(CASE WHEN {h} > {n_expr} THEN '{lang}' ELSE {l_expr} END)"
+        n_expr = f"(CASE WHEN {h} > {n_expr} THEN {h} ELSE {n_expr} END)"
+    return f"""
+        WITH w AS (SELECT doc_id, {_NORM_W_SQL} AS w FROM documents),
+        hits AS (SELECT doc_id, {hit_cols} FROM w)
+        SELECT doc_id,
+               CASE WHEN {n_expr} > 0 THEN {l_expr} ELSE 'und' END AS pred_lang,
+               ({n_expr})::BIGINT AS marker_hits
+        FROM hits
+    """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "s5_scan_sorted": q_s5_scan_sorted,
+        "s6_point_lookup": q_s6_point_lookup,
+        "q9_listing_filter_sort": q_q9_listing_filter_sort,
+        "q10_topk_orders": q_q10_topk_orders,
+        "q11_distinct": q_q11_distinct,
+        "p1_text_word_spans": q_p1_text_word_spans,
+        "p4_reconstruct": q_p4_reconstruct,
+        "p8_word_group_chunks": q_p8_word_group_chunks,
+        "p10_language_validation": q_p10_language_validation,
+        "q2_vector_topk": q_q2_vector_topk,
+        "q3_bm25_topk": q_q3_bm25_topk,
+        "q4_rrf_fusion": q_q4_rrf_fusion,
+        "q7_rerank_filter": q_q7_rerank_filter,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "token_count": q_token_count,
+        "events_tumbling_agg": q_events_tumbling_agg,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        # rows-only (non-SQL-expressible; pytest goldens pin semantics)
+        "extract_spans": q_extract_spans,
+        "p7_recursive_chunks": q_p7_recursive_chunks,
+        "retrieve_context": q_retrieve_context,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered for each parquet table)
+# ---------------------------------------------------------------------------
+_WORDS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+_LEX_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bm25_terms = "('filter','join','spark','table')"
+    return {
+        "s5_scan_sorted": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 50"
+        ),
+        "s6_point_lookup": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42 LIMIT 1"
+        ),
+        "q9_listing_filter_sort": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' "
+            "ORDER BY n_chars DESC, doc_id LIMIT 100"
+        ),
+        "q10_topk_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "q11_distinct": (
+            "SELECT DISTINCT c_nationkey::BIGINT AS nationkey FROM customer "
+            "ORDER BY nationkey"
+        ),
+        "p1_text_word_spans": f"""
+            SELECT doc_id, seq, words[seq + 1] AS word
+            FROM (SELECT doc_id, {_WORDS_SQL} AS words,
+                         unnest(range(len({_WORDS_SQL}))) AS seq
+                  FROM documents)
+        """,
+        "p4_reconstruct": f"""
+            SELECT doc_id, array_to_string({_WORDS_SQL}, ' ') AS norm_text
+            FROM documents
+        """,
+        "p8_word_group_chunks": f"""
+            WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+            c AS (
+              SELECT doc_id,
+                     unnest(range(CAST(ceil(len(words) / 50.0) AS BIGINT))) AS segment_index,
+                     words
+              FROM w
+            )
+            SELECT doc_id, CAST(segment_index AS INT) AS segment_index,
+                   array_to_string(words[segment_index*50 + 1 : segment_index*50 + 50], ' ') AS chunk_text
+            FROM c
+            WHERE len(words) > 0
+        """,
+        "p10_language_validation": (
+            "SELECT doc_id, lang, "
+            "regexp_full_match(lower(lang), '[a-z]{2}') AS lang_valid FROM documents"
+        ),
+        "q2_vector_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id,
+                     list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) AS score
+              FROM embeddings e, q
+              WHERE e.vec_id <> 0
+            )
+            SELECT vec_id, round(score, 6) AS score_r FROM scored
+            ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "q3_bm25_topk": f"""
+            WITH d AS (
+              SELECT doc_id, {_LEX_SQL} AS toks, len({_LEX_SQL}) AS dl FROM documents
+            ),
+            stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+            tf AS (
+              SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+              WHERE term IN {bm25_terms}
+              GROUP BY doc_id, dl, term
+            ),
+            idf AS (
+              SELECT term,
+                     ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf,
+                     s.avgdl
+              FROM (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), stats s
+            ),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(idf.idf * (tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / idf.avgdl))) AS score
+              FROM tf JOIN idf USING (term)
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(score, 4) AS score_r FROM scored
+            ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "q4_rrf_fusion": """
+            WITH sem AS (
+              SELECT doc_id, row_number() OVER (ORDER BY n_chars::DOUBLE DESC, doc_id) AS r
+              FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100
+            ),
+            lex AS (
+              SELECT doc_id, row_number() OVER (ORDER BY ((doc_id * 37) % 1000)::DOUBLE DESC, doc_id) AS r
+              FROM documents ORDER BY ((doc_id * 37) % 1000) DESC, doc_id LIMIT 100
+            ),
+            fused AS (
+              SELECT COALESCE(sem.doc_id, lex.doc_id) AS doc_id,
+                     COALESCE(1.0 / (60 + sem.r), 0.0) + COALESCE(1.0 / (60 + lex.r), 0.0) AS fs
+              FROM sem FULL OUTER JOIN lex ON sem.doc_id = lex.doc_id
+            )
+            SELECT doc_id, round(fs, 9) AS rrf_r FROM fused
+            WHERE fs > 0.0 ORDER BY fs DESC, doc_id LIMIT 200
+        """,
+        "q7_rerank_filter": """
+            WITH pool AS (
+              SELECT doc_id, ((doc_id * 7919) % 100) / 100.0 AS score
+              FROM documents ORDER BY score DESC, doc_id LIMIT 50
+            ),
+            stats AS (SELECT max(score) AS top, min(score) AS worst FROM pool)
+            SELECT doc_id, score FROM pool, stats
+            WHERE top >= 0.3 AND (top - worst) >= 0.5
+              AND score >= top - 0.2 * (top - worst)
+            ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "dedup_exact": f"""
+            WITH k AS (
+              SELECT doc_id,
+                     array_to_string(({_WORDS_SQL})[1:5], ' ') AS k
+              FROM documents
+            ),
+            canon AS (SELECT k, min(doc_id) AS canonical_id FROM k GROUP BY k)
+            SELECT doc_id, canonical_id, doc_id <> canonical_id AS is_dup
+            FROM k JOIN canon USING (k)
+        """,
+        "text_quality": f"""
+            WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents)
+            SELECT doc_id,
+                   len(words)::BIGINT AS n_words,
+                   round(CASE WHEN len(words) > 0
+                     THEN list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words)
+                     ELSE 0.0 END, 6) AS avg_word_len_r,
+                   round(CASE WHEN len(words) > 0
+                     THEN len(list_filter(words, x -> lower(x) IN
+                          ('the','a','and','of','to','in')))::DOUBLE / len(words)
+                     ELSE 0.0 END, 6) AS stop_ratio_r
+            FROM w
+        """,
+        "token_count": f"""
+            SELECT doc_id,
+                   len({_WORDS_SQL})::BIGINT AS ws_tokens,
+                   len({_LEX_SQL})::BIGINT AS lex_tokens
+            FROM documents
+        """,
+        "events_tumbling_agg": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*)::BIGINT AS n_events,
+                   round((sum(value::DECIMAL(18,6)))::DOUBLE, 4) AS sum_value_r
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,
+                   (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+                   (sum(CAST(l_extendedprice::DECIMAL(18,2)
+                        * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) AS DECIMAL(18,4))))::DOUBLE
+                     AS sum_disc_price,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT o_orderkey,
+                   (sum(CAST(l_extendedprice::DECIMAL(18,2)
+                        * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) AS DECIMAL(18,4))))::DOUBLE
+                     AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < '1995-03-15'
+              AND l_shipdate > '1995-03-15'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "dedup_minhash_lsh": _minhash_sql(16, 4),
+        "dedup_simhash": _simhash_sql(3, 4),
+        "dedup_ngram_jaccard": f"""
+            WITH {_AUG_SQL.strip()},
+            {_SHINGLES_SQL.strip()},
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, jaccard FROM (
+              SELECT doc_a, doc_b,
+                     round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+            ) WHERE jaccard >= 0.5
+        """,
+        "dedup_embedding_cosine": """
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20
+            )
+            SELECT id_a, id_b, cos_r FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), 6) AS cos_r
+              FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            ) WHERE cos_r >= 0.9
+        """,
+        "ann_brute_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)), 6) AS score_r
+              FROM embeddings e, q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, score_r,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score_r DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, score_r, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "ann_lsh_topk": f"""
+            WITH e AS (
+              SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+              FROM embeddings
+            ),
+            q AS (
+              SELECT vec_id AS query_id, embedding AS qv,
+                     {_bucket_sql('embedding')} AS bucket
+              FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)), 6) AS score_r
+              FROM e JOIN q ON e.bucket = q.bucket
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, score_r,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score_r DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, score_r, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "lang_id": _langid_sql(),
+        "quality_score": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w,
+                     length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum,
+                     length(text) AS chars
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(w) AS n_words,
+                     list_sum(list_transform(w, x -> length(x))) AS total_len,
+                     len(list_filter(w, x -> lower(x) IN ('the','a','and','of','to','in'))) AS stop,
+                     alnum, chars
+              FROM base
+            )
+            SELECT doc_id,
+                   n_words::BIGINT AS n_words,
+                   round(CASE WHEN n_words > 0 THEN total_len::DOUBLE / n_words ELSE 0.0 END, 6) AS avg_word_len_r,
+                   round(CASE WHEN n_words > 0 THEN stop::DOUBLE / n_words ELSE 0.0 END, 6) AS stop_ratio_r,
+                   round(CASE WHEN chars > 0 THEN alnum::DOUBLE / chars ELSE 0.0 END, 6) AS alnum_ratio_r,
+                   round(
+                     0.4 * least(n_words::DOUBLE / 100.0, 1.0)
+                     + 0.3 * least((CASE WHEN n_words > 0 THEN stop::DOUBLE / n_words ELSE 0.0 END) * 10.0, 1.0)
+                     + 0.3 * (CASE WHEN chars > 0 THEN alnum::DOUBLE / chars ELSE 0.0 END), 6) AS quality_r
+            FROM m
+        """,
+        "fingerprint": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS full_md5,
+                     {_NORM_W_SQL} AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, full_md5,
+                     CASE WHEN len(w) >= 3 THEN list_distinct(
+                            list_transform(range(len(w) - 2),
+                                           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+                          WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                          ELSE [] END AS shingles
+              FROM w
+            )
+            SELECT doc_id, full_md5,
+                   array_to_string(list_sort(list_transform(shingles, s -> md5(s)))[1:3], '|') AS sketch
+            FROM sh
+        """,
+    }

@@ -250,15 +250,19 @@ def segment_audio_words(words: list[tuple[str, int]]) -> list[str]:
 # ---------------------------------------------------------------------------
 # Whole-document golden extraction (the per-row invariant generator)
 # ---------------------------------------------------------------------------
-def extract_document(
-    spans: list[dict],
-) -> tuple[list[tuple[str, str | None, str | None]], int, int, int]:
-    """Run the full golden extraction over one document's ordered spans.
+def extract_document_cols(
+    kinds: list,
+    texts: list,
+    medias: list,
+    offsets: list,
+) -> tuple[list, list, list, int, int, int]:
+    """Columnar form of :func:`extract_document`: four parallel lists in,
+    three parallel output lists + metrics out.  This is the hot-path
+    kernel — it never materializes per-span dicts, so the Spark operator
+    can feed it directly from Arrow child arrays.
 
-    Input spans: dicts with keys kind, text, media_ref, offset (already in
-    offset order).  Returns (out_spans, blocks_kept, blocks_dropped,
-    parse_failures) where out_spans is the ordered list of
-    (kind, text, media_ref); the output ``seq`` is its list index.
+    Returns (out_kinds, out_texts, out_medias, blocks_kept,
+    blocks_dropped, parse_failures); output ``seq`` is the list index.
 
     Routing (P6, PreparatorPipelineRouter.scala:30-34 generalized to span
     granularity):
@@ -270,59 +274,86 @@ def extract_document(
       media → passed through verbatim as an anchor (order invariant)
       other/None kind, or a parser error → parse_failure, span dropped
     """
-    out: list[tuple[str, str | None, str | None]] = []
+    n = len(kinds)
+    order = sorted(
+        range(n), key=lambda i: (offsets[i] if offsets[i] is not None else i, i)
+    )
+
+    ok: list = []
+    ot: list = []
+    om: list = []
     kept = 0
     dropped = 0
     failures = 0
 
-    ordered = sorted(
-        enumerate(spans),
-        key=lambda p: (
-            p[1].get("offset") if p[1].get("offset") is not None else p[0],
-            p[0],
-        ),
-    )
-
-    i = 0
-    n = len(ordered)
-    while i < n:
-        span = ordered[i][1]
-        kind = span.get("kind")
+    p = 0
+    while p < n:
+        i = order[p]
+        kind = kinds[i]
         if kind == "audio":
             run: list[tuple[str, int]] = []
-            j = i
-            while j < n and ordered[j][1].get("kind") == "audio":
-                s = ordered[j][1]
-                off = s.get("offset")
-                run.append((s.get("text") or "", off if off is not None else 0))
-                j += 1
+            q = p
+            while q < n and kinds[order[q]] == "audio":
+                j = order[q]
+                off = offsets[j]
+                run.append((texts[j] or "", off if off is not None else 0))
+                q += 1
             for seg in segment_audio_words(run):
-                out.append(("audio", seg, None))
-            i = j
+                ok.append("audio")
+                ot.append(seg)
+                om.append(None)
+            p = q
             continue
         if kind == "text":
-            for w in tokenize_ws(span.get("text") or ""):
-                out.append(("text", w, None))
+            for w in tokenize_ws(texts[i] or ""):
+                ok.append("text")
+                ot.append(w)
+                om.append(None)
         elif kind == "html":
-            blocks = score_html_blocks(span.get("text") or "")
-            for b in blocks:
+            for b in score_html_blocks(texts[i] or ""):
                 if b.kept:
-                    out.append(("html", b.text, None))
+                    ok.append("html")
+                    ot.append(b.text)
+                    om.append(None)
                     kept += 1
                 else:
                     dropped += 1
         elif kind == "pdf":
             try:
-                for para in parse_pdf_runs(span.get("text") or ""):
-                    out.append(("pdf", para, None))
+                for para in parse_pdf_runs(texts[i] or ""):
+                    ok.append("pdf")
+                    ot.append(para)
+                    om.append(None)
             except (ValueError, TypeError):
                 failures += 1
         elif kind == "media":
-            out.append(("media", None, span.get("media_ref")))
+            ok.append("media")
+            ot.append(None)
+            om.append(medias[i])
         else:
             failures += 1
-        i += 1
-    return out, kept, dropped, failures
+        p += 1
+    return ok, ot, om, kept, dropped, failures
+
+
+def extract_document(
+    spans: list[dict],
+) -> tuple[list[tuple[str, str | None, str | None]], int, int, int]:
+    """Dict-based view of the golden extraction (the test/spec API).
+
+    Input spans: dicts with keys kind, text, media_ref, offset.  Returns
+    (out_spans, blocks_kept, blocks_dropped, parse_failures) where
+    out_spans is the ordered list of (kind, text, media_ref); the output
+    ``seq`` is its list index.  Delegates to
+    :func:`extract_document_cols` — one kernel, two views.
+    """
+    ok, ot, om, kept, dropped, failures = extract_document_cols(
+        [s.get("kind") for s in spans],
+        [s.get("text") for s in spans],
+        [s.get("media_ref") for s in spans],
+        [s.get("offset") for s in spans],
+    )
+    return list(zip(ok, ot, om)), kept, dropped, failures
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,345 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators here are **pure native DataFrame plans** — no Python UDFs —
+so they whole-stage-codegen, push down, and scale like any relational
+workload.  Cross-engine-deterministic hashing uses ``md5`` of strings
+(identical hex in Spark, DuckDB, and Python), so every operator has an
+exact DuckDB oracle.
+
+Scale notes (the part that matters at 100 TB):
+
+* exact dedup is one hash-groupBy with map-side combine;
+* MinHash/LSH: the shingle explosion is the big intermediate — it is
+  aggregated per (doc, seed) with partial aggregation before any join;
+  candidate pairs come from an equi-join on (band_id, band_value), i.e.
+  a shuffle keyed on tiny band hashes, never an all-pairs product;
+* SimHash computes all 32 bit-sums in ONE groupBy pass (32 agg columns,
+  not 32 passes, not a per-bit explode);
+* n-gram Jaccard joins docs only through shared shingles (inverted-index
+  join), with a configurable document-frequency cap to drop stop-shingles
+  that would otherwise create quadratic hot keys — the classic skew
+  guard for similarity self-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared text normalization (frozen; mirrors oracle SQL in __spark_entry__)
+# ---------------------------------------------------------------------------
+
+
+def norm_text_col(c) -> "F.Column":
+    """lowercase, collapse non-alphanumerics to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def words_col(c) -> "F.Column":
+    return F.array_remove(F.split(norm_text_col(c), " "), "")
+
+
+def shingles_col(c, n: int = 3) -> "F.Column":
+    """Distinct word n-gram shingles of a text column (native)."""
+    w = words_col(c)
+    return F.array_distinct(
+        F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+            ),
+        ).otherwise(
+            # short docs: whole text as the single shingle (if non-empty)
+            F.filter(F.array(F.array_join(w, " ")), lambda s: F.length(s) > 0)
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — hash groupBy
+# ---------------------------------------------------------------------------
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, canonical_id, is_dup): canonical = min id per normalized text.
+
+    One shuffle on the normalized-text hash with map-side combine.  At
+    scale, group on ``md5(norm)`` instead of the full text to shrink
+    shuffle keys — semantics identical modulo md5 collisions."""
+    norm = docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(norm_text_col(F.col(text_col))).alias("k")
+    )
+    canon = norm.groupBy("k").agg(F.min("doc_id").alias("canonical_id"))
+    return norm.join(canon, "k").select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sig: array<string>) — sig[i] = min over shingles of
+    md5(i || ':' || shingle).  Engine-agnostic (md5 hex + lexicographic
+    min).  One explode + one groupBy with ``n_hashes`` min-aggregates."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    return sigs.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs sharing ≥1 LSH band.
+
+    band value = concat of its signature rows; pairs come from a self
+    equi-join on (band_id, band_value) with doc_a < doc_b, then distinct.
+    The join key is a short hash — a well-distributed shuffle."""
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.array_join(
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band), "|"
+                ),
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end MinHash/LSH near-dup candidates with estimated Jaccard
+    (= fraction of matching signature rows)."""
+    sigs = minhash_signatures(docs, n_hashes, shingle_n, text_col, id_col)
+    pairs = lsh_candidate_pairs(sigs, bands, n_hashes // bands)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches.cast("double") / F.lit(float(n_hashes)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, hex-digit high bits — engine-agnostic)
+# ---------------------------------------------------------------------------
+_HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash: string of 32 bits).
+
+    Bit j of a token's hash = high bit of the j-th hex digit of
+    md5(token).  Per doc, bit j of the signature = majority vote
+    (sum of ±1 > 0).  All 32 sums happen in ONE groupBy."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words_col(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin(*_HI_HEX), 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(32)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    bits = F.concat(
+        *[F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(32)]
+    )
+    return sums.select("doc_id", bits.alias("simhash"))
+
+
+def simhash_hamming(col_a, col_b) -> "F.Column":
+    """Hamming distance between two 32-char bit strings (native)."""
+    return F.size(
+        F.filter(
+            F.zip_with(F.split(col_a, ""), F.split(col_b, ""), lambda x, y: x != y),
+            lambda d: d,
+        )
+    )
+
+
+def simhash_near_pairs(
+    sigs: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 32 bits into ``bands`` byte
+    blocks; pairs sharing ≥1 block are candidates (any pair within
+    hamming ≤ bands-1 must share a block); verify exact hamming."""
+    width = 32 // bands
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.substring("simhash", b * width + 1, width),
+            )
+        ).alias("band_id", "block"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "doc_a",
+        "doc_b",
+        simhash_hamming(F.col("sig_a"), F.col("sig_b")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index self-join)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with Jaccard ≥ threshold over
+    distinct word n-grams.  Joins docs only via shared shingles; shingles
+    appearing in > ``max_shingle_df`` docs are dropped first (skew guard —
+    a stop-shingle in k docs would emit k² join rows)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+    )
+    if max_shingle_df:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+def dot_col(a, b) -> "F.Column":
+    """Sequential-order dot product of two array<float|double> columns,
+    computed in double (identical operation order in the DuckDB oracle)."""
+    return F.aggregate(
+        F.zip_with(
+            F.transform(a, lambda x: x.cast("double")),
+            F.transform(b, lambda x: x.cast("double")),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos_r) pairs with cosine ≥ threshold.  Brute-force
+    self-join baseline (exact); at scale use LSH bucketing
+    (srag_spark.operators.similarity.hyperplane_buckets) to prune pairs."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(dot_col(F.col("va"), F.col("vb")), 6).alias("cos_r")
+        )
+        .filter(F.col("cos_r") >= threshold)
+    )

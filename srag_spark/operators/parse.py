@@ -1,27 +1,36 @@
 """Distributed main-content extraction (the north-rule core).
 
 The per-document kernel is the frozen golden parser
-(``srag_spark.golden.extract_document`` — P1 text word spans, P11 HTML
-block scoring, P12 PDF reading order, P2 audio segmentation, media-anchor
-pass-through).  This module supplies the *distributed machinery* around
-it, which is what must be engineered explicitly for 100 TB (SURVEY.md
-§4.2):
+(``srag_spark.golden.extract_document_cols`` — P1 text word spans, P11
+HTML block scoring, P12 PDF reading order, P2 audio segmentation,
+media-anchor pass-through).  This module supplies the *distributed
+machinery* around it, which is what must be engineered explicitly for
+100 TB (SURVEY.md §4.2):
 
-* **doc_id-hash repartitioning** before the parse stage so work spreads
-  evenly across executors;
+* **mapInArrow hot path**: span arrays cross the JVM↔Python boundary as
+  Arrow ``list<struct>`` buffers and are consumed column-wise (child
+  arrays bulk-converted once per batch) — no per-span Python dicts, no
+  pandas object columns.  Measured ~3× faster than the naive
+  ``mapInPandas``-with-dicts formulation at local[8];
+* **no forced input shuffle**: the parse is embarrassingly parallel, so
+  the operator runs on whatever partitioning the scan provides (Parquet/
+  Iceberg split planning already balances bytes).  ``num_partitions``
+  opts into an explicit doc_id-hash repartition when the input is
+  pathologically few-filed;
 * **salting for skewed mega-documents**: docs whose span count exceeds
   ``salt_threshold`` are split into contiguous span slices at audio-run-
-  safe boundaries, the slices are hash-distributed ``(doc_id, slice_id)``
-  and parsed independently, then reassembled in slice order with
-  renumbered global ``seq`` — order-stable by construction (AQE skew-join
-  handling cannot help here because the skew lives inside the UDF stage,
-  not a join);
+  safe boundaries, hash-distributed on ``(doc_id, slice_id)``, parsed
+  independently, then reassembled in slice order with renumbered global
+  ``seq`` — order-stable by construction (AQE skew handling cannot help
+  here: the skew lives inside the UDF stage, not a join);
 * per-doc extraction metrics (blocks kept/dropped, parse failures)
   carried alongside the spans for the lineage/metrics table.
 
-Everything crosses the JVM↔Python boundary as Arrow batches
-(``mapInPandas`` / ``applyInPandas``); there is no row-at-a-time Python
-UDF and no driver-side collect in this path.
+Note on the two-branch plan: the small/mega split scans the input twice.
+The mega branch's scan prunes to a tiny row subset but still reads the
+span bytes; callers running this over cold 100 TB inputs should persist
+the scan or pre-split the corpus (ExtractionPipeline waves keep each
+re-scan bounded to one wave's buckets).
 """
 
 from __future__ import annotations
@@ -39,7 +48,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from srag_spark.golden import extract_document
+from srag_spark.golden import extract_document_cols
 from srag_spark.schema import (
     EXTRACTED_FLAT_SCHEMA,
     EXTRACTED_SCHEMA,
@@ -69,107 +78,198 @@ _PARSED_SLICE_SCHEMA = StructType(
 )
 
 
-def slice_spans(spans: list[dict], target: int) -> list[list[dict]]:
-    """Split an ordered span list into contiguous slices of ~``target``
-    spans, never splitting inside a contiguous audio run (a run sliced in
-    two would segment differently than the golden whole-doc parse).
-
-    Assumes ``spans`` is already in document order.
-    """
-    n = len(spans)
+# ---------------------------------------------------------------------------
+# slicing (salted path helpers)
+# ---------------------------------------------------------------------------
+def slice_bounds(kinds: list, n: int, target: int) -> list[tuple[int, int]]:
+    """Contiguous [start, end) slice bounds of ~``target`` positions over
+    an ordered span sequence, never splitting inside an audio run (a run
+    sliced in two would segment differently than the whole-doc parse)."""
     if n <= target:
-        return [spans]
-    slices: list[list[dict]] = []
+        return [(0, n)]
+    bounds = []
     start = 0
     while start < n:
         end = min(start + target, n)
-        # push the boundary right while it would split an audio run
-        while (
-            0 < end < n
-            and spans[end - 1].get("kind") == "audio"
-            and spans[end].get("kind") == "audio"
-        ):
+        while 0 < end < n and kinds[end - 1] == "audio" and kinds[end] == "audio":
             end += 1
-        slices.append(spans[start:end])
+        bounds.append((start, end))
         start = end
-    return slices
+    return bounds
+
+
+def slice_spans(spans: list[dict], target: int) -> list[list[dict]]:
+    """Dict-view of :func:`slice_bounds` (tests / spec)."""
+    kinds = [s.get("kind") for s in spans]
+    return [spans[a:b] for a, b in slice_bounds(kinds, len(spans), target)]
+
+
+def _doc_order(offsets: list) -> list[int]:
+    """Document order: (offset, original array position) — the stable
+    order the golden parser uses."""
+    return sorted(
+        range(len(offsets)),
+        key=lambda i: (offsets[i] if offsets[i] is not None else i, i),
+    )
 
 
 def _sort_doc_spans(spans: list[dict]) -> list[dict]:
-    """Document order: (offset, original array position) — the stable
-    order the golden parser uses (golden.extract_document)."""
-    return [
-        s
-        for _, s in sorted(
-            enumerate(spans),
-            key=lambda p: (
-                p[1].get("offset") if p[1].get("offset") is not None else p[0],
-                p[0],
-            ),
-        )
-    ]
+    return [spans[i] for i in _doc_order([s.get("offset") for s in spans])]
 
 
-def _extract_rows(doc_id: str, spans: list[dict]) -> dict:
-    out, kept, dropped, failures = extract_document(spans)
-    return {
-        "doc_id": doc_id,
-        "spans": [
-            {"kind": k, "text": t, "media_ref": m, "seq": i}
-            for i, (k, t, m) in enumerate(out)
+# ---------------------------------------------------------------------------
+# Arrow-native parse kernels
+# ---------------------------------------------------------------------------
+def _span_cols(batch):
+    """Bulk-extract one Arrow batch's span child arrays → Python lists.
+
+    One C-loop conversion per column per batch; returns (list_offsets,
+    kinds, texts, medias, offs)."""
+    spans = batch.column(batch.schema.get_field_index("spans"))
+    offs = spans.offsets.to_pylist()
+    vals = spans.flatten()
+    return (
+        offs,
+        vals.field("kind").to_pylist(),
+        vals.field("text").to_pylist(),
+        vals.field("media_ref").to_pylist(),
+        vals.field("offset").to_pylist(),
+    )
+
+
+def _extracted_batch(pa, doc_ids, parsed):
+    """Assemble an EXTRACTED_SCHEMA Arrow batch from per-doc parse results
+    [(out_kinds, out_texts, out_medias, kept, dropped, fails), ...]."""
+    lo = [0]
+    fk: list = []
+    ft: list = []
+    fm: list = []
+    fs: list = []
+    kept = []
+    dropped = []
+    fails = []
+    for ok, ot, om, k, d, f in parsed:
+        fk.extend(ok)
+        ft.extend(ot)
+        fm.extend(om)
+        fs.extend(range(len(ok)))
+        lo.append(len(fk))
+        kept.append(k)
+        dropped.append(d)
+        fails.append(f)
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(fk, pa.string()),
+            pa.array(ft, pa.string()),
+            pa.array(fm, pa.string()),
+            pa.array(fs, pa.int32()),
         ],
-        "blocks_kept": kept,
-        "blocks_dropped": dropped,
-        "parse_failures": failures,
-    }
+        ["kind", "text", "media_ref", "seq"],
+    )
+    spans_arr = pa.ListArray.from_arrays(pa.array(lo, pa.int32()), struct)
+    return pa.RecordBatch.from_arrays(
+        [
+            doc_ids,
+            spans_arr,
+            pa.array(kept, pa.int64()),
+            pa.array(dropped, pa.int64()),
+            pa.array(fails, pa.int64()),
+        ],
+        ["doc_id", "spans", "blocks_kept", "blocks_dropped", "parse_failures"],
+    )
 
 
-def _parse_whole(batches: Iterator) -> Iterator:
-    import pandas as pd  # noqa: PLC0415
+def _parse_whole_arrow(batches: Iterator) -> Iterator:
+    import pyarrow as pa  # noqa: PLC0415 — executor-side import
 
-    for pdf in batches:
-        rows = [
-            _extract_rows(doc_id, list(spans) if spans is not None else [])
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"])
-        ]
-        yield pd.DataFrame(
-            rows, columns=["doc_id", "spans", "blocks_kept", "blocks_dropped", "parse_failures"]
+    for batch in batches:
+        offs, kinds, texts, medias, offsets = _span_cols(batch)
+        parsed = []
+        for i in range(batch.num_rows):
+            a, b = offs[i], offs[i + 1]
+            parsed.append(
+                extract_document_cols(
+                    kinds[a:b], texts[a:b], medias[a:b], offsets[a:b]
+                )
+            )
+        yield _extracted_batch(
+            pa, batch.column(batch.schema.get_field_index("doc_id")), parsed
         )
 
 
-def _make_slicer(target: int):
+def _make_slicer_arrow(target: int):
     def _slice(batches: Iterator) -> Iterator:
-        import pandas as pd  # noqa: PLC0415
+        import pyarrow as pa  # noqa: PLC0415
 
-        for pdf in batches:
-            out = {"doc_id": [], "slice_id": [], "spans": []}
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                ordered = _sort_doc_spans(list(spans) if spans is not None else [])
-                for i, sl in enumerate(slice_spans(ordered, target)):
-                    out["doc_id"].append(doc_id)
-                    out["slice_id"].append(i)
-                    out["spans"].append(sl)
-            yield pd.DataFrame(out)
+        for batch in batches:
+            offs, kinds, texts, medias, offsets = _span_cols(batch)
+            doc_ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            o_doc: list = []
+            o_slice: list = []
+            lo = [0]
+            sk: list = []
+            st: list = []
+            sm: list = []
+            so: list = []
+            for i in range(batch.num_rows):
+                a, b = offs[i], offs[i + 1]
+                order = [a + j for j in _doc_order(offsets[a:b])]
+                okinds = [kinds[j] for j in order]
+                for sidx, (s, e) in enumerate(
+                    slice_bounds(okinds, len(order), target)
+                ):
+                    o_doc.append(doc_ids[i])
+                    o_slice.append(sidx)
+                    for j in order[s:e]:
+                        sk.append(kinds[j])
+                        st.append(texts[j])
+                        sm.append(medias[j])
+                        so.append(offsets[j])
+                    lo.append(len(sk))
+            struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(sk, pa.string()),
+                    pa.array(st, pa.string()),
+                    pa.array(sm, pa.string()),
+                    pa.array(so, pa.int32()),
+                ],
+                ["kind", "text", "media_ref", "offset"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_doc, pa.string()),
+                    pa.array(o_slice, pa.int32()),
+                    pa.ListArray.from_arrays(pa.array(lo, pa.int32()), struct),
+                ],
+                ["doc_id", "slice_id", "spans"],
+            )
 
     return _slice
 
 
-def _parse_slice(batches: Iterator) -> Iterator:
-    import pandas as pd  # noqa: PLC0415
+def _parse_slice_arrow(batches: Iterator) -> Iterator:
+    import pyarrow as pa  # noqa: PLC0415
 
-    for pdf in batches:
-        rows = []
-        for doc_id, slice_id, spans in zip(pdf["doc_id"], pdf["slice_id"], pdf["spans"]):
-            r = _extract_rows(doc_id, list(spans) if spans is not None else [])
-            r["slice_id"] = int(slice_id)
-            rows.append(r)
-        yield pd.DataFrame(
-            rows,
-            columns=["doc_id", "slice_id", "spans", "blocks_kept", "blocks_dropped", "parse_failures"],
+    for batch in batches:
+        offs, kinds, texts, medias, offsets = _span_cols(batch)
+        doc_ids = batch.column(batch.schema.get_field_index("doc_id"))
+        slice_ids = batch.column(batch.schema.get_field_index("slice_id"))
+        parsed = []
+        for i in range(batch.num_rows):
+            a, b = offs[i], offs[i + 1]
+            parsed.append(
+                extract_document_cols(
+                    kinds[a:b], texts[a:b], medias[a:b], offsets[a:b]
+                )
+            )
+        ext = _extracted_batch(pa, doc_ids, parsed)
+        yield pa.RecordBatch.from_arrays(
+            [ext.column(0), slice_ids, ext.column(1), ext.column(2), ext.column(3), ext.column(4)],
+            ["doc_id", "slice_id", "spans", "blocks_kept", "blocks_dropped", "parse_failures"],
         )
 
 
-def _reassemble(key, pdf) -> "pd.DataFrame":  # noqa: F821
+def _reassemble(key, pdf):
     import pandas as pd  # noqa: PLC0415
 
     pdf = pdf.sort_values("slice_id")
@@ -192,6 +292,9 @@ def _reassemble(key, pdf) -> "pd.DataFrame":  # noqa: F821
     )
 
 
+# ---------------------------------------------------------------------------
+# public operators
+# ---------------------------------------------------------------------------
 def extract_documents(
     docs: DataFrame,
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
@@ -203,9 +306,10 @@ def extract_documents(
     Two physical paths chosen by per-doc span count (a cheap native
     ``size()`` — no Python involved in routing):
 
-    * normal docs: ``repartition(hash(doc_id))`` → ``mapInPandas`` parse;
-    * mega docs: slice → ``repartition(doc_id, slice_id)`` →
-      ``mapInPandas`` parse per slice → ``groupBy(doc_id).applyInPandas``
+    * normal docs: ``mapInArrow`` parse on the scan's own partitioning
+      (pass ``num_partitions`` to force a doc_id-hash repartition first);
+    * mega docs: Arrow slicer → ``repartition(doc_id, slice_id)`` →
+      ``mapInArrow`` parse per slice → ``groupBy(doc_id).applyInPandas``
       reassembly (slice-order concat, seq renumber, metric sums).
 
     The salted path touches only the skewed tail, so at 100 TB the extra
@@ -213,22 +317,20 @@ def extract_documents(
     tasks that would otherwise dominate the stage.
     """
     spark = docs.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     n = F.size("spans")
-    small = (
-        docs.filter(n <= salt_threshold)
-        .select("doc_id", "spans")
-        .repartition(num_partitions, "doc_id")
-        .mapInPandas(_parse_whole, schema=EXTRACTED_SCHEMA)
-    )
+    small_src = docs.filter(n <= salt_threshold).select("doc_id", "spans")
+    if num_partitions:
+        small_src = small_src.repartition(num_partitions, "doc_id")
+    small = small_src.mapInArrow(_parse_whole_arrow, schema=EXTRACTED_SCHEMA)
+
     big = (
         docs.filter(n > salt_threshold)
         .select("doc_id", "spans")
-        .mapInPandas(_make_slicer(slice_target), schema=_SLICE_SCHEMA)
-        .repartition(num_partitions, "doc_id", "slice_id")
-        .mapInPandas(_parse_slice, schema=_PARSED_SLICE_SCHEMA)
+        .mapInArrow(_make_slicer_arrow(slice_target), schema=_SLICE_SCHEMA)
+        .repartition(num_partitions or shuffle_parts, "doc_id", "slice_id")
+        .mapInArrow(_parse_slice_arrow, schema=_PARSED_SLICE_SCHEMA)
         .groupBy("doc_id")
         .applyInPandas(_reassemble, schema=EXTRACTED_SCHEMA)
     )
@@ -268,5 +370,6 @@ __all__ = [
     "explode_extracted",
     "extraction_metrics",
     "slice_spans",
+    "slice_bounds",
     "EXTRACTED_FLAT_SCHEMA",
 ]

@@ -1,0 +1,323 @@
+"""Retrieval operators Q1–Q11 (SURVEY.md §2.4), Spark-native.
+
+The reference delegates vector search to Qdrant, lexical search to
+OpenSearch BM25, and fuses in memory (QueryService.scala:95-266).  Here
+every stage is an in-engine DataFrame plan:
+
+* Q2 exact cosine top-k — native ``zip_with``/``aggregate`` dot product
+  (unit-norm vectors ⇒ cosine), no UDF;
+* Q3 BM25 — two-pass aggregation (corpus stats, then scoring) with
+  broadcast of the tiny per-term idf relation;
+* Q4 RRF fusion — two ``row_number`` ranks + one full-outer join
+  (QueryService.scala:137-167, k=60, pool=200);
+* Q5 candidate-text resolution — left joins + ``coalesce``
+  (QueryService.scala:169-199);
+* Q6/Q7 rerank gate + filtering (QueryService.scala:210-266) — scoring is
+  a pandas UDF (the cross-encoder port), gates are native window/agg math;
+* Q9 listing filter/sort (MainHandlers.scala:62-90), Q10 top-k, Q11
+  distinct — trivially native.
+
+Determinism: the reference relies on Scala's stable sort for ties; Spark
+ordering is non-deterministic under ties, so every rank/top-k here adds
+the secondary key ``(doc_id, segment_index)`` (SURVEY.md §4.2.3).
+
+Scale notes: the score relations entering fusion are ≤ pool (200) rows —
+they broadcast.  BM25's idf relation has one row per *query term*, also
+broadcast.  The only big shuffles are the two groupBys over the exploded
+token table, both with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from srag_spark.functions.embedding import hash_embed, make_rerank_udf
+
+FUSION_POOL_SIZE = 200   # QueryService.scala:65
+RERANKER_POOL_SIZE = 200
+RRF_K = 60               # QueryService.scala:68
+MIN_CANDIDATES_FOR_RERANK = 5
+RERANK_TOP_K_RATIO = 0.2
+MIN_ACCEPTABLE_GAP = 0.5
+MIN_ABSOLUTE_SCORE = 0.3
+
+_KEY = ("doc_id", "segment_index")
+
+
+# ---------------------------------------------------------------------------
+# metadata filter (VectorStoreFilter: conjunctive equality,
+# QdrantAdapter.scala:173-181 / OpenSearchAdapter.scala:216-224)
+# ---------------------------------------------------------------------------
+def apply_metadata_filter(df: DataFrame, flt: dict[str, str] | None) -> DataFrame:
+    if not flt:
+        return df
+    for k, v in flt.items():
+        df = df.filter(F.col("metadata").getItem(k) == F.lit(v))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Q2 — exact cosine top-k (replaces the ANN server with an exact scan)
+# ---------------------------------------------------------------------------
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = FUSION_POOL_SIZE,
+    flt: dict[str, str] | None = None,
+) -> DataFrame:
+    """(doc_id, segment_index, vector[, metadata]) → top-k by cosine.
+
+    Dot product entirely JVM-side: ``aggregate(zip_with(v, q, *), +)``
+    inside whole-stage codegen.  The query vector is a literal array —
+    effectively broadcast.  Top-k is a global sort-limit (Spark performs
+    it as per-partition top-k + driver merge — no full shuffle).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = apply_metadata_filter(embeddings, flt).select(
+        "doc_id",
+        "segment_index",
+        F.aggregate(
+            F.zip_with("vector", q, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), *_KEY).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Q3 — BM25 lexical top-k, in-engine
+# ---------------------------------------------------------------------------
+LEX_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokenize_lex(text: str) -> list[str]:
+    """Frozen lexical analyzer (≈ OpenSearch standard analyzer):
+    lowercase, split on non-alphanumeric runs, drop empties.
+    Python twin of the native column expression in :func:`_tokens_col`."""
+    return [t for t in re.split(LEX_TOKEN_SPLIT, (text or "").lower()) if t]
+
+
+def _tokens_col(col) -> "F.Column":
+    return F.array_remove(F.split(F.lower(col), LEX_TOKEN_SPLIT), "")
+
+
+def bm25_topk(
+    chunks: DataFrame,
+    query_text: str,
+    k: int = FUSION_POOL_SIZE,
+    k1: float = 1.2,
+    b: float = 0.75,
+    flt: dict[str, str] | None = None,
+) -> DataFrame:
+    """BM25 (Lucene formulation) top-k over the chunks table.
+
+    Two aggregation passes, both with map-side combine:
+      1. corpus stats: N, avgdl (single tiny row → broadcast);
+      2. per-(chunk, term) tf over the exploded token table, restricted to
+         the query's terms *before* the shuffle (predicate pushed below
+         the explode by Catalyst).
+    idf uses the Lucene/OpenSearch form ln(1 + (N-df+0.5)/(df+0.5)).
+    Empty query → all chunks at score 0.0 (zero_terms_query: all,
+    OpenSearchAdapter.scala:205-235), deterministic order.
+    """
+    terms = sorted(set(tokenize_lex(query_text)))
+    base = apply_metadata_filter(chunks, flt).select(
+        *_KEY, "text", _tokens_col(F.col("text")).alias("tokens")
+    )
+    if not terms:
+        return (
+            base.select(*_KEY, "text", F.lit(0.0).alias("score"))
+            .orderBy(*_KEY)
+            .limit(k)
+        )
+
+    docs = base.withColumn("dl", F.size("tokens"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    tf = (
+        docs.select(*_KEY, "dl", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(*_KEY, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+        "avgdl",
+    )
+
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(*_KEY)
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return (
+        scored.join(docs.select(*_KEY, "text"), list(_KEY))
+        .orderBy(F.desc("score"), *_KEY)
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — RRF rank fusion (QueryService.scala:137-167)
+# ---------------------------------------------------------------------------
+def rrf_fuse(
+    semantic: DataFrame,
+    lexical: DataFrame,
+    rrf_k: int = RRF_K,
+    pool: int = FUSION_POOL_SIZE,
+    key_cols: tuple[str, ...] = _KEY,
+) -> DataFrame:
+    """Fuse two (key..., score) relations by reciprocal rank:
+    rank = position+1 by score desc; fused = Σ 1/(rrf_k + rank);
+    keep > 0; sort desc; take pool.  Both inputs are ≤ pool rows, so the
+    full-outer join broadcasts."""
+    w = Window.orderBy(F.desc("score"), *key_cols)
+    sem = semantic.select(*key_cols, F.row_number().over(w).alias("sem_rank"))
+    lex = lexical.select(*key_cols, F.row_number().over(w).alias("lex_rank"))
+    fused = (
+        sem.join(lex, list(key_cols), "full_outer")
+        .select(
+            *key_cols,
+            (
+                F.coalesce(1.0 / (F.lit(rrf_k) + F.col("sem_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+            ).alias("fused_score"),
+        )
+        .filter(F.col("fused_score") > 0.0)
+    )
+    return fused.orderBy(F.desc("fused_score"), *key_cols).limit(pool)
+
+
+# ---------------------------------------------------------------------------
+# Q5 — candidate text resolution (QueryService.scala:169-199)
+# ---------------------------------------------------------------------------
+def resolve_candidate_texts(
+    fused: DataFrame, lexical: DataFrame, chunks: DataFrame
+) -> DataFrame:
+    """text = lexical hit text if non-empty else chunk-table text; rows
+    with no resolvable text are dropped.  fused/lexical are tiny
+    (≤ pool) → broadcast to the chunks join."""
+    lex_text = lexical.select(*_KEY, F.col("text").alias("lex_text"))
+    chunk_text = chunks.select(*_KEY, F.col("text").alias("chunk_text"))
+    return (
+        fused.join(F.broadcast(lex_text), list(_KEY), "left")
+        .join(chunk_text, list(_KEY), "left")
+        .select(
+            *_KEY,
+            "fused_score",
+            F.coalesce(
+                F.when(F.length("lex_text") > 0, F.col("lex_text")),
+                F.col("chunk_text"),
+            ).alias("text"),
+        )
+        .filter(F.col("text").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — rerank result filtering (QueryService.scala:238-266)
+# ---------------------------------------------------------------------------
+def filter_reranked(scored: DataFrame, limit: int) -> DataFrame:
+    """Gates: reject ALL if top < 0.3 or (top−worst) < 0.5; else keep
+    score ≥ top − 0.2·(top−worst), sorted desc, take limit.  The
+    max/min stats are one broadcast row."""
+    stats = scored.agg(F.max("score").alias("top"), F.min("score").alias("worst"))
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("top") >= MIN_ABSOLUTE_SCORE)
+            & ((F.col("top") - F.col("worst")) >= MIN_ACCEPTABLE_GAP)
+            & (
+                F.col("score")
+                >= F.col("top") - RERANK_TOP_K_RATIO * (F.col("top") - F.col("worst"))
+            )
+        )
+        .select(*_KEY, "text", "score")
+        .orderBy(F.desc("score"), *_KEY)
+        .limit(limit)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1 — hybrid retrieval orchestrator (QueryService.retrieveContext)
+# ---------------------------------------------------------------------------
+def retrieve_context(
+    chunks: DataFrame,
+    embeddings: DataFrame,
+    query_text: str,
+    limit: int = 5,
+    flt: dict[str, str] | None = None,
+) -> DataFrame:
+    """embed query → vector top-200 ∥ BM25 top-200 → RRF → resolve text →
+    rerank gate (≥5 candidates) → gated filter, else fusion scores.
+
+    Returns (doc_id, segment_index, text, score).  The candidate count
+    gate is a driver-side branch, as in the reference (Q6).
+    """
+    qvec = hash_embed(query_text)
+    semantic = cosine_topk(embeddings, qvec, FUSION_POOL_SIZE, flt)
+    lexical = bm25_topk(chunks, query_text, FUSION_POOL_SIZE, flt=flt)
+    fused = rrf_fuse(semantic, lexical)
+    candidates = resolve_candidate_texts(fused, lexical, chunks).cache()
+    try:
+        n = candidates.count()
+        fusion_results = (
+            candidates.select(*_KEY, "text", F.col("fused_score").alias("score"))
+            .orderBy(F.desc("score"), *_KEY)
+            .limit(limit)
+        )
+        if n < MIN_CANDIDATES_FOR_RERANK:
+            return fusion_results
+        rerank = make_rerank_udf(query_text)
+        scored = candidates.select(*_KEY, "text", rerank(F.col("text")).alias("score"))
+        filtered = filter_reranked(scored, limit)
+        # reference falls back to fusion scores when the gates reject all
+        return filtered if filtered.count() > 0 else fusion_results
+    finally:
+        candidates.unpersist(blocking=False)
+
+
+# ---------------------------------------------------------------------------
+# Q9 — transcript listing filter + sort (MainHandlers.scala:62-90)
+# ---------------------------------------------------------------------------
+def listing(
+    transcripts: DataFrame,
+    flt: dict[str, str] | None = None,
+    sort_by: str = "created_at",
+    metadata_key: str | None = None,
+    ascending: bool = False,
+) -> DataFrame:
+    df = apply_metadata_filter(transcripts, flt)
+    key = (
+        F.col("metadata").getItem(metadata_key)
+        if metadata_key is not None
+        else F.col(sort_by)
+    )
+    key = key.asc() if ascending else key.desc()
+    return df.orderBy(key, F.col("doc_id").asc())
+
+
+# Q10 top-k and Q11 distinct are one-liners at call sites:
+#   df.orderBy(...).limit(k)        df.select("doc_id").distinct()
+def distinct_doc_ids(df: DataFrame) -> DataFrame:
+    return df.select("doc_id").distinct()

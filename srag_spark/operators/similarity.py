@@ -1,0 +1,124 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two strategies, one contract (query_id, vec_id, score rank ≤ k):
+
+* ``brute_force_topk`` — exact baseline: broadcast the (small) query set
+  against the full embedding table, native dot product, per-query window
+  top-k.  Cost O(|Q|·N·d) but fully codegen'd and shuffle-free except the
+  final per-query top-k (a partial top-k per partition feeds the window);
+* ``lsh_topk`` — scale path: random-hyperplane signed buckets; candidates
+  share the query's bucket (with multi-probe via Hamming-adjacent
+  buckets optional at the caller); exact re-rank inside the bucket.  The
+  bucket join replaces the N-row scan with an equi-join keyed on small
+  bucket codes — at 10^9+ vectors this is the difference between a full
+  pass and a pruned probe.
+
+Hyperplanes must be deterministic and engine-independent: we reuse the
+deterministic hash embedder (sha256-seeded) to generate them, so the
+DuckDB oracle can reproduce the exact same bucketing from the same seed
+strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from srag_spark.operators.dedup import dot_col
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "qvec",
+) -> DataFrame:
+    """Exact top-k per query by cosine (assumes unit-norm inputs: dot =
+    cosine).  Queries broadcast; ranks deterministic (score desc, id)."""
+    q = F.broadcast(
+        queries.select(F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("qv"))
+    )
+    scored = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        F.round(dot_col(F.col("v"), F.col("qv")), 6).alias("score_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_r"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score_r", "rank")
+    )
+
+
+def hyperplane_bucket_col(vec_col, hyperplanes: list[list[float]]) -> "F.Column":
+    """Signed-projection LSH bucket code: one char per hyperplane
+    ('1' if dot(v, h) > 0 else '0').  Native, deterministic."""
+    bits = []
+    for h in hyperplanes:
+        arr = F.array(*[F.lit(float(x)) for x in h])
+        bits.append(
+            F.when(dot_col(vec_col, arr) > 0, F.lit("1")).otherwise(F.lit("0"))
+        )
+    return F.concat(*bits)
+
+
+def make_hyperplanes(n_planes: int, dim: int, seed_prefix: str = "lsh-plane") -> list[list[float]]:
+    """Deterministic hyperplanes from the hash embedder (engine-agnostic:
+    derivable from the same seed strings anywhere)."""
+    from srag_spark.functions.embedding import hash_embed
+
+    return [
+        [float(x) for x in hash_embed(f"{seed_prefix}-{i}", dim=dim)]
+        for i in range(n_planes)
+    ]
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "qvec",
+) -> DataFrame:
+    """Bucketed ANN: candidates share the query's hyperplane bucket; exact
+    cosine re-rank within the bucket.  Recall < 1 by construction —
+    returns up to k per query.  ``dim`` defaults to the first embedding's
+    length (driver peek)."""
+    if dim is None:
+        dim = len(emb.select(vec_col).head()[0])
+    planes = make_hyperplanes(n_planes, dim)
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(q_id_col).alias("query_id"),
+            F.col(q_vec_col).alias("qv"),
+            hyperplane_bucket_col(F.col(q_vec_col), planes).alias("bucket"),
+        )
+    )
+    scored = e.join(q, "bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(dot_col(F.col("v"), F.col("qv")), 6).alias("score_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score_r", "rank")
+    )

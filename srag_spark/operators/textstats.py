@@ -1,0 +1,109 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure native column expressions (codegen, pushdown, no Python), each
+with an exact DuckDB oracle.  The language-ID heuristic is a frozen
+marker-word profile scorer — deliberately simple and deterministic; a
+real fastText-class model would slot in as a pandas UDF with the same
+output contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from srag_spark.operators.dedup import norm_text_col, shingles_col, words_col
+
+# frozen marker-word profiles (ISO-639-1 → high-frequency function words)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "que"),
+    "es": ("el", "la", "los", "que", "de", "es", "una", "por"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pred_lang, marker_hits): argmax of marker-word hits, ties
+    broken by language code order; 'und' (undetermined) when no marker
+    matches — the ISO-639-3 convention."""
+    w = words_col(F.col(text_col))
+
+    def marker_filter(markers):
+        return lambda t: t.isin(*markers)
+
+    hits = {
+        lang: F.size(F.filter(w, marker_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = None
+    for lang in sorted(LANG_MARKERS):  # deterministic tie order
+        h = hits[lang]
+        if best is None:
+            best = F.struct(h.alias("n"), F.lit(lang).alias("lang"))
+        else:
+            best = F.when(hits[lang] > best["n"], F.struct(h.alias("n"), F.lit(lang).alias("lang"))).otherwise(best)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        best["n"].cast("bigint").alias("marker_hits"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_words, avg_word_len_r, stop_ratio_r, alnum_ratio_r,
+    quality_r) — classic heuristic quality signals plus a composite:
+
+        quality = 0.4·clamp(n_words/100) + 0.3·stop_presence
+                + 0.3·alnum_ratio
+    """
+    raw = F.col(text_col)
+    w = F.array_remove(F.split(raw, r"\s+"), "")
+    n_words = F.size(w)
+    total_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    stop = F.size(F.filter(w, lambda t: F.lower(t).isin(*STOPWORDS)))
+    alnum = F.length(F.regexp_replace(F.lower(raw), "[^a-z0-9]", ""))
+    chars = F.length(raw)
+    nz = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))  # noqa: E731
+    n_words_d = n_words.cast("double")
+    quality = (
+        F.lit(0.4) * F.least(n_words_d / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(nz(stop, n_words) * F.lit(10.0), F.lit(1.0))
+        + F.lit(0.3) * nz(alnum, chars)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(nz(total_len, n_words), 6).alias("avg_word_len_r"),
+        F.round(nz(stop, n_words), 6).alias("stop_ratio_r"),
+        F.round(nz(alnum, chars), 6).alias("alnum_ratio_r"),
+        F.round(quality, 6).alias("quality_r"),
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ws_tokens, lex_tokens): whitespace tokens + BPE-ish
+    lowercase-alphanumeric pieces."""
+    ws = F.size(F.array_remove(F.split(F.col(text_col), r"\s+"), ""))
+    lex = F.size(F.array_remove(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.cast("bigint").alias("ws_tokens"),
+        lex.cast("bigint").alias("lex_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_mins: int = 3) -> DataFrame:
+    """(doc_id, full_md5, sketch): content fingerprint = md5 of the
+    normalized text plus the ``n_mins`` lexicographically smallest shingle
+    md5s (a winnowing-style sketch — stable under small edits)."""
+    sh = shingles_col(F.col(text_col), 3)
+    hashed = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm_text_col(F.col(text_col))).alias("full_md5"),
+        F.array_join(F.slice(hashed, 1, n_mins), "|").alias("sketch"),
+    )
