@@ -1,0 +1,90 @@
+"""Transcript-model operators: the reference's domain record as a table.
+
+Builds the TRANSCRIPTS_SCHEMA table (srag-domain Transcript.scala:8-16 —
+doc_id, language, words, confidence, created_at, source, metadata) from
+extracted documents, plus the P5 metadata-enrichment and P10 language-
+validation operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# per-span-kind source attribution: reference IngestSource enum
+# (IngestSource.scala:3-4; DB also reserves 'Document', V1 migration :8)
+_SOURCE_FOR_KIND = {
+    "text": "Text",
+    "audio": "Audio",
+    "html": "Document",
+    "pdf": "Document",
+}
+
+
+def build_transcripts(extracted: DataFrame, created_at=None) -> DataFrame:
+    """Extracted docs → transcripts table.
+
+    words: one Word per extracted non-media span — text spans carry
+    synthetic ordinal offsets with confidence 1.0 (the exact
+    TextPreparatorPipeline.scala:52-58 shape); source = the dominant
+    span kind's IngestSource, 'Text' on ties (deterministic).
+    """
+    if created_at is None:
+        created_at = F.current_timestamp()
+    nonmedia = F.filter("spans", lambda s: s["text"].isNotNull())
+    words = F.transform(
+        nonmedia,
+        lambda s, i: F.struct(
+            s["text"].alias("text"),
+            i.cast("long").alias("start"),
+            (i + 1).cast("long").alias("end"),
+            F.lit(1.0).alias("confidence"),
+        ),
+    )
+    kind_counts = {
+        k: F.size(F.filter("spans", lambda s, _k=F.lit(k): s["kind"] == _k))
+        for k in _SOURCE_FOR_KIND
+    }
+    source = None
+    best = None
+    for k in ("text", "audio", "html", "pdf"):  # tie order: text wins
+        c = kind_counts[k]
+        if source is None:
+            source, best = F.lit(_SOURCE_FOR_KIND[k]), c
+        else:
+            source = F.when(c > best, F.lit(_SOURCE_FOR_KIND[k])).otherwise(source)
+            best = F.when(c > best, c).otherwise(best)
+    return extracted.select(
+        "doc_id",
+        F.lit(None).cast("string").alias("language"),
+        words.alias("words"),
+        F.lit(1.0).alias("confidence"),
+        created_at.alias("created_at"),
+        source.alias("source"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+
+
+def enrich_metadata(df: DataFrame, extra: dict[str, str]) -> DataFrame:
+    """P5: right-biased metadata merge — ``transcript.metadata ++ extra``
+    (Transcript.scala:17-21).  Requires
+    spark.sql.mapKeyDedupPolicy=LAST_WIN (set by srag_spark.session) so
+    ``map_concat`` keeps the right-hand value on duplicate keys."""
+    extra_map = F.create_map(
+        *[F.lit(x) for kv in extra.items() for x in kv]
+    )
+    merged = F.map_concat(
+        F.coalesce(F.col("metadata"), F.create_map().cast("map<string,string>")),
+        extra_map,
+    )
+    return df.withColumn("metadata", merged)
+
+
+def validate_language(df: DataFrame, col: str = "language") -> DataFrame:
+    """P10: ISO-639-1 normalization — lowercase, ^[a-z]{2}$, else NULL;
+    'en_us'-style ASR codes take the primary subtag first
+    (LanguageCode.scala:11-24; AssemblyAIAdapter.scala:310-314)."""
+    primary = F.lower(F.split(F.col(col), "_")[0])
+    return df.withColumn(
+        col, F.when(primary.rlike("^[a-z]{2}$"), primary).otherwise(F.lit(None))
+    )
