@@ -532,6 +532,77 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_q5_text_resolution(spark, sf_dir):
+    """Q5: candidate text resolution — lexical hit text if non-empty else
+    chunk text, rows with neither dropped (QueryService.scala:169-199)."""
+    docs = _t(spark, sf_dir, "documents")
+    fused = (
+        docs.select("doc_id", F.col("n_chars").cast("double").alias("fused_score"))
+        .orderBy(F.desc("fused_score"), F.asc("doc_id"))
+        .limit(50)
+    )
+    # lexical store covers only doc_id % 3 == 0; empty text for % 9 == 0
+    lexical = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("lex:"), F.col("text"))
+        ).alias("lex_text"),
+    )
+    chunks = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.concat(F.lit("chunk:"), F.col("text")).alias("chunk_text")
+    )
+    return (
+        fused.join(lexical, "doc_id", "left")
+        .join(chunks, "doc_id", "left")
+        .select(
+            "doc_id",
+            "fused_score",
+            F.coalesce(
+                F.when(F.length("lex_text") > 0, F.col("lex_text")),
+                F.col("chunk_text"),
+            ).alias("text"),
+        )
+        .filter(F.col("text").isNotNull())
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the events stream table: a new
+    session starts after >30 min of user inactivity (lag + running sum
+    windows); returns per-session stats."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "value")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800 * 1000000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "value")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.floor(
+                (F.max(us) - F.min(us)) / 1000000
+            ).cast("bigint").alias("duration_s"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("int").alias("session_id"),
+            "n_events",
+            "session_start",
+            "duration_s",
+        )
+    )
+
+
 # --- rows-only entries (non-SQL-expressible; driver does a weaker check,
 # full semantics are pinned by the pytest golden suites) ---
 def q_extract_spans(spark, sf_dir):
@@ -708,6 +779,22 @@ def _langid_sql() -> str:
     """
 
 
+def q_mm_decode_media(spark, sf_dir):
+    """Multimodal decode stage over synthesized binary media (rows-only;
+    contract tested in tests/test_multimodal_streaming.py)."""
+    from srag_spark.operators.multimodal import decode_media, synth_media_table
+
+    return decode_media(synth_media_table(spark, n=200))
+
+
+def q_mm_extract_features(spark, sf_dir):
+    """Multimodal feature extraction (unit-norm float[64]; rows-only)."""
+    from srag_spark.operators.multimodal import extract_features, synth_media_table
+
+    feats = extract_features(synth_media_table(spark, n=200))
+    return feats.select("media_ref", F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s5_scan_sorted": q_s5_scan_sorted,
@@ -735,6 +822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "q5_text_resolution": q_q5_text_resolution,
+        "events_sessionize": q_events_sessionize,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
@@ -742,6 +831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": q_extract_spans,
         "p7_recursive_chunks": q_p7_recursive_chunks,
         "retrieve_context": q_retrieve_context,
+        "mm_decode_media": q_mm_decode_media,
+        "mm_extract_features": q_mm_extract_features,
     }
 
 
@@ -1007,6 +1098,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, score_r, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "q5_text_resolution": """
+            WITH fused AS (
+              SELECT doc_id, n_chars::DOUBLE AS fused_score
+              FROM documents ORDER BY fused_score DESC, doc_id LIMIT 50
+            ),
+            lexical AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 0 THEN '' ELSE 'lex:' || text END AS lex_text
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            chunks AS (
+              SELECT doc_id, 'chunk:' || text AS chunk_text
+              FROM documents WHERE doc_id % 2 = 0
+            )
+            SELECT doc_id, fused_score,
+                   COALESCE(CASE WHEN length(lex_text) > 0 THEN lex_text END,
+                            chunk_text) AS text
+            FROM fused LEFT JOIN lexical USING (doc_id)
+                       LEFT JOIN chunks USING (doc_id)
+            WHERE COALESCE(CASE WHEN length(lex_text) > 0 THEN lex_text END,
+                           chunk_text) IS NOT NULL
+        """,
+        "events_sessionize": """
+            WITH marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+                                            ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked
+            )
+            SELECT user_id, CAST(session_id AS INT) AS session_id,
+                   count(*)::BIGINT AS n_events,
+                   min(ts) AS session_start,
+                   CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000) AS BIGINT) AS duration_s
+            FROM sess GROUP BY user_id, session_id
         """,
         "lang_id": _langid_sql(),
         "quality_score": """

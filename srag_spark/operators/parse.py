@@ -55,8 +55,14 @@ from srag_spark.schema import (
     SPAN_TYPE,
 )
 
-DEFAULT_SALT_THRESHOLD = 512   # spans; docs above this get sliced
-DEFAULT_SLICE_TARGET = 256     # spans per salted slice
+# Salting targets docs big enough to unbalance a task, not merely "big".
+# At ~0.2 ms/span kernel cost, a task of ~5000 median docs carries ~5 s of
+# parse; a doc below ~4096 spans (<1 s) cannot create a straggler, and
+# routing it through the 3-stage salted path (slice shuffle + reassembly)
+# costs more than it saves.  Docs above the threshold — the true
+# pathological tail — still get sliced and spread.
+DEFAULT_SALT_THRESHOLD = 4096  # spans; docs above this get sliced
+DEFAULT_SLICE_TARGET = 1024    # spans per salted slice
 
 _SLICE_SCHEMA = StructType(
     [

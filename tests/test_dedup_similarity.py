@@ -1,0 +1,188 @@
+"""Dedup / similarity / text-analysis operator unit tests with
+hand-computed oracles (the cross-engine checks live in
+tools/check_oracle.py; these pin local semantics and edge cases)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from srag_spark.functions.embedding import hash_embed
+from srag_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_hamming,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from srag_spark.operators.similarity import brute_force_topk, lsh_topk
+from srag_spark.operators.textstats import language_id, quality_score, fingerprint
+
+DOCS = "doc_id string, text string"
+
+
+def test_exact_dedup_normalization(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "Hello, World!"),
+            ("b", "hello world"),          # same after normalization
+            ("c", "HELLO-world"),          # same after normalization
+            ("d", "something else"),
+        ],
+        DOCS,
+    )
+    got = {r["doc_id"]: (r["canonical_id"], r["is_dup"]) for r in exact_dedup(df).collect()}
+    assert got == {
+        "a": ("a", False),
+        "b": ("a", True),
+        "c": ("a", True),
+        "d": ("d", False),
+    }
+
+
+def test_minhash_exact_copies_found(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [("a", base), ("b", base), ("c", "completely different words entirely here now")],
+        DOCS,
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(df).collect()}
+    assert sigs["a"] == sigs["b"] and sigs["a"] != sigs["c"]
+    pairs = minhash_dedup_pairs(df).collect()
+    assert [(r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in pairs] == [("a", "b", 1.0)]
+
+
+def test_lsh_candidate_pairs_no_false_negatives_on_identical(spark):
+    df = spark.createDataFrame([("x", "a b c d e f g"), ("y", "a b c d e f g")], DOCS)
+    sigs = minhash_signatures(df)
+    pairs = lsh_candidate_pairs(sigs).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [("x", "y")]
+
+
+def test_simhash_hamming_column(spark):
+    df = spark.createDataFrame(
+        [("10101010", "10101011"), ("1111", "0000"), ("1010", "1010")],
+        "a string, b string",
+    )
+    got = [r["h"] for r in df.select(simhash_hamming(F.col("a"), F.col("b")).alias("h")).collect()]
+    assert got == [1, 4, 0]
+
+
+def test_simhash_near_pairs_on_near_identical(spark):
+    base = "spark engine parses documents into ordered span sequences nightly"
+    df = spark.createDataFrame(
+        [("a", base), ("b", base + " extra"), ("c", "zz qq ww ee rr tt yy uu ii oo")],
+        DOCS,
+    )
+    sigs = simhash_signatures(df)
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_pairs(sigs, max_hamming=6).collect()}
+    assert ("a", "b") in pairs
+    assert pairs[("a", "b")] <= 6
+
+
+def test_ngram_jaccard_hand_computed(spark):
+    # a: shingles {ab c d, b c d e}? words: a b c d e → 3-grams:
+    # "a b c","b c d","c d e" ; b: b c d e f → "b c d","c d e","d e f"
+    # intersection 2, union 4 → jaccard 0.5
+    df = spark.createDataFrame([("x", "a b c d e"), ("y", "b c d e f")], DOCS)
+    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.4, max_shingle_df=None).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["doc_a"] == "x" and pairs[0]["doc_b"] == "y"
+    assert pairs[0]["jaccard"] == pytest.approx(0.5)
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    # a shingle shared by all 4 docs is dropped when cap < 4, removing
+    # pairs that only matched through it
+    common = "x y z"
+    rows = [(f"d{i}", f"{common} unique{i} token{i} here{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, DOCS)
+    with_cap = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_shingle_df=3).collect()
+    no_cap = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_shingle_df=None).collect()
+    assert len(no_cap) == 6  # all pairs share "x y z"
+    assert len(with_cap) == 0
+
+
+EMB = "vec_id bigint, embedding array<float>"
+
+
+def _emb_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in hash_embed(t, dim=32)]) for i, t in enumerate(texts)],
+        EMB,
+    )
+
+
+def test_brute_force_topk_self_is_rank_one(spark):
+    emb = _emb_df(spark, [f"doc {i}" for i in range(30)])
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = brute_force_topk(emb, queries, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["score_r"]))
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert rows[0][1] == qid  # self is nearest
+        assert rows[0][2] == pytest.approx(1.0, abs=1e-4)
+        scores = [s for _, _, s in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_topk_subset_of_bruteforce_and_finds_self(spark):
+    emb = _emb_df(spark, [f"doc {i}" for i in range(50)])
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    brute = {
+        (r["query_id"], r["vec_id"]): r["score_r"]
+        for r in brute_force_topk(emb, queries, k=50).collect()
+    }
+    lsh = lsh_topk(emb, queries, k=5, n_planes=4, dim=32).collect()
+    for r in lsh:
+        assert brute[(r["query_id"], r["vec_id"])] == r["score_r"]
+    # the query vector itself always shares its own bucket → rank 1
+    firsts = {r["query_id"]: r["vec_id"] for r in lsh if r["rank"] == 1}
+    assert firsts == {0: 0, 1: 1, 2: 2}
+
+
+def test_language_id_planted(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "the cat and the dog of the house"),
+            ("de", "der hund und die katze ist nicht da"),
+            ("fr", "le chat et la maison est une belle"),
+            ("und", "zzz qqq www"),
+        ],
+        DOCS,
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
+    assert got == {"en": "en", "de": "de", "fr": "fr", "und": "und"}
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [("good", "the quick brown fox and the lazy dog " * 10), ("empty", ""), ("junk", "!!! ??? ...")],
+        DOCS,
+    )
+    got = {r["doc_id"]: r for r in quality_score(df).collect()}
+    assert 0.0 <= got["good"]["quality_r"] <= 1.0
+    assert got["good"]["quality_r"] > got["junk"]["quality_r"]
+    assert got["empty"]["n_words"] == 0 and got["empty"]["quality_r"] == 0.0
+
+
+def test_fingerprint_stability_under_small_edit(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [("a", base), ("b", base + " MU"), ("c", "totally different content here")],
+        DOCS,
+    )
+    got = {r["doc_id"]: r for r in fingerprint(df).collect()}
+    assert got["a"]["full_md5"] != got["b"]["full_md5"]
+    # min-shingle sketch survives a suffix edit (winnowing property)
+    assert got["a"]["sketch"] == got["b"]["sketch"]
+    assert got["a"]["sketch"] != got["c"]["sketch"]

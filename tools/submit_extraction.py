@@ -1,0 +1,59 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Deployment shape required by the north rule: the package ships as a zip
+via ``--py-files``; this driver runs the checkpointed pipeline.
+
+    cd /root/repo && python tools/make_pyfiles.py   # builds dist/srag_spark.zip
+    spark-submit --master local[8] \
+        --py-files dist/srag_spark.zip \
+        tools/submit_extraction.py \
+        --input /tmp/docs_parquet --output /tmp/extract_out \
+        --n-buckets 32 --input-snapshot v1
+
+On a real cluster only ``--master`` changes (plus executor sizing); the
+pipeline itself is cluster-agnostic.  Re-running after a failure resumes
+from the checkpoint table automatically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="interleaved-docs parquet dir")
+    ap.add_argument("--output", required=True, help="output root (spans/, checkpoints/)")
+    ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument("--wave-size", type=int, default=None)
+    ap.add_argument("--input-snapshot", default="")
+    ap.add_argument("--synth-docs", type=int, default=0,
+                    help="synthesize N docs into --input first (demo/bench)")
+    args = ap.parse_args()
+
+    # SparkSession comes from spark-submit's conf; fall back to local
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("srag-extract").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from srag_spark.plans.pipeline import ExtractionPipeline
+    from srag_spark.synth import synth_documents_df
+
+    if args.synth_docs:
+        synth_documents_df(spark, args.synth_docs, seed=42).write.mode(
+            "overwrite"
+        ).parquet(args.input)
+
+    docs = spark.read.parquet(args.input)
+    pipe = ExtractionPipeline(
+        spark, args.output, n_buckets=args.n_buckets, wave_size=args.wave_size
+    )
+    summary = pipe.run(docs, input_snapshot=args.input_snapshot)
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
