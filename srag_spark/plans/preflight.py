@@ -1,0 +1,66 @@
+"""J8/J9 — preflight checks and startup sequence helpers.
+
+The reference fans out health checks to all 8 ports before serving
+(HealthCheckService.scala:62-75) and gates startup on them with retries
+(Main.scala:36-49,87-112).  The lake equivalent: verify inputs exist and
+are readable with the expected schema, and that output locations are
+writable, before launching a multi-hour job.  Checks run concurrently is
+pointless here (local FS metadata), so they run sequentially but report
+ALL failures at once, like the reference's aggregated health report.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from srag_spark.schema import DOCUMENTS_SCHEMA
+
+
+@dataclass
+class CheckResult:
+    name: str
+    ok: bool
+    detail: str = ""
+
+
+def check_input_table(spark: SparkSession, path: str) -> CheckResult:
+    """Input exists, is readable parquet, and has the input_hint columns."""
+    try:
+        df = spark.read.parquet(path)
+    except Exception as exc:  # noqa: BLE001
+        return CheckResult("input_table", False, f"unreadable: {exc}")
+    missing = [f.name for f in DOCUMENTS_SCHEMA.fields if f.name not in df.columns]
+    if missing:
+        return CheckResult("input_table", False, f"missing columns: {missing}")
+    return CheckResult("input_table", True)
+
+
+def check_output_writable(path: str) -> CheckResult:
+    try:
+        os.makedirs(path, exist_ok=True)
+        probe = os.path.join(path, ".preflight_probe")
+        with open(probe, "w") as f:
+            f.write("ok")
+        os.remove(probe)
+        return CheckResult("output_writable", True)
+    except OSError as exc:
+        return CheckResult("output_writable", False, str(exc))
+
+
+def preflight(spark: SparkSession, input_path: str, output_path: str) -> list[CheckResult]:
+    """All checks; raises RuntimeError listing every failure (the
+    reference aggregates unhealthy ports the same way)."""
+    results = [
+        check_input_table(spark, input_path),
+        check_output_writable(output_path),
+    ]
+    failures = [r for r in results if not r.ok]
+    if failures:
+        raise RuntimeError(
+            "preflight failed: "
+            + "; ".join(f"{r.name}: {r.detail}" for r in failures)
+        )
+    return results
