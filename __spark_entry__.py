@@ -34,11 +34,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Synthesize the interleaved-docs input table (input_hint shape),
     run the full extraction pipeline, and return per-kind span stats."""
-    from srag_spark.operators.parse import explode_extracted, extract_documents
+    from srag_spark.operators.parse import extract_documents_flat
     from srag_spark.synth import synth_documents_df
 
     docs = synth_documents_df(spark, 120, seed=42, mega_every=40)
-    flat = explode_extracted(extract_documents(docs))
+    flat = extract_documents_flat(docs)
     return (
         flat.groupBy("kind")
         .agg(
@@ -608,11 +608,11 @@ def q_events_sessionize(spark, sf_dir):
 def q_extract_spans(spark, sf_dir):
     """North-rule extraction over the synthesized interleaved-docs table
     (flat span rows).  Golden-checked in tests/test_parse_spark.py."""
-    from srag_spark.operators.parse import explode_extracted, extract_documents
+    from srag_spark.operators.parse import extract_documents_flat
     from srag_spark.synth import synth_documents_df
 
     docs = synth_documents_df(spark, 300, seed=42, mega_every=100)
-    return explode_extracted(extract_documents(docs))
+    return extract_documents_flat(docs)
 
 
 def q_p7_recursive_chunks(spark, sf_dir):

@@ -93,12 +93,16 @@ _ENTITIES = {
 
 
 def _unescape(text: str) -> str:
+    if "&" not in text:  # fast path: most fragments carry no entities
+        return text
     for ent, ch in _ENTITIES.items():
         text = text.replace(ent, ch)
     return text
 
 
 def _strip_tags(fragment: str) -> str:
+    if "<" not in fragment:  # fast path: fragment between block tags is tag-free
+        return _unescape(fragment)
     return _unescape(_TAG_RE.sub(" ", fragment))
 
 
@@ -136,8 +140,10 @@ def score_html_blocks(html: str) -> list[HtmlBlock]:
     blocks: list[HtmlBlock] = []
     for fragment in _BLOCK_SPLIT_RE.split(cleaned):
         link_words = 0
-        for m in _ANCHOR_RE.finditer(fragment):
-            link_words += len(tokenize_ws(_strip_tags(m.group(1))))
+        # precheck is a conservative superset of the IGNORECASE <a\b match
+        if "<a" in fragment or "<A" in fragment:
+            for m in _ANCHOR_RE.finditer(fragment):
+                link_words += len(tokenize_ws(_strip_tags(m.group(1))))
         words = tokenize_ws(_strip_tags(fragment))
         if not words:
             continue  # whitespace-only fragments are not blocks at all
@@ -275,9 +281,21 @@ def extract_document_cols(
       other/None kind, or a parser error → parse_failure, span dropped
     """
     n = len(kinds)
-    order = sorted(
-        range(n), key=lambda i: (offsets[i] if offsets[i] is not None else i, i)
-    )
+    # fast path: offsets already non-decreasing and non-null (the common
+    # on-disk layout) → identity order, skip the keyed sort
+    sorted_already = True
+    prev_off = None
+    for off in offsets:
+        if off is None or (prev_off is not None and off < prev_off):
+            sorted_already = False
+            break
+        prev_off = off
+    if sorted_already:
+        order = range(n)
+    else:
+        order = sorted(
+            range(n), key=lambda i: (offsets[i] if offsets[i] is not None else i, i)
+        )
 
     ok: list = []
     ot: list = []

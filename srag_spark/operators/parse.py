@@ -130,13 +130,19 @@ def _span_cols(batch):
     """Bulk-extract one Arrow batch's span child arrays → Python lists.
 
     One C-loop conversion per column per batch; returns (list_offsets,
-    kinds, texts, medias, offs)."""
+    kinds, texts, medias, offs).  The kind column is dictionary-decoded
+    so the (few) distinct kind strings are shared references instead of
+    one fresh Python string per span — the kernel is memory-bandwidth
+    bound and this column is the most repetitive."""
     spans = batch.column(batch.schema.get_field_index("spans"))
     offs = spans.offsets.to_pylist()
     vals = spans.flatten()
+    kd = vals.field("kind").dictionary_encode()
+    dictv = kd.dictionary.to_pylist()
+    kinds = [None if i is None else dictv[i] for i in kd.indices.to_pylist()]
     return (
         offs,
-        vals.field("kind").to_pylist(),
+        kinds,
         vals.field("text").to_pylist(),
         vals.field("media_ref").to_pylist(),
         vals.field("offset").to_pylist(),
@@ -200,6 +206,46 @@ def _parse_whole_arrow(batches: Iterator) -> Iterator:
             )
         yield _extracted_batch(
             pa, batch.column(batch.schema.get_field_index("doc_id")), parsed
+        )
+
+
+def _parse_whole_flat_arrow(batches: Iterator) -> Iterator:
+    """Parse + flatten in one Arrow pass: emits EXTRACTED_FLAT_SCHEMA rows
+    directly, skipping the nested ListArray build AND the JVM-side
+    explode.  doc_id repetition is a C-level ``take`` (no Python strings)
+    and ``seq`` is vectorized numpy — the Python work is exactly the
+    parse kernel."""
+    import numpy as np  # noqa: PLC0415 — executor-side import
+    import pyarrow as pa  # noqa: PLC0415
+
+    for batch in batches:
+        offs, kinds, texts, medias, offsets = _span_cols(batch)
+        doc_ids = batch.column(batch.schema.get_field_index("doc_id"))
+        fk: list = []
+        ft: list = []
+        fm: list = []
+        lens = np.empty(batch.num_rows, dtype=np.int64)
+        for i in range(batch.num_rows):
+            a, b = offs[i], offs[i + 1]
+            ok, ot, om, _k, _d, _f = extract_document_cols(
+                kinds[a:b], texts[a:b], medias[a:b], offsets[a:b]
+            )
+            fk.extend(ok)
+            ft.extend(ot)
+            fm.extend(om)
+            lens[i] = len(ok)
+        idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        seq = (np.arange(idx.shape[0], dtype=np.int64) - starts).astype(np.int32)
+        yield pa.RecordBatch.from_arrays(
+            [
+                doc_ids.take(pa.array(idx)),
+                pa.array(seq),
+                pa.array(fk, pa.string()),
+                pa.array(ft, pa.string()),
+                pa.array(fm, pa.string()),
+            ],
+            ["doc_id", "seq", "kind", "text", "media_ref"],
         )
 
 
@@ -343,6 +389,48 @@ def extract_documents(
     return small.unionByName(big)
 
 
+def extract_documents_flat(
+    docs: DataFrame,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    slice_target: int = DEFAULT_SLICE_TARGET,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Extraction emitting flat span rows (EXTRACTED_FLAT_SCHEMA) — the
+    hot path for pipelines whose next stage is row-oriented anyway.
+
+    Row-wise identical to ``explode_extracted(extract_documents(...))``
+    (pinned by tests), but the dominant small-doc branch parses and
+    flattens in ONE Arrow stage: no nested ListArray assembly in Python,
+    no explode in the JVM.  The skewed mega-doc tail still runs the
+    salted nested path (slice → parse → reassemble) and is exploded
+    natively — it is a tiny row fraction by construction.
+
+    Drops the per-doc metrics columns (as explode does); use
+    ``extract_documents`` + ``extraction_metrics`` when lineage metrics
+    are required.
+    """
+    spark = docs.sparkSession
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    n = F.size("spans")
+    small_src = docs.filter(n <= salt_threshold).select("doc_id", "spans")
+    if num_partitions:
+        small_src = small_src.repartition(num_partitions, "doc_id")
+    small = small_src.mapInArrow(
+        _parse_whole_flat_arrow, schema=EXTRACTED_FLAT_SCHEMA
+    )
+    big = explode_extracted(
+        docs.filter(n > salt_threshold)
+        .select("doc_id", "spans")
+        .mapInArrow(_make_slicer_arrow(slice_target), schema=_SLICE_SCHEMA)
+        .repartition(num_partitions or shuffle_parts, "doc_id", "slice_id")
+        .mapInArrow(_parse_slice_arrow, schema=_PARSED_SLICE_SCHEMA)
+        .groupBy("doc_id")
+        .applyInPandas(_reassemble, schema=EXTRACTED_SCHEMA)
+    )
+    return small.unionByName(big)
+
+
 def explode_extracted(extracted: DataFrame) -> DataFrame:
     """Nested extracted docs → flat span rows (EXTRACTED_FLAT_SCHEMA).
 
@@ -373,6 +461,7 @@ def extraction_metrics(extracted: DataFrame) -> DataFrame:
 
 __all__ = [
     "extract_documents",
+    "extract_documents_flat",
     "explode_extracted",
     "extraction_metrics",
     "slice_spans",

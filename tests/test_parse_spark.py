@@ -11,6 +11,7 @@ from srag_spark import golden, synth
 from srag_spark.operators.parse import (
     explode_extracted,
     extract_documents,
+    extract_documents_flat,
     extraction_metrics,
     slice_spans,
 )
@@ -55,6 +56,33 @@ def test_spark_matches_golden_with_megadocs_salted(spark):
     # slicing/reassembly is exercised hard
     rows = synth.generate_rows(30, seed=7, mega_every=10)
     run_invariant(spark, rows, salt_threshold=8, slice_target=5)
+
+
+def test_flat_operator_equals_nested_plus_explode(spark):
+    """extract_documents_flat (one-pass Arrow flatten) must be row-wise
+    identical to explode_extracted(extract_documents(...)), including the
+    salted mega path, empty-span docs, and golden values."""
+    rows = synth.generate_rows(40, seed=11, mega_every=13) + [
+        ("doc-empty", []),
+        ("doc-unknown", [{"kind": "mystery", "text": "x", "media_ref": None, "offset": 0}]),
+    ]
+    df = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+    key = lambda r: (r["doc_id"], r["seq"])  # noqa: E731
+    nested = {
+        key(r): (r["kind"], r["text"], r["media_ref"])
+        for r in explode_extracted(
+            extract_documents(df, salt_threshold=64, slice_target=16)
+        ).collect()
+    }
+    flat = {
+        key(r): (r["kind"], r["text"], r["media_ref"])
+        for r in extract_documents_flat(
+            df, salt_threshold=64, slice_target=16
+        ).collect()
+    }
+    assert flat == nested
+    expected, _ = golden_flat(rows)
+    assert flat == expected
 
 
 def test_spark_pinned_fixture_doc(spark):
