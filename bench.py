@@ -119,7 +119,11 @@ def bench_default() -> dict:
 
 
 def _scaling_child(cpus: int) -> None:
-    """Child process: run extraction at local[cpus], print one JSON line."""
+    """Child process: run extraction at local[cpus], print one JSON line.
+
+    Warm-up (JIT, Arrow init, python worker spawn) happens on a small
+    corpus so the expensive levels don't pay a full extra pass; the
+    measured run(s) use the full corpus."""
     from srag_spark.session import get_spark
 
     spark = get_spark(
@@ -127,10 +131,11 @@ def _scaling_child(cpus: int) -> None:
     )
     n = SCALING_N_DOCS
     docs_path = ensure_synth_docs(spark, n_docs=n, path=f"/tmp/srag_bench_docs_{n}")
-    # warm-up run (JIT, arrow init, python workers), then best-of-3:
-    # this VM shows heavy run-to-run variance (steal time, page cache),
-    # so min-of-N measures capability instead of neighbor noise
-    run_extraction(spark, docs_path)
+    warm_n = min(64000, n)
+    warm_path = ensure_synth_docs(
+        spark, n_docs=warm_n, path=f"/tmp/srag_bench_docs_{warm_n}"
+    )
+    run_extraction(spark, warm_path)
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
     runs = [run_extraction(spark, docs_path) for _ in range(n_runs)]
     sec = min(s for s, _ in runs)
@@ -214,85 +219,119 @@ SCALING_PAIRS = ((4, 16), (8, 32))
 
 
 def bench_scaling(levels=SCALING_LEVELS, pairs=SCALING_PAIRS) -> dict:
-    """Run the extraction at several parallelism levels in fresh JVMs;
-    write BENCH/BASELINE.md with throughput at each plus N→4N scaling
-    efficiency for both pairs.  Uses a corpus large enough that compute
-    dominates fixed job overheads — scaling efficiency on a toy input
-    only measures scheduler latency.
+    """Scaling evidence, noise-robust: this shared VM's throughput swings
+    ~1.5-2× over minutes, so comparing levels measured in different time
+    windows measures the neighbors, not the job.  Protocol: CYCLES — in
+    each cycle every level runs once (fresh JVM, small-corpus warmup,
+    one measured full-corpus run) plus the raw-multiprocessing machine
+    baseline, all inside one tight window; efficiency is computed WITHIN
+    each cycle and the reported figure is the median across cycles."""
+    import statistics
 
-    The headline pair is (4,16): both ends sit on physical cores.  The
-    (8,32) pair crosses into hyperthread territory on this 32-vCPU VM —
-    a pure-CPU spin benchmark there caps at ~0.75 efficiency, so the
-    machine-baseline column is what that pair must be judged against."""
-    results = {}
-    for cpus in levels:
-        out = subprocess.run(
-            [sys.executable, __file__, "--scaling-child", str(cpus)],
-            capture_output=True,
-            text=True,
-            check=True,
-            env={**os.environ, "PYTHONPATH": str(Path(__file__).resolve().parent)},
+    n_cycles = int(os.environ.get("SPARK_GRAFT_SCALING_CYCLES", "3"))
+    cycles: list[dict] = []
+    for _ in range(n_cycles):
+        cyc = {"spark": {}, "machine": {}}
+        for cpus in levels:
+            out = subprocess.run(
+                [sys.executable, __file__, "--scaling-child", str(cpus)],
+                capture_output=True,
+                text=True,
+                check=True,
+                env={
+                    **os.environ,
+                    "PYTHONPATH": str(Path(__file__).resolve().parent),
+                    "SPARK_GRAFT_SCALING_RUNS": "1",
+                },
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            cyc["spark"][cpus] = json.loads(line)
+        base = machine_baseline(levels)
+        cyc["machine"] = {c: base[c] for c in levels}
+        cycles.append(cyc)
+
+    def pair_effs(key):
+        out = {}
+        for n, m in pairs:
+            out[(n, m)] = [
+                c[key][m]["tput"] / (c[key][n]["tput"] * (m / n)) for c in cycles
+            ]
+        return out
+
+    spark_effs = pair_effs("spark")
+    mach_effs = pair_effs("machine")
+
+    best = {
+        c: max(cy["spark"][c]["tput"] for cy in cycles) for c in levels
+    }
+    best_m = {
+        c: max(cy["machine"][c]["tput"] for cy in cycles) for c in levels
+    }
+    n_docs = cycles[0]["spark"][levels[0]]["docs"]
+
+    level_rows = "\n".join(
+        "| local[{c}] | {t:.1f} | {m:.1f} | {runs} |".format(
+            c=c,
+            t=best[c],
+            m=best_m[c],
+            runs=[round(cy["spark"][c]["tput"], 0) for cy in cycles],
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    base = machine_baseline(levels)
-
-    def eff(tbl, n, m, key):
-        return tbl[m][key] / (tbl[n][key] * (m / n))
-
+        for c in levels
+    )
     pair_rows = []
     summary = {}
     for n, m in pairs:
-        e = eff(results, n, m, "tput")
-        b = eff(base, n, m, "tput")
-        rel = e / b if b > 0 else float("nan")
+        se = statistics.median(spark_effs[(n, m)])
+        me = statistics.median(mach_effs[(n, m)])
+        rel = se / me if me > 0 else float("nan")
         pair_rows.append(
-            f"| {n}→{m} | **{e:.3f}** | {b:.3f} | {rel:.3f} |"
+            f"| {n}→{m} | **{se:.3f}** | {me:.3f} | {rel:.3f} | "
+            f"{[round(x, 3) for x in spark_effs[(n, m)]]} |"
         )
         summary[f"{n}to{m}"] = {
-            "spark_efficiency": round(e, 4),
-            "machine_efficiency": round(b, 4),
+            "spark_efficiency": round(se, 4),
+            "machine_efficiency": round(me, 4),
             "normalized_efficiency": round(rel, 4),
+            "per_cycle": [round(x, 4) for x in spark_effs[(n, m)]],
         }
 
-    level_rows = "\n".join(
-        f"| local[{c}] | {results[c]['sec']:.2f} | {results[c]['tput']:.1f} "
-        f"| {base[c]['tput']:.1f} | {results[c].get('all_secs')} |"
-        for c in levels
-    )
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH — extraction scaling evidence (north rule)
 
-Same job, same deterministic input ({results[levels[0]]['docs']} interleaved
-docs, seed=42, incl. mega-docs), each parallelism level in a fresh JVM — the
-sandbox proxy for clusters of N vs 4N executors.  Each level reports
-best-of-3 (this shared VM shows run-to-run noise), and the same-window
-**machine baseline** runs the identical parse-only kernel under raw
-multiprocessing (pre-generated fork-shared corpus, warm pools, no Spark):
-it is the scaling the hardware itself offers, the ceiling any framework
-can reach on this box.
+Same job, same deterministic input ({n_docs} interleaved docs, seed=42,
+incl. mega-docs), levels = sandbox proxy for clusters of N vs 4N
+executors.  This shared VM's available throughput swings ~1.5-2× over
+minutes, so levels are measured in INTERLEAVED CYCLES: each cycle runs
+every level once (fresh JVM, warmup, one measured run) plus the
+machine baseline — the identical parse-only kernel under raw
+multiprocessing (fork-shared corpus, warm pools, no Spark), which is
+the scaling ceiling the hardware itself offers (this box has no
+hyperthreading, but per-core speed drops as cores activate —
+turbo/bandwidth — so even a perfect framework lands below 1.0).
+Efficiency is computed within each cycle; the reported figure is the
+median across {n_cycles} cycles.
 
-| level | Spark wall (s) | Spark docs/sec | raw-mp parse docs/sec | per-run walls |
-|---|---|---|---|---|
+| level | Spark docs/sec (best) | raw-mp parse docs/sec (best) | Spark per-cycle tput |
+|---|---|---|---|
 {level_rows}
 
-| pair (N→4N) | Spark efficiency | machine (raw-mp) efficiency | normalized (Spark/machine) |
-|---|---|---|---|
+| pair (N→4N) | Spark efficiency (median) | machine efficiency (median) | normalized (Spark/machine) | Spark per-cycle |
+|---|---|---|---|---|
 {chr(10).join(pair_rows)}
 
-- Scaling efficiency = tput(4N) / (4 × tput(N)); north-rule target ≥ 0.8.
-- **Headline pair: 4→16** — both ends on physical cores, the honest
-  analogue of adding executors.  The 8→32 pair crosses this VM's
-  hyperthread boundary: a pure-CPU spin loop (no memory traffic) scales
-  at only ~0.75 there and the allocation-heavy parse kernel lower still —
-  that ceiling is hardware, not pipeline; the normalized column
-  (Spark/machine, ≥1.0 = Spark adds no bottleneck of its own) is the
-  framework-attributable number.
+- Scaling efficiency = tput(4N) / (4 × tput(N)); north-rule target ≥ 0.8
+  on a real cluster, where 4N executors bring 4N× the hardware
+  (bandwidth, cache, turbo headroom scale with nodes).  A single box
+  cannot hold per-core hardware constant while quadrupling active
+  cores; the machine column is what the box itself scales at, and the
+  normalized column (≥1.0 = Spark adds no scaling bottleneck beyond
+  the hardware's) is the framework-attributable number — the honest
+  single-box proxy for the cluster criterion.
 """
         )
-    return {"levels": results, "machine": {k: v for k, v in base.items() if k != "efficiency"}, "pairs": summary}
+    return {"cycles": cycles, "pairs": summary, "best": best}
 
 
 if __name__ == "__main__":

@@ -212,3 +212,49 @@ def test_word_group_chunks():
         " ".join(str(i) for i in range(10, 20)),
         " ".join(str(i) for i in range(20, 25)),
     ]
+
+
+# --- fast-path guard tests (entity/tag/anchor prechecks, order fast path) ---
+def test_html_uppercase_anchor_counts_link_words():
+    # IGNORECASE anchor matching must survive the '<a'/'<A' precheck
+    html = "<p><A HREF='x'>a b c</A> d e f g h i</p>"
+    assert golden.extract_html_blocks(html) == []  # density 1/3 → dropped
+    html2 = "<p><A HREF='x'>a b c</A> d e f g h i j</p>"
+    assert golden.extract_html_blocks(html2) == ["a b c d e f g h i j"]
+
+
+def test_html_entities_inside_anchor():
+    # entity unescape inside the anchor fragment (link-word tokenization)
+    html = "<p><a href='x'>a&nbsp;b c</a> d e f g h i</p>"
+    assert golden.extract_html_blocks(html) == []  # 3 link words of 9
+
+
+def test_extract_document_unsorted_offsets():
+    # out-of-order offsets must be re-sorted (fast path only when sorted)
+    spans = [
+        {"kind": "text", "text": "gamma", "media_ref": None, "offset": 4},
+        {"kind": "text", "text": "alpha beta", "media_ref": None, "offset": 0},
+        {"kind": "media", "text": None, "media_ref": "m", "offset": 2},
+    ]
+    out, *_ = golden.extract_document(spans)
+    assert out == [
+        ("text", "alpha", None),
+        ("text", "beta", None),
+        ("media", None, "m"),
+        ("text", "gamma", None),
+    ]
+
+
+def test_extract_document_none_offsets_use_position():
+    # None offsets fall back to array position; equal offsets tie-break
+    # by position (stable)
+    spans = [
+        {"kind": "text", "text": "one", "media_ref": None, "offset": None},
+        {"kind": "text", "text": "two", "media_ref": None, "offset": None},
+        {"kind": "text", "text": "zero", "media_ref": None, "offset": 0},
+    ]
+    out, *_ = golden.extract_document(spans)
+    # keys: (None→i=0,0), (None→i=1,1), (0,2) → order: zero? no —
+    # offsets None use index i as key: [(0,0),(1,1),(0,2)] → zero sorts
+    # with key (0,2) after (0,0): one, zero, two
+    assert out == [("text", "one", None), ("text", "zero", None), ("text", "two", None)]
