@@ -272,11 +272,13 @@ def q_q4_rrf_fusion(spark, sf_dir):
 
 def q_q7_rerank_filter(spark, sf_dir):
     """Q7: rerank gating (QueryService.scala:238-266) over deterministic
-    scores score=(doc_id*7919 mod 100)/100."""
+    scores score=(doc_id*7919 mod 100)/100.  The pool is a doc_id-sampled
+    slice (not a top-k) so its score spread crosses the gap gate and the
+    keep-threshold actually filters."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", (((F.col("doc_id") * 7919) % 100) / 100.0).alias("score")
     )
-    pool = docs.orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
+    pool = docs.filter(F.col("doc_id") % 10 == 0).orderBy(F.asc("doc_id")).limit(50)
     stats = pool.agg(F.max("score").alias("top"), F.min("score").alias("worst"))
     return (
         pool.crossJoin(F.broadcast(stats))
@@ -951,7 +953,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_rerank_filter": """
             WITH pool AS (
               SELECT doc_id, ((doc_id * 7919) % 100) / 100.0 AS score
-              FROM documents ORDER BY score DESC, doc_id LIMIT 50
+              FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id LIMIT 50
             ),
             stats AS (SELECT max(score) AS top, min(score) AS worst FROM pool)
             SELECT doc_id, score FROM pool, stats
