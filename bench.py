@@ -218,8 +218,8 @@ def machine_baseline(levels=(8, 32), n_docs: int = 96000) -> dict:
     return out
 
 
-SCALING_LEVELS = (4, 8, 16, 32)
-SCALING_PAIRS = ((4, 16), (8, 32))
+SCALING_LEVELS = (2, 4, 8, 16, 32)
+SCALING_PAIRS = ((2, 8), (4, 16), (8, 32))
 
 
 def bench_scaling(levels=SCALING_LEVELS, pairs=SCALING_PAIRS) -> dict:

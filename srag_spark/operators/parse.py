@@ -135,17 +135,25 @@ def _span_cols(batch):
     one fresh Python string per span — the kernel is memory-bandwidth
     bound and this column is the most repetitive."""
     spans = batch.column(batch.schema.get_field_index("spans"))
-    offs = spans.offsets.to_pylist()
+    offs = spans.offsets.to_numpy(zero_copy_only=False)
     vals = spans.flatten()
     kd = vals.field("kind").dictionary_encode()
     dictv = kd.dictionary.to_pylist()
     kinds = [None if i is None else dictv[i] for i in kd.indices.to_pylist()]
+    off_arr = vals.field("offset")
+    if off_arr.null_count == 0:
+        # zero-copy numpy view: skips one Python int allocation per span
+        # (the kernel treats np scalars and ints identically; None checks
+        # only matter when nulls exist)
+        offsets = off_arr.to_numpy(zero_copy_only=True)
+    else:
+        offsets = off_arr.to_pylist()
     return (
         offs,
         kinds,
         vals.field("text").to_pylist(),
         vals.field("media_ref").to_pylist(),
-        vals.field("offset").to_pylist(),
+        offsets,
     )
 
 
