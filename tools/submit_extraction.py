@@ -39,12 +39,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     from srag_spark.plans.pipeline import ExtractionPipeline
+    from srag_spark.plans.preflight import preflight
     from srag_spark.synth import synth_documents_df
 
     if args.synth_docs:
         synth_documents_df(spark, args.synth_docs, seed=42).write.mode(
             "overwrite"
         ).parquet(args.input)
+
+    # J8/J9: gate the (multi-hour) launch on input/output health, like the
+    # reference's startup health fan-out (Main.scala:36-49)
+    preflight(spark, args.input, args.output)
 
     docs = spark.read.parquet(args.input)
     pipe = ExtractionPipeline(
