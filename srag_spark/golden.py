@@ -261,6 +261,7 @@ def extract_document_cols(
     texts: list,
     medias: list,
     offsets: list,
+    assume_sorted: bool = False,
 ) -> tuple[list, list, list, int, int, int]:
     """Columnar form of :func:`extract_document`: four parallel lists in,
     three parallel output lists + metrics out.  This is the hot-path
@@ -281,21 +282,28 @@ def extract_document_cols(
       other/None kind, or a parser error → parse_failure, span dropped
     """
     n = len(kinds)
-    # fast path: offsets already non-decreasing and non-null (the common
-    # on-disk layout) → identity order, skip the keyed sort
-    sorted_already = True
-    prev_off = None
-    for off in offsets:
-        if off is None or (prev_off is not None and off < prev_off):
-            sorted_already = False
-            break
-        prev_off = off
-    if sorted_already:
+    if assume_sorted:
+        # caller (the salted slicer) already applied the global document
+        # order; re-sorting a slice would use slice-LOCAL indices as the
+        # null-offset keys, which is not idempotent with the global sort
         order = range(n)
     else:
-        order = sorted(
-            range(n), key=lambda i: (offsets[i] if offsets[i] is not None else i, i)
-        )
+        # fast path: offsets already non-decreasing and non-null (the
+        # common on-disk layout) → identity order, skip the keyed sort
+        sorted_already = True
+        prev_off = None
+        for off in offsets:
+            if off is None or (prev_off is not None and off < prev_off):
+                sorted_already = False
+                break
+            prev_off = off
+        if sorted_already:
+            order = range(n)
+        else:
+            order = sorted(
+                range(n),
+                key=lambda i: (offsets[i] if offsets[i] is not None else i, i),
+            )
 
     ok: list = []
     ot: list = []

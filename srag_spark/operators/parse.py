@@ -135,7 +135,16 @@ def _span_cols(batch):
     one fresh Python string per span — the kernel is memory-bandwidth
     bound and this column is the most repetitive."""
     spans = batch.column(batch.schema.get_field_index("spans"))
+    if spans.null_count:
+        raise ValueError(
+            "spans column contains null list entries; a null spans array "
+            "would silently misalign spans to the wrong doc_id"
+        )
     offs = spans.offsets.to_numpy(zero_copy_only=False)
+    if offs[0] != 0:
+        # sliced batch: ListArray.offsets stays absolute into the parent
+        # values buffer while flatten() rebases — rebase offsets to match
+        offs = offs - offs[0]
     vals = spans.flatten()
     kd = vals.field("kind").dictionary_encode()
     dictv = kd.dictionary.to_pylist()
@@ -319,7 +328,14 @@ def _parse_slice_arrow(batches: Iterator) -> Iterator:
             a, b = offs[i], offs[i + 1]
             parsed.append(
                 extract_document_cols(
-                    kinds[a:b], texts[a:b], medias[a:b], offsets[a:b]
+                    kinds[a:b],
+                    texts[a:b],
+                    medias[a:b],
+                    offsets[a:b],
+                    # the slicer already applied the global (offset | index)
+                    # document order; a slice-local re-sort is not
+                    # idempotent when offsets contain nulls
+                    assume_sorted=True,
                 )
             )
         ext = _extracted_batch(pa, doc_ids, parsed)

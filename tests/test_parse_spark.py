@@ -117,6 +117,31 @@ def test_spark_pinned_fixture_doc(spark):
     ]
 
 
+def test_salted_path_null_and_unsorted_offsets(spark):
+    """Regression: the salted path must preserve golden order when offsets
+    contain nulls.  The slicer applies the global (offset | index) order;
+    a slice-local re-sort keyed on slice-LOCAL indices is not idempotent
+    (offsets [0, None, 0, 0, 2] → golden w0,w2,w3,w1,w4 but a double sort
+    yields w0,w2,w3,w4,w1)."""
+    mk = lambda t, off: {"kind": "text", "text": t, "media_ref": None, "offset": off}  # noqa: E731
+    rows = [
+        (
+            "null-off",
+            [mk("w0", 0), mk("w1", None), mk("w2", 0), mk("w3", 0), mk("w4", 2)],
+        ),
+        (
+            "null-off-big",
+            [mk(f"w{i}", None if i % 3 == 1 else (i * 7) % 13) for i in range(40)],
+        ),
+        (
+            "unsorted",
+            [mk("a", 5), mk("b", 1), mk("c", None), mk("d", 0)],
+        ),
+    ]
+    # salt_threshold=2 forces every doc down the salted slice path
+    run_invariant(spark, rows, salt_threshold=2, slice_target=2)
+
+
 def test_slice_spans_never_splits_audio_runs():
     spans = (
         [{"kind": "text", "text": "t", "media_ref": None, "offset": i} for i in range(3)]
