@@ -481,14 +481,18 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs ≥ 0.9 over embeddings ∪ exact
-    copies of vec_id < 20 (ids +100000)."""
+    copies of vec_id < 20 (ids +100000).  Scale-safe plan: hyperplane-LSH
+    banded equi-join (16 planes, 4 bands) + exact cosine verify — never
+    an all-pairs product.  The oracle mirrors the same bucketing."""
     from srag_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
-    return embedding_neardup_pairs(emb.unionByName(copies), threshold=0.9)
+    return embedding_neardup_pairs(
+        emb.unionByName(copies), threshold=0.9, n_planes=16, bands=4, dim=64
+    )
 
 
 def q_ann_brute_topk(spark, sf_dir):
@@ -503,14 +507,16 @@ def q_ann_brute_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-5 per query (8 deterministic hyperplanes)."""
+    """LSH-bucketed ANN top-5 per query (8 deterministic hyperplanes),
+    multi-probe probes=2 (exact bucket + all Hamming-1 neighbors) — the
+    verified configuration is the high-recall one."""
     from srag_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return lsh_topk(emb, queries, k=5, n_planes=8, dim=64)
+    return lsh_topk(emb, queries, k=5, n_planes=8, dim=64, probes=2)
 
 
 def q_lang_id(spark, sf_dir):
@@ -738,18 +744,26 @@ def _simhash_sql(max_hamming: int = 3, bands: int = 4) -> str:
 def _plane_dot_sql(vec_expr: str, plane: list[float]) -> str:
     lit = "[" + ", ".join(f"{x!r}" for x in plane) + "]"
     return (
-        f"list_sum(list_transform(range(1, 65), "
+        f"list_sum(list_transform(range(1, {len(plane) + 1}), "
         f"i -> {vec_expr}[i]::DOUBLE * ({lit})[i]))"
     )
 
 
-def _bucket_sql(vec_expr: str) -> str:
+def _bucket_sql(vec_expr: str, n_planes: int = 8, dim: int = 64) -> str:
     from srag_spark.operators.similarity import make_hyperplanes
 
-    planes = make_hyperplanes(8, 64)
+    planes = make_hyperplanes(n_planes, dim)
     return " || ".join(
         f"(CASE WHEN {_plane_dot_sql(vec_expr, p)} > 0 THEN '1' ELSE '0' END)"
         for p in planes
+    )
+
+
+def _hamming_sql(a: str, b: str, n: int) -> str:
+    return (
+        f"list_sum(list_transform(range({n}), j -> CASE WHEN "
+        f"substring({a}, CAST(j+1 AS INT), 1) <> substring({b}, CAST(j+1 AS INT), 1) "
+        f"THEN 1 ELSE 0 END))"
     )
 
 
@@ -1044,17 +1058,36 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sb ON sb.doc_id = doc_b
             ) WHERE jaccard >= 0.5
         """,
-        "dedup_embedding_cosine": """
+        "dedup_embedding_cosine": f"""
             WITH aug AS (
               SELECT vec_id, embedding FROM embeddings
               UNION ALL
               SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20
+            ),
+            coded AS (
+              SELECT vec_id, embedding,
+                     {_bucket_sql('embedding', n_planes=16, dim=64)} AS code
+              FROM aug
+            ),
+            banded AS (
+              {" UNION ALL ".join(
+                  f"SELECT vec_id, {b} AS band_id, substring(code, {b * 4 + 1}, 4) AS block FROM coded"
+                  for b in range(4)
+              )}
+            ),
+            cands AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.block = b.block
+               AND a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, cos_r FROM (
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-                       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), 6) AS cos_r
-              FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+              SELECT id_a, id_b,
+                     round(list_sum(list_transform(range(1, len(va.embedding) + 1),
+                       i -> va.embedding[i]::DOUBLE * vb.embedding[i]::DOUBLE)), 6) AS cos_r
+              FROM cands
+              JOIN aug va ON va.vec_id = id_a
+              JOIN aug vb ON vb.vec_id = id_b
             ) WHERE cos_r >= 0.9
         """,
         "ann_brute_topk": """
@@ -1087,10 +1120,13 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings WHERE vec_id < 5
             ),
             scored AS (
+              -- probes=2: candidates within Hamming ≤ 1 of the query's
+              -- bucket (the Spark side reaches them via an equi-join on
+              -- exploded probe buckets; same candidate set)
               SELECT q.query_id, e.vec_id,
                      round(list_sum(list_transform(range(1, len(e.embedding) + 1),
                        i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)), 6) AS score_r
-              FROM e JOIN q ON e.bucket = q.bucket
+              FROM e JOIN q ON {_hamming_sql('e.bucket', 'q.bucket', 8)} <= 1
             ),
             ranked AS (
               SELECT query_id, vec_id, score_r,

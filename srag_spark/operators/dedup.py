@@ -325,15 +325,16 @@ def dot_col(a, b) -> "F.Column":
     )
 
 
-def embedding_neardup_pairs(
+def embedding_neardup_pairs_brute(
     emb: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id_a, id_b, cos_r) pairs with cosine ≥ threshold.  Brute-force
-    self-join baseline (exact); at scale use LSH bucketing
-    (srag_spark.operators.similarity.hyperplane_buckets) to prune pairs."""
+    """(id_a, id_b, cos_r) pairs with cosine ≥ threshold — brute-force
+    all-pairs baseline (exact, O(n²)).  Small-N only: the theta-join is a
+    BroadcastNestedLoopJoin.  At scale use
+    :func:`embedding_neardup_pairs` (LSH-bucketed equi-join)."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
@@ -342,4 +343,73 @@ def embedding_neardup_pairs(
             "id_a", "id_b", F.round(dot_col(F.col("va"), F.col("vb")), 6).alias("cos_r")
         )
         .filter(F.col("cos_r") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos_r) near-dup pairs with cosine ≥ threshold, found
+    via hyperplane-LSH banding — the 100 TB-safe plan (the same shape as
+    :func:`simhash_near_pairs` / ``similarity.lsh_topk``):
+
+      1. bucket code: ``n_planes`` signed projections onto deterministic
+         hyperplanes (engine-agnostic — reproducible in the DuckDB oracle
+         from the same seed strings);
+      2. band the code into ``bands`` blocks; candidate pairs share ≥1
+         block — an **equi-join keyed on short block strings**, never an
+         all-pairs product.  Any pair whose codes differ in < ``bands``
+         bits is guaranteed to be a candidate (multi-probe by banding);
+         exact duplicates always share all blocks (recall 1.0 for them);
+      3. verify exact cosine inside the candidate set (two id equi-joins
+         back to the vectors).
+
+    Recall < 1 for near-boundary pairs by LSH construction; raise
+    ``n_planes``/``bands`` to trade shuffle for recall.  Assumes
+    unit-norm vectors (dot = cosine)."""
+    from srag_spark.operators.similarity import hyperplane_bucket_col, make_hyperplanes
+
+    planes = make_hyperplanes(n_planes, dim)
+    width = n_planes // bands
+    # code computed once per row (n_planes dot products), then banded with
+    # literal-position substrings — CollapseProject keeps the non-cheap
+    # code expression from being inlined per band
+    coded = emb.select(
+        F.col(id_col).alias("doc_id"),
+        hyperplane_bucket_col(F.col(vec_col), planes).alias("code"),
+    )
+    banded = coded.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.substring("code", b * width + 1, width) for b in range(bands)])
+        ).alias("band_id", "block"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(dot_col(F.col("va"), F.col("vb")), 6).alias("cos_r")
+        )
+        .filter(F.col("cos_r") >= threshold)
+        .select("id_a", "id_b", "cos_r")
     )

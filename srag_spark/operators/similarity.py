@@ -81,23 +81,46 @@ def make_hyperplanes(n_planes: int, dim: int, seed_prefix: str = "lsh-plane") ->
     ]
 
 
+def probe_buckets_col(bucket_col, n_planes: int, probes: int) -> "F.Column":
+    """Array of probe bucket codes for a query: the bucket itself, plus —
+    when ``probes`` ≥ 2 — every Hamming-1 neighbor (one bit flipped).
+    Multi-probe rescues near-boundary vectors whose sign flipped on one
+    hyperplane (the classic LSH recall cliff) at the cost of ``n_planes``
+    extra equi-join probes per query — still never a scan."""
+    variants = [bucket_col]
+    if probes >= 2:
+        for i in range(n_planes):
+            prefix = F.substring(bucket_col, 1, i) if i else F.lit("")
+            bit = F.substring(bucket_col, i + 1, 1)
+            flipped = F.when(bit == "1", F.lit("0")).otherwise(F.lit("1"))
+            suffix = (
+                F.substring(bucket_col, i + 2, n_planes - i - 1)
+                if i < n_planes - 1
+                else F.lit("")
+            )
+            variants.append(F.concat(prefix, flipped, suffix))
+    return F.array(*variants)
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
     dim: int | None = None,
+    probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "query_id",
     q_vec_col: str = "qvec",
 ) -> DataFrame:
-    """Bucketed ANN: candidates share the query's hyperplane bucket; exact
-    cosine re-rank within the bucket.  Recall < 1 by construction —
-    returns up to k per query.  ``dim`` defaults to the first embedding's
-    length (driver peek)."""
+    """Bucketed ANN: candidates share one of the query's probe buckets
+    (``probes=1`` → exact bucket only; ``probes≥2`` → plus all Hamming-1
+    neighbors); exact cosine re-rank within the candidates.  Recall < 1
+    by construction — returns up to k per query.  ``dim`` is required (no
+    driver-side data peek: the operator must stay lazily plannable)."""
     if dim is None:
-        dim = len(emb.select(vec_col).head()[0])
+        raise ValueError("lsh_topk requires an explicit dim= (vector length)")
     planes = make_hyperplanes(n_planes, dim)
     e = emb.select(
         F.col(id_col).alias("vec_id"),
@@ -108,7 +131,11 @@ def lsh_topk(
         queries.select(
             F.col(q_id_col).alias("query_id"),
             F.col(q_vec_col).alias("qv"),
-            hyperplane_bucket_col(F.col(q_vec_col), planes).alias("bucket"),
+            F.explode(
+                probe_buckets_col(
+                    hyperplane_bucket_col(F.col(q_vec_col), planes), n_planes, probes
+                )
+            ).alias("bucket"),
         )
     )
     scored = e.join(q, "bucket").select(

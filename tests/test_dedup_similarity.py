@@ -150,6 +150,65 @@ def test_lsh_topk_subset_of_bruteforce_and_finds_self(spark):
     assert firsts == {0: 0, 1: 1, 2: 2}
 
 
+def test_embedding_neardup_lsh_subset_of_brute_and_full_recall_on_planted(spark):
+    """The LSH-bucketed near-dup plan must (a) return a subset of the
+    brute-force result (exact verify inside buckets ⇒ precision 1.0) and
+    (b) find every planted exact duplicate (identical vectors share all
+    bands ⇒ recall 1.0 for true dups)."""
+    from srag_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_brute,
+    )
+
+    base = _emb_df(spark, [f"doc {i}" for i in range(40)])
+    copies = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    emb = base.unionByName(copies)
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    brute = {key(r): r["cos_r"] for r in embedding_neardup_pairs_brute(emb, 0.9).collect()}
+    lsh = {
+        key(r): r["cos_r"]
+        for r in embedding_neardup_pairs(emb, 0.9, n_planes=16, bands=4, dim=32).collect()
+    }
+    assert set(lsh) <= set(brute)
+    for k, v in lsh.items():
+        assert brute[k] == v
+    for i in range(5):  # every planted exact dup found
+        assert (i, i + 100) in lsh and lsh[(i, i + 100)] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_lsh_topk_multiprobe_improves_recall(spark):
+    """probes=2 (Hamming-1 multi-probe) must strictly beat probes=1 on
+    recall@k vs brute force, and stay a subset of the exact result."""
+    emb = _emb_df(spark, [f"doc {i}" for i in range(120)])
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    k = 5
+    truth = {}
+    for r in brute_force_topk(emb, queries, k=k).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(probes):
+        got = {}
+        for r in lsh_topk(emb, queries, k=k, n_planes=8, dim=32, probes=probes).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 > r1
+    assert r2 <= 1.0
+
+
+def test_lsh_topk_requires_dim(spark):
+    emb = _emb_df(spark, ["a", "b"])
+    queries = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    with pytest.raises(ValueError, match="dim"):
+        lsh_topk(emb, queries, k=1)
+
+
 def test_language_id_planted(spark):
     df = spark.createDataFrame(
         [
