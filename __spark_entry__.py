@@ -154,11 +154,15 @@ def q_p8_word_group_chunks(spark, sf_dir):
 
 
 def q_p10_language_validation(spark, sf_dir):
-    """P10: ISO-639-1 validation (LanguageCode.scala:11-24)."""
+    """P10: ISO-639-1 validation against the reference's 110 enumerated
+    codes (LanguageCode.scala:27-137) — regex shape alone is not enough
+    ('zz' must be invalid)."""
+    from srag_spark.operators.transcripts import ISO_639_1_CODES
+
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
-        F.lower(F.col("lang")).rlike("^[a-z]{2}$").alias("lang_valid"),
+        F.lower(F.col("lang")).isin(*sorted(ISO_639_1_CODES)).alias("lang_valid"),
     )
 
 
@@ -470,12 +474,21 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(sigs, max_hamming=3, bands=4)
 
 
+JACCARD_MAX_SHINGLE_DF = 100  # stop-shingle skew guard (docs per shingle)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """3-gram Jaccard pairs ≥ 0.5 via inverted-index self-join."""
+    """3-gram Jaccard pairs ≥ 0.5 via inverted-index self-join, WITH the
+    stop-shingle document-frequency cap enabled — the verified
+    configuration is the skew-safe one (a shingle in k docs would emit k²
+    join rows).  The oracle applies the identical cap."""
     from srag_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _augmented_docs(spark, sf_dir), n=3, threshold=0.5, max_shingle_df=None
+        _augmented_docs(spark, sf_dir),
+        n=3,
+        threshold=0.5,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
     )
 
 
@@ -767,6 +780,16 @@ def _hamming_sql(a: str, b: str, n: int) -> str:
     )
 
 
+def _p10_sql() -> str:
+    from srag_spark.operators.transcripts import ISO_639_1_CODES
+
+    codes = ", ".join(f"'{c}'" for c in sorted(ISO_639_1_CODES))
+    return (
+        f"SELECT doc_id, lang, lower(lang) IN ({codes}) AS lang_valid "
+        "FROM documents"
+    )
+
+
 def _langid_sql() -> str:
     from srag_spark.operators.textstats import LANG_MARKERS
 
@@ -904,10 +927,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             WHERE len(words) > 0
         """,
-        "p10_language_validation": (
-            "SELECT doc_id, lang, "
-            "regexp_full_match(lower(lang), '[a-z]{2}') AS lang_valid FROM documents"
-        ),
+        "p10_language_validation": _p10_sql(),
         "q2_vector_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             scored AS (
@@ -1043,10 +1063,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": f"""
             WITH {_AUG_SQL.strip()},
             {_SHINGLES_SQL.strip()},
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            sh_rare AS (
+              SELECT sh.doc_id, sh.shingle FROM sh
+              JOIN (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING count(*) <= {JACCARD_MAX_SHINGLE_DF}) r USING (shingle)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh_rare GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-              FROM sh a JOIN sh b
+              FROM sh_rare a JOIN sh_rare b
                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )

@@ -189,9 +189,17 @@ def rrf_fuse(
 ) -> DataFrame:
     """Fuse two (key..., score) relations by reciprocal rank:
     rank = position+1 by score desc; fused = Σ 1/(rrf_k + rank);
-    keep > 0; sort desc; take pool.  Both inputs are ≤ pool rows, so the
-    full-outer join broadcasts."""
-    w = Window.orderBy(F.desc("score"), *key_cols)
+    keep > 0; sort desc; take pool.
+
+    The ≤pool invariant is ENFORCED here (both inputs are sort-limited to
+    ``pool`` before ranking), so the global rank window is always bounded
+    — a caller passing an unlimited frame cannot trigger a single-task
+    sort of the world.  The constant partition key keeps WindowExec off
+    its no-partition warning path; with ≤pool rows one partition is the
+    point, not a problem.  The full-outer join broadcasts."""
+    semantic = semantic.orderBy(F.desc("score"), *key_cols).limit(pool)
+    lexical = lexical.orderBy(F.desc("score"), *key_cols).limit(pool)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), *key_cols)
     sem = semantic.select(*key_cols, F.row_number().over(w).alias("sem_rank"))
     lex = lexical.select(*key_cols, F.row_number().over(w).alias("lex_rank"))
     fused = (

@@ -80,11 +80,27 @@ def enrich_metadata(df: DataFrame, extra: dict[str, str]) -> DataFrame:
     return df.withColumn("metadata", merged)
 
 
+# The reference's enumerated ISO-639-1 codes (LanguageCode.scala:27-137,
+# allSupportedLanguages + the named vals at :139-251) — 110 two-letter
+# codes.  LanguageCode.isValid itself is regex-only, but the domain model
+# enumerates exactly these names; validate_language enforces the stricter
+# named-code semantics so e.g. 'zz' (regex-valid, not a language) → NULL.
+ISO_639_1_CODES = frozenset(
+    """en fr es de it pt ru nl pl uk cs sk hu ro bg hr sr sl mk bs sq el tr
+    fi sv no da is et lv lt ca gl eu cy ga br mt lb fo zh ja ko hi bn ta te
+    mr gu kn ml pa or as ne si sd ur th vi id ms tl jv su my km lo mn kk ky
+    uz tg tk ug bo dz ar fa ps ku he am ti so ha yo ig sw zu xh af sn ts mg
+    mi sm to fj ty hy ka az ba tt cv yi ht la""".split()
+)
+
+
 def validate_language(df: DataFrame, col: str = "language") -> DataFrame:
-    """P10: ISO-639-1 normalization — lowercase, ^[a-z]{2}$, else NULL;
-    'en_us'-style ASR codes take the primary subtag first
-    (LanguageCode.scala:11-24; AssemblyAIAdapter.scala:310-314)."""
+    """P10: ISO-639-1 normalization — lowercase, must be one of the
+    reference's 110 enumerated codes (LanguageCode.scala:27-137), else
+    NULL; 'en_us'-style ASR codes take the primary subtag first
+    (AssemblyAIAdapter.scala:310-314)."""
     primary = F.lower(F.split(F.col(col), "_")[0])
     return df.withColumn(
-        col, F.when(primary.rlike("^[a-z]{2}$"), primary).otherwise(F.lit(None))
+        col,
+        F.when(primary.isin(*sorted(ISO_639_1_CODES)), primary).otherwise(F.lit(None)),
     )

@@ -106,8 +106,21 @@ def test_enrich_metadata_right_biased(spark):
 
 def test_validate_language(spark):
     df = spark.createDataFrame(
-        [("1", "en_us"), ("2", "FR"), ("3", "eng"), ("4", None), ("5", "d3")],
+        [
+            ("1", "en_us"),
+            ("2", "FR"),
+            ("3", "eng"),
+            ("4", None),
+            ("5", "d3"),
+            # regex-shaped but NOT an enumerated ISO-639-1 code
+            # (LanguageCode.scala:27-137): must be rejected
+            ("6", "zz"),
+            ("7", "la"),  # Latin IS enumerated
+        ],
         "doc_id string, language string",
     )
     got = {r["doc_id"]: r["language"] for r in validate_language(df).collect()}
-    assert got == {"1": "en", "2": "fr", "3": None, "4": None, "5": None}
+    assert got == {
+        "1": "en", "2": "fr", "3": None, "4": None, "5": None,
+        "6": None, "7": "la",
+    }
