@@ -637,37 +637,69 @@ def q_extract_spans(spark, sf_dir):
 
 
 def q_p7_recursive_chunks(spark, sf_dir):
-    """P7 recursive chunker (1000/200) over documents (rows-only; frozen
-    spec tested in tests/test_golden.py + tests/test_chunk_embed.py)."""
+    """P7 recursive chunker (1000/200) over deterministically augmented
+    documents — texts are repeated ×8 (even doc_ids joined with '. ' to
+    create sentence atoms, odd with ' ' to force word-level splitting)
+    and doc_id%7==0 gets a 1500-char mega-word (hard-cut path), so the
+    greedy packing + overlap logic actually runs at sf0.01 (raw texts are
+    all ≤ max_chars).  Oracle: the same chunker expressed as a DuckDB
+    recursive CTE (_p7_sql) — an independent cross-engine twin of the
+    frozen spec (TextChunker.scala:10-17; golden.recursive_chunk)."""
     from srag_spark.operators.chunk import chunk_documents
 
+    docs = _t(spark, sf_dir, "documents")
+    rep = F.array_repeat(F.col("text"), 8)
+    base = F.when(
+        F.col("doc_id") % 2 == 0, F.array_join(rep, ". ")
+    ).otherwise(F.array_join(rep, " "))
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(base, F.lit(" "), F.repeat(F.lit("x"), 1500)),
+    ).otherwise(base)
     return chunk_documents(
-        _t(spark, sf_dir, "documents").select("doc_id", "text"),
-        max_chars=1000,
-        overlap=200,
+        docs.select("doc_id", t.alias("text")), max_chars=1000, overlap=200
     ).select("doc_id", "segment_index", "text")
 
 
 def q_retrieve_context(spark, sf_dir):
-    """Q1 full hybrid retrieval (embed→topk∥bm25→RRF→rerank gate) over a
-    chunk/embedding index built from documents (rows-only; stage goldens
-    tested in tests/test_retrieval.py)."""
-    from srag_spark.functions.embedding import embed_udf
+    """Q1 full hybrid retrieval (vector top-200 ∥ BM25 top-200 → RRF →
+    text resolution → rerank gate) over documents + the embeddings table,
+    with a DETERMINISTIC rerank column (score=(doc_id·7919 mod 100)/100,
+    the q7 stub) and the query vector = embeddings vec 0 — every stage is
+    SQL-expressible, so the WHOLE Q1 path has a DuckDB twin
+    (QueryService.scala:95-133).  The hash-embed + pandas-UDF reranker
+    variant is exercised by tests/test_retrieval.py."""
     from srag_spark.operators.retrieval import retrieve_context
 
-    chunks = (
-        _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.lit(0).alias("segment_index"),
+        "text",
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"]
+    ]
+    vectors = (
+        emb.join(docs.select("doc_id"), emb["vec_id"] == docs["doc_id"])
         .select(
-            F.col("doc_id").cast("string").alias("doc_id"),
+            "doc_id",
             F.lit(0).alias("segment_index"),
-            "text",
+            F.col("embedding").alias("vector"),
             F.lit(None).cast("map<string,string>").alias("metadata"),
         )
     )
-    embeddings = chunks.select(
-        "doc_id", "segment_index", embed_udf("text").alias("vector"), "metadata"
+    return retrieve_context(
+        chunks,
+        vectors,
+        BM25_QUERY,
+        limit=5,
+        query_vec=qvec,
+        rerank_col=(((F.col("doc_id") * 7919) % 100) / 100.0),
     )
-    return retrieve_context(chunks, embeddings, "spark join filter table", limit=5)
 
 
 def _minhash_sql(n_hashes: int = 16, bands: int = 4) -> str:
@@ -780,6 +812,201 @@ def _hamming_sql(a: str, b: str, n: int) -> str:
     )
 
 
+def _p7_sql() -> str:
+    """P7 recursive chunker as a DuckDB recursive CTE — the greedy fold
+    over atoms (sentence pieces, word-split oversize sentences) with
+    200-char whole-word overlap and 1000-char hard cuts, mirroring
+    golden.recursive_chunk exactly.  RE2 has no lookbehind, so the
+    sentence split '(?<=[.!?])\\s+' is emulated by marking '[.!?] '
+    boundaries with chr(1) (equivalent on single-spaced normalized
+    text)."""
+    return r"""
+        WITH RECURSIVE
+        base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0
+                      THEN array_to_string(list_transform(range(8), i -> text), '. ')
+                      ELSE array_to_string(list_transform(range(8), i -> text), ' ') END AS t0
+          FROM documents
+        ),
+        aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN t0 || ' ' || repeat('x', 1500) ELSE t0 END AS t
+          FROM base
+        ),
+        norm AS (
+          SELECT doc_id,
+                 array_to_string(list_filter(regexp_split_to_array(t, '\s+'), x -> x <> ''), ' ') AS norm
+          FROM aug
+        ),
+        small AS (SELECT doc_id, norm FROM norm WHERE length(norm) <= 1000 AND norm <> ''),
+        atoms AS (
+          SELECT doc_id,
+                 list_filter(flatten(list_transform(
+                   string_split(regexp_replace(norm, '([.!?]) ', '\1' || chr(1), 'g'), chr(1)),
+                   s -> CASE WHEN length(s) <= 1000 THEN [s] ELSE string_split(s, ' ') END
+                 )), x -> x <> '') AS atoms
+          FROM norm WHERE length(norm) > 1000
+        ),
+        pack AS (
+          SELECT doc_id, 0 AS i, '' AS cur, CAST([] AS VARCHAR[]) AS chunks FROM atoms
+          UNION ALL
+          SELECT doc_id, i + 1,
+                 CASE WHEN length(cand) <= 1000 THEN cand
+                      ELSE substring(s, CAST(ncut * 1000 + 1 AS INT)) END AS cur,
+                 CASE WHEN length(cand) <= 1000 THEN chunks
+                      WHEN cur <> '' THEN chunks || [cur] || pieces
+                      ELSE chunks || pieces END AS chunks
+          FROM (
+            SELECT *,
+                   CASE WHEN length(s) > 1000 THEN CAST((length(s) - 1) // 1000 AS INT) ELSE 0 END AS ncut,
+                   list_transform(range(CASE WHEN length(s) > 1000 THEN (length(s) - 1) // 1000 ELSE 0 END),
+                                  j -> substring(s, CAST(j * 1000 + 1 AS INT), 1000)) AS pieces
+            FROM (
+              SELECT *,
+                     CASE WHEN cur = '' THEN atom
+                          WHEN prefix = '' THEN atom
+                          ELSE prefix || ' ' || atom END AS s
+              FROM (
+                SELECT *,
+                       CASE WHEN k = 0 THEN ''
+                            ELSE array_to_string(w[len(w) - k + 1 : len(w)], ' ') END AS prefix
+                FROM (
+                  SELECT *,
+                         COALESCE(list_max(list_filter(range(1, len(w) + 1),
+                           k -> list_sum(list_transform(w[len(w) - CAST(k AS INT) + 1 : len(w)], x -> length(x)))
+                                + (k - 1) <= 200)), 0) AS k
+                  FROM (
+                    SELECT p.doc_id, p.i, p.cur, p.chunks,
+                           a.atoms[p.i + 1] AS atom,
+                           CASE WHEN p.cur = '' THEN a.atoms[p.i + 1]
+                                ELSE p.cur || ' ' || a.atoms[p.i + 1] END AS cand,
+                           string_split(p.cur, ' ') AS w
+                    FROM pack p, atoms a
+                    WHERE p.doc_id = a.doc_id AND p.i < len(a.atoms)
+                  )
+                )
+              )
+            )
+          )
+        ),
+        done AS (
+          SELECT p.doc_id,
+                 list_filter(CASE WHEN p.cur <> '' THEN p.chunks || [p.cur] ELSE p.chunks END,
+                             c -> c <> '') AS chunks
+          FROM pack p JOIN atoms a USING (doc_id)
+          WHERE p.i = len(a.atoms)
+        )
+        SELECT doc_id, CAST(segment_index AS INT) AS segment_index, text FROM (
+          SELECT doc_id, 0 AS segment_index, norm AS text FROM small
+          UNION ALL
+          SELECT doc_id, unnest(range(len(chunks))) AS segment_index,
+                 unnest(chunks) AS text
+          FROM done
+        )
+    """
+
+
+def _retrieve_context_sql() -> str:
+    """DuckDB twin of q_retrieve_context: the full Q1 hybrid path with the
+    deterministic rerank stub.  Branch semantics mirror the engine: <5
+    candidates → fusion top-5; else gated rerank filter (possibly empty —
+    fusion fallback is reserved for reranker failure, which a
+    deterministic column cannot have)."""
+    bm25_terms = "('filter','join','spark','table')"
+    return f"""
+        WITH chunks AS (SELECT doc_id, 0 AS segment_index, text FROM documents),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        vectors AS (
+          SELECT d.doc_id, 0 AS segment_index, e.embedding AS vector
+          FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        ),
+        sem AS (
+          SELECT doc_id, segment_index,
+                 list_sum(list_transform(range(1, len(vector) + 1),
+                   i -> vector[i]::DOUBLE * q.qv[i]::DOUBLE)) AS score
+          FROM vectors, q
+          ORDER BY score DESC, doc_id, segment_index LIMIT 200
+        ),
+        d AS (
+          SELECT doc_id, segment_index, text, {_LEX_SQL} AS toks,
+                 len({_LEX_SQL}) AS dl
+          FROM chunks
+        ),
+        stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+        tf AS (
+          SELECT doc_id, segment_index, dl, term, count(*)::DOUBLE AS tf
+          FROM (SELECT doc_id, segment_index, dl, unnest(toks) AS term FROM d)
+          WHERE term IN {bm25_terms}
+          GROUP BY doc_id, segment_index, dl, term
+        ),
+        idf AS (
+          SELECT term,
+                 ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf, s.avgdl
+          FROM (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), stats s
+        ),
+        lexscore AS (
+          SELECT tf.doc_id, tf.segment_index,
+                 sum(idf.idf * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / idf.avgdl))) AS score
+          FROM tf JOIN idf USING (term)
+          GROUP BY tf.doc_id, tf.segment_index
+        ),
+        lex AS (
+          SELECT l.doc_id, l.segment_index, c.text, l.score
+          FROM lexscore l JOIN chunks c USING (doc_id, segment_index)
+          ORDER BY l.score DESC, l.doc_id, l.segment_index LIMIT 200
+        ),
+        semr AS (
+          SELECT doc_id, segment_index,
+                 row_number() OVER (ORDER BY score DESC, doc_id, segment_index) AS r
+          FROM sem
+        ),
+        lexr AS (
+          SELECT doc_id, segment_index,
+                 row_number() OVER (ORDER BY score DESC, doc_id, segment_index) AS r
+          FROM lex
+        ),
+        fused AS (
+          SELECT COALESCE(s.doc_id, l.doc_id) AS doc_id,
+                 COALESCE(s.segment_index, l.segment_index) AS segment_index,
+                 COALESCE(1.0 / (60 + s.r), 0.0) + COALESCE(1.0 / (60 + l.r), 0.0) AS fused_score
+          FROM semr s FULL OUTER JOIN lexr l
+            ON s.doc_id = l.doc_id AND s.segment_index = l.segment_index
+          WHERE COALESCE(1.0 / (60 + s.r), 0.0) + COALESCE(1.0 / (60 + l.r), 0.0) > 0.0
+          ORDER BY fused_score DESC, doc_id, segment_index LIMIT 200
+        ),
+        cand AS (
+          SELECT f.doc_id, f.segment_index, f.fused_score,
+                 COALESCE(CASE WHEN length(lx.text) > 0 THEN lx.text END, c.text) AS text
+          FROM fused f
+          LEFT JOIN lex lx ON lx.doc_id = f.doc_id AND lx.segment_index = f.segment_index
+          LEFT JOIN chunks c ON c.doc_id = f.doc_id AND c.segment_index = f.segment_index
+          WHERE COALESCE(CASE WHEN length(lx.text) > 0 THEN lx.text END, c.text) IS NOT NULL
+        ),
+        n AS (SELECT count(*) AS n FROM cand),
+        scored AS (
+          SELECT doc_id, segment_index, text,
+                 ((doc_id * 7919) % 100) / 100.0 AS score
+          FROM cand
+        ),
+        gs AS (SELECT max(score) AS top, min(score) AS worst FROM scored),
+        filtered AS (
+          SELECT doc_id, segment_index, text, score FROM scored, gs
+          WHERE top >= 0.3 AND (top - worst) >= 0.5
+            AND score >= top - 0.2 * (top - worst)
+          ORDER BY score DESC, doc_id, segment_index LIMIT 5
+        ),
+        fusion AS (
+          SELECT doc_id, segment_index, text, fused_score AS score FROM cand
+          ORDER BY score DESC, doc_id, segment_index LIMIT 5
+        )
+        SELECT * FROM filtered WHERE (SELECT n FROM n) >= 5
+        UNION ALL
+        SELECT * FROM fusion WHERE (SELECT n FROM n) < 5
+    """
+
+
 def _p10_sql() -> str:
     from srag_spark.operators.transcripts import ISO_639_1_CODES
 
@@ -866,10 +1093,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
+        "retrieve_context": q_retrieve_context,
+        "p7_recursive_chunks": q_p7_recursive_chunks,
         # rows-only (non-SQL-expressible; pytest goldens pin semantics)
         "extract_spans": q_extract_spans,
-        "p7_recursive_chunks": q_p7_recursive_chunks,
-        "retrieve_context": q_retrieve_context,
         "mm_decode_media": q_mm_decode_media,
         "mm_extract_features": q_mm_extract_features,
     }
@@ -1206,6 +1433,8 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, session_id
         """,
         "lang_id": _langid_sql(),
+        "retrieve_context": _retrieve_context_sql(),
+        "p7_recursive_chunks": _p7_sql(),
         "quality_score": """
             WITH base AS (
               SELECT doc_id,

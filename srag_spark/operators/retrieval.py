@@ -275,14 +275,30 @@ def retrieve_context(
     query_text: str,
     limit: int = 5,
     flt: dict[str, str] | None = None,
+    query_vec=None,
+    rerank_col=None,
 ) -> DataFrame:
     """embed query → vector top-200 ∥ BM25 top-200 → RRF → resolve text →
-    rerank gate (≥5 candidates) → gated filter, else fusion scores.
+    rerank gate (≥5 candidates) → gated filter.
 
     Returns (doc_id, segment_index, text, score).  The candidate count
     gate is a driver-side branch, as in the reference (Q6).
+
+    Fallback semantics (QueryService.scala:95-133): fusion-score results
+    are returned when there are <5 candidates OR when the reranker FAILS
+    (rerankWithFallback's recover path).  When the reranker succeeds and
+    the gates reject everything (filterRerankedResults → List.empty on
+    topScore < 0.3, gap < 0.5, or an empty post-threshold set), the
+    result is EMPTY — low-confidence queries are suppressed, not padded
+    with fusion scores.
+
+    ``query_vec`` overrides the query embedding (default: hash_embed of
+    the query text); ``rerank_col`` overrides the reranker with a Column
+    scoring expression over the candidate rows (doc_id, segment_index,
+    text) — a deterministic rerank_col makes the whole path
+    oracle-checkable cross-engine.
     """
-    qvec = hash_embed(query_text)
+    qvec = query_vec if query_vec is not None else hash_embed(query_text)
     semantic = cosine_topk(embeddings, qvec, FUSION_POOL_SIZE, flt)
     lexical = bm25_topk(chunks, query_text, FUSION_POOL_SIZE, flt=flt)
     fused = rrf_fuse(semantic, lexical)
@@ -296,11 +312,18 @@ def retrieve_context(
         )
         if n < MIN_CANDIDATES_FOR_RERANK:
             return fusion_results
-        rerank = make_rerank_udf(query_text)
-        scored = candidates.select(*_KEY, "text", rerank(F.col("text")).alias("score"))
-        filtered = filter_reranked(scored, limit)
-        # reference falls back to fusion scores when the gates reject all
-        return filtered if filtered.count() > 0 else fusion_results
+        try:
+            score = (
+                rerank_col
+                if rerank_col is not None
+                else make_rerank_udf(query_text)(F.col("text"))
+            )
+            scored = candidates.select(*_KEY, "text", score.alias("score"))
+            filtered = filter_reranked(scored, limit)
+            filtered.count()  # force evaluation so reranker failures surface HERE
+            return filtered
+        except Exception:  # noqa: BLE001 — reranker failure → fusion fallback
+            return fusion_results
     finally:
         candidates.unpersist(blocking=False)
 

@@ -210,6 +210,62 @@ def test_retrieve_context_end_to_end(spark):
     assert all(r["text"] for r in out)
 
 
+def _corpus_dfs(spark):
+    corpus = {
+        ("d1", 0): "spark engine parses documents into spans",
+        ("d1", 1): "catalyst optimizes declarative plans",
+        ("d2", 0): "arrow batches move columns between workers",
+        ("d2", 1): "extraction keeps main content drops boilerplate",
+        ("d3", 0): "the quick brown fox",
+        ("d3", 1): "pages columns paragraphs sentences",
+    }
+    chunks = spark.createDataFrame(
+        [(d, s, t, None) for (d, s), t in corpus.items()], CHUNK_SCHEMA
+    )
+    emb = spark.createDataFrame(
+        [
+            (d, s, [float(x) for x in hash_embed(t)], None)
+            for (d, s), t in corpus.items()
+        ],
+        "doc_id string, segment_index int, vector array<float>, metadata map<string,string>",
+    )
+    return chunks, emb
+
+
+def test_retrieve_context_gates_reject_returns_empty(spark):
+    """QueryService.filterRerankedResults returns List.empty when the top
+    score is < 0.3 — NOT fusion scores (that fallback is reserved for
+    reranker failure).  Low-confidence queries are suppressed."""
+    from pyspark.sql import functions as F
+
+    chunks, emb = _corpus_dfs(spark)
+    out = retrieve_context(
+        chunks, emb, "spark documents", limit=3, rerank_col=F.lit(0.1)
+    )
+    assert out.count() == 0
+
+
+def test_retrieve_context_reranker_failure_falls_back_to_fusion(spark):
+    """rerankWithFallback's recover path: a reranker that FAILS (not one
+    that scores low) yields fusion-score results."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udf
+
+    chunks, emb = _corpus_dfs(spark)
+
+    @udf("double")
+    def boom(_):
+        raise RuntimeError("reranker down")
+
+    out = retrieve_context(
+        chunks, emb, "spark documents", limit=3, rerank_col=boom(F.col("text"))
+    ).collect()
+    assert 0 < len(out) <= 3
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0 < s < 2 / 61 + 1e-9 for s in scores)  # RRF-score range
+
+
 def test_rerank_stub_deterministic():
     a = stable_unit_score("q", "some text")
     assert a == stable_unit_score("q", "some text")

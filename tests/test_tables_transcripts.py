@@ -62,6 +62,69 @@ def test_delete_by_key(spark, tmp_path):
     assert rows_of(spark, path) == {("d2", 0): "b"}
 
 
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The scale contract: an upsert touching one key must leave every
+    other bucket's files physically untouched (same paths, same mtimes) —
+    the partition-scoped rewrite, not a full-table rewrite."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    schema = "doc_id string, segment_index int, text string"
+    rows = [(f"d{i}", 0, f"v{i}") for i in range(200)]
+    upsert_by_key(
+        spark, path, spark.createDataFrame(rows, schema),
+        ["doc_id", "segment_index"], n_buckets=16,
+    )
+
+    def files():
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(f"{path}/_kb=*/*.parquet")
+        }
+
+    before = files()
+    assert len({p.split("/_kb=")[1].split("/")[0] for p in before}) > 4
+    upsert_by_key(
+        spark, path, spark.createDataFrame([("d0", 0, "v0b")], schema),
+        ["doc_id", "segment_index"],
+    )
+    after = files()
+    b0 = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("d0")), F.lit(16)).cast("int")
+    ).head()[0]
+    tag = f"/_kb={b0}/"
+    assert {p: m for p, m in before.items() if tag not in p} == {
+        p: m for p, m in after.items() if tag not in p
+    }
+    assert any(tag in p for p in after)
+    got = rows_of(spark, path)
+    assert got[("d0", 0)] == "v0b" and len(got) == 200
+
+
+def test_delete_drops_emptied_bucket_dirs(spark, tmp_path):
+    """Deleting every row of a bucket must remove the bucket directory
+    (dynamic overwrite alone would leave the stale files in place)."""
+    import glob
+
+    path = str(tmp_path / "t")
+    schema = "doc_id string, segment_index int, text string"
+    rows = [(f"d{i}", s, "x") for i in range(40) for s in (0, 1)]
+    upsert_by_key(
+        spark, path, spark.createDataFrame(rows, schema),
+        ["doc_id", "segment_index"], n_buckets=8,
+    )
+    # delete ALL doc_ids → every bucket emptied → every bucket dir gone
+    delete_by_key(
+        spark, path,
+        spark.createDataFrame([(f"d{i}",) for i in range(40)], "doc_id string"),
+        ["doc_id"],
+    )
+    assert glob.glob(f"{path}/_kb=*") == []
+
+
 def test_build_transcripts_word_shape(spark):
     from srag_spark.operators.parse import extract_documents
     from srag_spark.schema import DOCUMENTS_SCHEMA
