@@ -59,6 +59,22 @@ def _now() -> _dt.datetime:
     return _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
 
 
+# J5 retry backoff (IngestionWorker.scala:362-368; application.conf
+# jobs.initial-retry-delay-ms=2000, max-retry-delay-ms=60000,
+# backoff-factor=2.0)
+INITIAL_RETRY_DELAY_S = 2.0
+MAX_RETRY_DELAY_S = 60.0
+BACKOFF_FACTOR = 2.0
+
+
+def retry_delay_s(attempt: int) -> float:
+    """Delay before retrying a bucket that failed its ``attempt``-th try."""
+    return min(
+        INITIAL_RETRY_DELAY_S * BACKOFF_FACTOR ** (attempt - 1.0),
+        MAX_RETRY_DELAY_S,
+    )
+
+
 def bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
 
@@ -117,25 +133,32 @@ class ExtractionPipeline:
         )
         df.coalesce(1).write.mode("append").parquet(self.checkpoint_dir)
 
-    def _bucket_states(self) -> dict[int, tuple[str, int]]:
-        """bucket → (status, attempt) from the latest checkpoint rows."""
+    def _bucket_states(self) -> dict[int, tuple[str, int, object]]:
+        """bucket → (status, attempt, next_attempt_at) from the latest
+        checkpoint rows."""
         return {
-            r["partition_id"]: (r["status"], r["attempt"])
+            r["partition_id"]: (r["status"], r["attempt"], r["next_attempt_at"])
             for r in self.latest_checkpoints()
-            .select("partition_id", "status", "attempt")
+            .select("partition_id", "status", "attempt", "next_attempt_at")
             .collect()
         }
 
-    def pending_buckets(self) -> list[int]:
-        """Buckets still needing work: not Success, not DeadLetter, and
-        attempt < max_attempts.  (The resume anti-join — J6/J14.)"""
+    def pending_buckets(self, now: _dt.datetime | None = None) -> list[int]:
+        """Buckets still needing work: not Success, not DeadLetter,
+        attempt < max_attempts, and — for Failed buckets — whose retry
+        backoff has elapsed (J5: a Failed bucket is invisible to the
+        scheduler until its next_attempt_at, IngestionWorker.scala:
+        362-368).  (The resume anti-join — J6/J14.)"""
+        now = now or _now()
         states = self._bucket_states()
         out = []
         for b in range(self.n_buckets):
-            status, attempt = states.get(b, ("Pending", 0))
+            status, attempt, next_at = states.get(b, ("Pending", 0, None))
             if status == STATUS_SUCCESS or status == STATUS_DEAD_LETTER:
                 continue
             if status == STATUS_FAILED and attempt >= self.max_attempts:
+                continue
+            if status == STATUS_FAILED and next_at is not None and next_at > now:
                 continue
             out.append(b)
         return out
@@ -147,17 +170,19 @@ class ExtractionPipeline:
         input_snapshot: str = "",
         max_waves: int | None = None,
         fail_injector=None,
+        now: _dt.datetime | None = None,
     ) -> dict:
         """Process all pending buckets in waves.  ``max_waves`` bounds how
         many waves run (tests use it to simulate a mid-run crash);
-        ``fail_injector(bucket_ids)`` may raise to simulate a wave failure.
+        ``fail_injector(bucket_ids)`` may raise to simulate a wave failure;
+        ``now`` overrides the clock for the backoff check (tests).
         Returns a summary dict.
         """
         spark = self.spark
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
         states = self._bucket_states()
-        pending = self.pending_buckets()
+        pending = self.pending_buckets(now=now)
         summary = {
             "skipped": self.n_buckets - len(pending),
             "succeeded": [],
@@ -174,7 +199,7 @@ class ExtractionPipeline:
             waves = waves[:max_waves]
 
         for wave in waves:
-            attempt_of = {b: states.get(b, ("Pending", 0))[1] + 1 for b in wave}
+            attempt_of = {b: states.get(b, ("Pending", 0, None))[1] + 1 for b in wave}
             started = _now()
             try:
                 if fail_injector is not None:
@@ -197,12 +222,18 @@ class ExtractionPipeline:
                 for b in wave:
                     attempt = attempt_of[b]
                     dead = attempt >= self.max_attempts
+                    next_at = (
+                        None
+                        if dead
+                        else _now()
+                        + _dt.timedelta(seconds=retry_delay_s(attempt))
+                    )
                     rows.append(
                         self._ckpt_row(
                             b,
                             STATUS_DEAD_LETTER if dead else STATUS_FAILED,
                             attempt, err[:2000], input_snapshot,
-                            (0, 0, 0, 0), started,
+                            (0, 0, 0, 0), started, next_at,
                         )
                     )
                     (summary["dead_lettered"] if dead else summary["failed"]).append(b)
@@ -242,10 +273,12 @@ class ExtractionPipeline:
         }
 
     def _ckpt_row(
-        self, bucket, status, attempt, error, snapshot, metrics, started
+        self, bucket, status, attempt, error, snapshot, metrics, started,
+        next_attempt_at=None,
     ) -> dict:
         docs, kept, dropped, failures = metrics
         return {
+            "next_attempt_at": next_attempt_at,
             "partition_id": bucket,
             "status": status,
             "attempt": attempt,

@@ -143,6 +143,11 @@ CHECKPOINTS_SCHEMA = StructType(
         StructField("parse_failures", LongType(), False),
         StructField("started_at", TimestampType(), True),
         StructField("updated_at", TimestampType(), True),
+        # earliest time a Failed bucket may be retried (J5 exponential
+        # backoff: 2s · 2^(attempt−1), cap 60s — IngestionWorker.scala:
+        # 362-368, application.conf jobs.initial/max-retry-delay/backoff);
+        # NULL for Success/DeadLetter rows
+        StructField("next_attempt_at", TimestampType(), True),
     ]
 )
 

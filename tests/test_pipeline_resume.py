@@ -4,6 +4,8 @@ the golden extraction regardless of interruption pattern."""
 
 from __future__ import annotations
 
+import datetime as _dt
+
 import pytest
 
 from srag_spark import golden, synth
@@ -76,8 +78,12 @@ def test_failed_wave_retries_then_dead_letters(spark, docs_df, tmp_path):
     def always_fail(wave):
         raise boom
 
+    future = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None) + _dt.timedelta(
+        seconds=300
+    )
     for expected_attempt in (1, 2):
-        s = pipe.run(docs_df, fail_injector=always_fail)
+        # now= jumps past the retry backoff (tested separately)
+        s = pipe.run(docs_df, fail_injector=always_fail, now=future)
         assert s["failed"] == [0, 1, 2, 3]
         states = {
             r["partition_id"]: (r["status"], r["attempt"], r["error_message"])
@@ -89,7 +95,7 @@ def test_failed_wave_retries_then_dead_letters(spark, docs_df, tmp_path):
             assert "injected wave failure" in err
 
     # third attempt exhausts max_attempts → DeadLetter, then skipped forever
-    s3 = pipe.run(docs_df, fail_injector=always_fail)
+    s3 = pipe.run(docs_df, fail_injector=always_fail, now=future)
     assert s3["dead_lettered"] == [0, 1, 2, 3]
     s4 = pipe.run(docs_df)
     assert s4["succeeded"] == [] and s4["skipped"] == 4
@@ -110,10 +116,53 @@ def test_failure_then_recovery_converges(spark, docs_df, docs_rows, tmp_path):
     s1 = pipe.run(docs_df, fail_injector=fail_first_wave_once)
     assert len(s1["failed"]) == 2 and len(s1["succeeded"]) == 2
 
-    s2 = pipe.run(docs_df)  # retry of failed wave
+    future = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None) + _dt.timedelta(
+        seconds=300
+    )
+    s2 = pipe.run(docs_df, now=future)  # retry of failed wave (past backoff)
     assert len(s2["succeeded"]) == 2 and s2["skipped"] == 2
     assert read_flat(pipe) == golden_flat(docs_rows)
     # lineage/metrics recorded
     ck = pipe.latest_checkpoints().collect()
     assert all(r["status"] == STATUS_SUCCESS for r in ck)
     assert sum(r["docs_processed"] for r in ck) == len(docs_rows)
+
+
+def test_retry_backoff_delays_failed_buckets(spark, docs_df, tmp_path):
+    """J5: a Failed bucket is not retried before its exponential backoff
+    (2s·2^(attempt−1), cap 60s) elapses, and IS retried after."""
+    from srag_spark.plans.pipeline import retry_delay_s
+
+    assert [retry_delay_s(a) for a in (1, 2, 3, 4, 5, 6, 7)] == [
+        2.0, 4.0, 8.0, 16.0, 32.0, 60.0, 60.0,
+    ]
+
+    pipe = ExtractionPipeline(
+        spark, str(tmp_path / "out"), n_buckets=4, wave_size=4, max_attempts=5
+    )
+
+    def always_fail(wave):
+        raise RuntimeError("transient outage")
+
+    s1 = pipe.run(docs_df, fail_injector=always_fail)
+    assert s1["failed"] == [0, 1, 2, 3]
+    failed_at = {
+        r["partition_id"]: (r["updated_at"], r["next_attempt_at"])
+        for r in pipe.latest_checkpoints().collect()
+    }
+    for updated_at, next_at in failed_at.values():
+        assert next_at is not None
+        delta = (next_at - updated_at).total_seconds()
+        assert 1.9 <= delta <= 2.5  # attempt 1 → 2 s backoff
+
+    # immediately after the failure: backoff not elapsed → nothing runs
+    just_after = min(v[0] for v in failed_at.values())
+    assert pipe.pending_buckets(now=just_after) == []
+    s2 = pipe.run(docs_df, now=just_after)
+    assert s2["succeeded"] == [] and s2["failed"] == []
+
+    # past the backoff: buckets are visible again and retry (successfully)
+    later = just_after + _dt.timedelta(seconds=30)
+    assert pipe.pending_buckets(now=later) == [0, 1, 2, 3]
+    s3 = pipe.run(docs_df, now=later)
+    assert s3["succeeded"] == [0, 1, 2, 3]

@@ -3,12 +3,12 @@
 Deployment shape required by the north rule: the package ships as a zip
 via ``--py-files``; this driver runs the checkpointed pipeline.
 
-    cd /root/repo && python tools/make_pyfiles.py   # builds dist/srag_spark.zip
-    spark-submit --master local[8] \
-        --py-files dist/srag_spark.zip \
-        tools/submit_extraction.py \
+    tools/submit.sh --master local[8] -- \
         --input /tmp/docs_parquet --output /tmp/extract_out \
         --n-buckets 32 --input-snapshot v1
+
+(``submit.sh`` rebuilds ``dist/srag_spark.zip`` from the source tree on
+every launch — the zip is not version-controlled, so it cannot go stale.)
 
 On a real cluster only ``--master`` changes (plus executor sizing); the
 pipeline itself is cluster-agnostic.  Re-running after a failure resumes
