@@ -166,6 +166,51 @@ def extract_html_blocks(html: str) -> list[str]:
     return [b.text for b in score_html_blocks(html) if b.kept]
 
 
+def html_kept_blocks(html: str) -> tuple[list[str], int, int]:
+    """(kept_texts, blocks_kept, blocks_dropped) — the hot-path twin of
+    :func:`score_html_blocks` (same classification, pinned equal by
+    tests/test_golden.py).  Faster because it only computes what the
+    extraction kernel consumes:
+
+    * comment / script-style removal run conditionally (one C-level
+      substring scan instead of two regex passes on tag-free blocks);
+    * the anchor scan is skipped for fragments that already fail the
+      word-count gate (link density cannot rescue them) — most
+      boilerplate fragments are short, so this skips the regex where it
+      is least useful.
+    """
+    if not html:
+        return [], 0, 0
+    if "<!--" in html:
+        html = _COMMENT_RE.sub(" ", html)
+    low = html.lower()
+    if "<script" in low or "<style" in low:
+        html = _SCRIPT_STYLE_RE.sub(" ", html)
+    kept_texts: list[str] = []
+    kept = 0
+    dropped = 0
+    for fragment in _BLOCK_SPLIT_RE.split(html):
+        if not fragment:
+            continue  # adjacent block tags produce empty fragments
+        words = _strip_tags(fragment).split()
+        if not words:
+            continue  # whitespace-only fragments are not blocks at all
+        wc = len(words)
+        if wc < HTML_MIN_WORDS:
+            dropped += 1
+            continue
+        link_words = 0
+        if "<a" in fragment or "<A" in fragment:
+            for m in _ANCHOR_RE.finditer(fragment):
+                link_words += len(_strip_tags(m.group(1)).split())
+        if link_words / wc < HTML_MAX_LINK_DENSITY:
+            kept_texts.append(" ".join(words))
+            kept += 1
+        else:
+            dropped += 1
+    return kept_texts, kept, dropped
+
+
 # ---------------------------------------------------------------------------
 # P12 — PDF reading-order parse (frozen spec; north rule)
 # ---------------------------------------------------------------------------
@@ -190,6 +235,7 @@ def parse_pdf_runs(payload: str) -> list[str]:
     if not payload or not payload.strip():
         return []
     runs = []
+    seq = 0
     for line in payload.split("\n"):
         if not line.strip():
             continue
@@ -199,14 +245,17 @@ def parse_pdf_runs(payload: str) -> list[str]:
         page = int(parts[0])
         x = float(parts[1])
         y = float(parts[2])
-        text = parts[3]
         column = 0 if x < PDF_COLUMN_SPLIT_X else 1
-        runs.append((page, column, y, x, text))
-    runs.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
+        # seq makes the plain C tuple sort stable-by-insertion on full
+        # (page, column, y, x) ties without comparing text — identical
+        # order to a stable keyed sort on the first four fields
+        runs.append((page, column, y, x, seq, parts[3]))
+        seq += 1
+    runs.sort()
     paragraphs: list[list[str]] = []
     prev = None
-    for page, column, y, x, text in runs:
-        words = tokenize_ws(text)
+    for page, column, y, _x, _seq, text in runs:
+        words = text.split()
         if not words:
             continue
         if (
@@ -217,9 +266,9 @@ def parse_pdf_runs(payload: str) -> list[str]:
         ):
             paragraphs[-1].extend(words)
         else:
-            paragraphs.append(list(words))
+            paragraphs.append(words)
         prev = (page, column, y)
-    return [reconstruct_text(p) for p in paragraphs]
+    return [" ".join(p) for p in paragraphs]
 
 
 # ---------------------------------------------------------------------------
@@ -235,22 +284,26 @@ def segment_audio_words(words: list[tuple[str, int]]) -> list[str]:
     whole-text span (the Whisper degenerate case,
     WhisperAdapter.scala:52-80) passes through as one segment.
     """
-    segments: list[list[str]] = []
-    prev_word: str | None = None
-    prev_off: int | None = None
+    segments: list[str] = []
+    cur: list[str] = []
+    prev_last: str | None = None  # last char of previous word (all
+    prev_off: int | None = None   # AUDIO_SENTENCE_END marks are 1-char)
     for text, off in words:
         if not text:
             continue
-        new_seg = (
-            prev_word is None
-            or prev_word.endswith(AUDIO_SENTENCE_END)
+        if (
+            prev_last is None
+            or prev_last in AUDIO_SENTENCE_END
             or (prev_off is not None and off - prev_off > AUDIO_GAP_MS)
-        )
-        if new_seg:
-            segments.append([])
-        segments[-1].append(text)
-        prev_word, prev_off = text, off
-    return [reconstruct_text(s) for s in segments]
+        ):
+            if cur:
+                segments.append(" ".join(cur))
+                cur = []
+        cur.append(text)
+        prev_last, prev_off = text[-1], off
+    if cur:
+        segments.append(" ".join(cur))
+    return segments
 
 
 # ---------------------------------------------------------------------------
@@ -312,10 +365,31 @@ def extract_document_cols(
     dropped = 0
     failures = 0
 
+    # Run-batched dispatch: consecutive same-kind spans are processed as
+    # one run with C-level list.extend fills instead of per-span/per-word
+    # appends.  Semantically identical to per-span dispatch (pinned by
+    # tests): whitespace tokenization is concatenation-compatible
+    # (split(join(ts, ' ')) == concat(split(t) for t)), and audio runs
+    # were already segmented together by spec.
     p = 0
     while p < n:
         i = order[p]
         kind = kinds[i]
+        if kind == "text":
+            q = p + 1
+            while q < n and kinds[order[q]] == "text":
+                q += 1
+            if q == p + 1:
+                words = (texts[i] or "").split()
+            else:
+                words = " ".join(
+                    texts[order[r]] or "" for r in range(p, q)
+                ).split()
+            ot.extend(words)
+            ok.extend(["text"] * len(words))
+            om.extend([None] * len(words))
+            p = q
+            continue
         if kind == "audio":
             run: list[tuple[str, int]] = []
             q = p
@@ -324,34 +398,28 @@ def extract_document_cols(
                 off = offsets[j]
                 run.append((texts[j] or "", off if off is not None else 0))
                 q += 1
-            for seg in segment_audio_words(run):
-                ok.append("audio")
-                ot.append(seg)
-                om.append(None)
+            segs = segment_audio_words(run)
+            ot.extend(segs)
+            ok.extend(["audio"] * len(segs))
+            om.extend([None] * len(segs))
             p = q
             continue
-        if kind == "text":
-            for w in tokenize_ws(texts[i] or ""):
-                ok.append("text")
-                ot.append(w)
-                om.append(None)
-        elif kind == "html":
-            for b in score_html_blocks(texts[i] or ""):
-                if b.kept:
-                    ok.append("html")
-                    ot.append(b.text)
-                    om.append(None)
-                    kept += 1
-                else:
-                    dropped += 1
+        if kind == "html":
+            kept_texts, k, d = html_kept_blocks(texts[i] or "")
+            ot.extend(kept_texts)
+            ok.extend(["html"] * len(kept_texts))
+            om.extend([None] * len(kept_texts))
+            kept += k
+            dropped += d
         elif kind == "pdf":
             try:
-                for para in parse_pdf_runs(texts[i] or ""):
-                    ok.append("pdf")
-                    ot.append(para)
-                    om.append(None)
+                paras = parse_pdf_runs(texts[i] or "")
             except (ValueError, TypeError):
                 failures += 1
+            else:
+                ot.extend(paras)
+                ok.extend(["pdf"] * len(paras))
+                om.extend([None] * len(paras))
         elif kind == "media":
             ok.append("media")
             ot.append(None)

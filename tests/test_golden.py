@@ -258,3 +258,112 @@ def test_extract_document_none_offsets_use_position():
     # offsets None use index i as key: [(0,0),(1,1),(0,2)] → zero sorts
     # with key (0,2) after (0,0): one, zero, two
     assert out == [("text", "one", None), ("text", "zero", None), ("text", "two", None)]
+
+
+# --- fast-path equivalence (the hot kernel vs the frozen spec) ---
+def _spans_strategy():
+    from hypothesis import strategies as st
+
+    text = st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs", "Po")),
+        max_size=60,
+    )
+    html_bits = st.sampled_from(
+        ["<p>", "</p>", "<div class=x>", "<a href=y>", "</a>", "<script>zz</script>",
+         "<!-- c -->", "&amp;", "one two three four five six seven eight nine", "hi "]
+    )
+    html = st.lists(html_bits, max_size=12).map("".join)
+    pdf = st.sampled_from(
+        ["1\t10.0\t20.0\thello world", "1\t400.0\t20.0\tright col",
+         "2\t10.0\t90.0\tnext page", "broken line", ""]
+    )
+    kind = st.sampled_from(["text", "html", "pdf", "audio", "media", "junk", None])
+
+    def mk(k, t, h, p, off):
+        payload = {"text": t, "html": h, "pdf": p, "audio": t}.get(k, None)
+        return {
+            "kind": k,
+            "text": payload,
+            "media_ref": "blob://m" if k == "media" else None,
+            "offset": off,
+        }
+
+    return st.lists(
+        st.builds(mk, kind, text, html, pdf,
+                  st.one_of(st.none(), st.integers(0, 5000))),
+        max_size=12,
+    )
+
+
+def test_html_kept_blocks_equals_spec_scorer():
+    from hypothesis import given, settings
+
+    @settings(max_examples=300, deadline=None)
+    @given(_spans_strategy())
+    def check(spans):
+        for s in spans:
+            h = s["text"] or ""
+            blocks = golden.score_html_blocks(h)
+            exp = ([b.text for b in blocks if b.kept],
+                   sum(1 for b in blocks if b.kept),
+                   sum(1 for b in blocks if not b.kept))
+            assert golden.html_kept_blocks(h) == exp
+
+    check()
+
+
+def test_run_batched_kernel_equals_per_span_reference():
+    """extract_document_cols batches same-kind runs; it must stay
+    row-identical to the naive per-span spec composition."""
+    from hypothesis import given, settings
+
+    def reference(spans):
+        # per-span composition of the frozen stage specs
+        order = sorted(
+            range(len(spans)),
+            key=lambda i: (
+                spans[i]["offset"] if spans[i]["offset"] is not None else i, i
+            ),
+        )
+        out, kept, dropped, failures = [], 0, 0, 0
+        p = 0
+        while p < len(order):
+            s = spans[order[p]]
+            k = s["kind"]
+            if k == "audio":
+                run = []
+                while p < len(order) and spans[order[p]]["kind"] == "audio":
+                    j = order[p]
+                    run.append((spans[j]["text"] or "",
+                                spans[j]["offset"] if spans[j]["offset"] is not None else 0))
+                    p += 1
+                out += [("audio", seg, None) for seg in golden.segment_audio_words(run)]
+                continue
+            if k == "text":
+                out += [("text", w, None) for w in golden.tokenize_ws(s["text"] or "")]
+            elif k == "html":
+                for b in golden.score_html_blocks(s["text"] or ""):
+                    if b.kept:
+                        out.append(("html", b.text, None))
+                        kept += 1
+                    else:
+                        dropped += 1
+            elif k == "pdf":
+                try:
+                    out += [("pdf", t, None) for t in golden.parse_pdf_runs(s["text"] or "")]
+                except (ValueError, TypeError):
+                    failures += 1
+            elif k == "media":
+                out.append(("media", None, s["media_ref"]))
+            else:
+                failures += 1
+            p += 1
+        return out, kept, dropped, failures
+
+    @settings(max_examples=300, deadline=None)
+    @given(_spans_strategy())
+    def check(spans):
+        got_spans, k, d, f = golden.extract_document(spans)
+        assert (got_spans, k, d, f) == reference(spans)
+
+    check()
