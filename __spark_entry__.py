@@ -532,6 +532,19 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, k=5, n_planes=8, dim=64, probes=2)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN top-5 per query: 16 deterministic coarse-quantizer
+    cells, nprobe=4 — cell assignment + probe are native column
+    expressions, candidates come from an equi-join on cell id."""
+    from srag_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4, dim=64)
+
+
 def q_lang_id(spark, sf_dir):
     """Marker-word language ID over documents."""
     from srag_spark.operators.textstats import language_id
@@ -627,13 +640,72 @@ def q_events_sessionize(spark, sf_dir):
 # --- rows-only entries (non-SQL-expressible; driver does a weaker check,
 # full semantics are pinned by the pytest golden suites) ---
 def q_extract_spans(spark, sf_dir):
-    """North-rule extraction over the synthesized interleaved-docs table
-    (flat span rows).  Golden-checked in tests/test_parse_spark.py."""
+    """North-rule extraction (flat span rows), ORACLE-CHECKED: the
+    interleaved-spans input is constructed deterministically from the
+    documents table — per doc: first-half text span, a media anchor, six
+    single-word audio spans whose offsets force one mid-run gap split
+    (3100−1100 > 1000 ms), then the second-half text span; docs with
+    doc_id%97==0 become 4n-span mega docs that exceed salt_threshold=64
+    and run the salted slice→parse→reassemble path.  The DuckDB twin
+    (_extract_spans_sql) expands the same construction through the frozen
+    extraction semantics, so ordering, tokenization, audio segmentation,
+    media passthrough, seq renumbering AND the salted path are all under
+    the driver's hash gate.  The synth corpus (entities, PDF, HTML edge
+    cases) stays covered by entry() + tests/test_parse_spark.py."""
     from srag_spark.operators.parse import extract_documents_flat
-    from srag_spark.synth import synth_documents_df
 
-    docs = synth_documents_df(spark, 300, seed=42, mega_every=100)
-    return extract_documents_flat(docs)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("did"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            _WORDS(F.col("text")).alias("w"),
+        )
+        .filter(F.size("w") >= 12)
+    )
+    n = F.size("w")
+    n1 = F.floor(n / 2).cast("int")
+    snull = F.lit(None).cast("string")
+
+    def span(kind, text, media, off):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            media.alias("media_ref"),
+            off.cast("int").alias("offset"),
+        )
+
+    audio_offs = (100, 600, 1100, 3100, 3600, 4100)
+    normal = F.array(
+        span("text", F.array_join(F.slice("w", 1, n1), " "), snull, F.lit(0)),
+        span(
+            "media", snull, F.concat(F.lit("blob://"), F.col("doc_id")), F.lit(10)
+        ),
+        *[
+            span("audio", F.element_at("w", i + 2), snull, F.lit(off))
+            for i, off in enumerate(audio_offs)
+        ],
+        span(
+            "text",
+            F.array_join(F.slice("w", n1 + 1, n - n1), " "),
+            snull,
+            F.lit(9000),
+        ),
+    )
+    mega = F.transform(
+        F.flatten(F.array_repeat(F.col("w"), 4)),
+        lambda x, i: F.struct(
+            F.lit("text").alias("kind"),
+            x.alias("text"),
+            snull.alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    is_mega = (F.col("did") % 97 == 0) & (n >= 17)
+    src = docs.select(
+        "doc_id", F.when(is_mega, mega).otherwise(normal).alias("spans")
+    )
+    return extract_documents_flat(src, salt_threshold=64, slice_target=16)
 
 
 def q_p7_recursive_chunks(spark, sf_dir):
@@ -810,6 +882,111 @@ def _hamming_sql(a: str, b: str, n: int) -> str:
         f"substring({a}, CAST(j+1 AS INT), 1) <> substring({b}, CAST(j+1 AS INT), 1) "
         f"THEN 1 ELSE 0 END))"
     )
+
+
+def _extract_spans_sql() -> str:
+    """DuckDB twin of q_extract_spans: expands the deterministic span
+    construction through the frozen extraction semantics — half-1 words,
+    media anchor, two audio segments (the constructed offsets split the
+    6-word run exactly at the 2000 ms gap), half-2 words; mega docs
+    (doc_id%97==0, n≥17) emit their 4n repeated words in order with
+    seq = position (what the salted slice path must reproduce)."""
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+          WHERE len({_WORDS_SQL}) >= 12
+        ),
+        cls AS (
+          SELECT doc_id, w, len(w) AS n, len(w) // 2 AS n1,
+                 (doc_id % 97 = 0 AND len(w) >= 17) AS mega
+          FROM d
+        ),
+        mega_rows AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(seq AS INT) AS seq,
+                 'text' AS kind, mw[seq + 1] AS text,
+                 CAST(NULL AS VARCHAR) AS media_ref
+          FROM (
+            SELECT doc_id, flatten([w, w, w, w]) AS mw,
+                   unnest(range(4 * n)) AS seq
+            FROM cls WHERE mega
+          )
+        ),
+        norm AS (SELECT * FROM cls WHERE NOT mega),
+        part1 AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(seq AS INT) AS seq,
+                 'text' AS kind, w[seq + 1] AS text,
+                 CAST(NULL AS VARCHAR) AS media_ref
+          FROM (SELECT doc_id, w, unnest(range(n1)) AS seq FROM norm)
+        ),
+        media AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(n1 AS INT) AS seq,
+                 'media' AS kind, CAST(NULL AS VARCHAR) AS text,
+                 'blob://' || CAST(doc_id AS VARCHAR) AS media_ref
+          FROM norm
+        ),
+        audio AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(n1 + 1 AS INT) AS seq,
+                 'audio' AS kind, w[2] || ' ' || w[3] || ' ' || w[4] AS text,
+                 CAST(NULL AS VARCHAR) AS media_ref
+          FROM norm
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), CAST(n1 + 2 AS INT),
+                 'audio', w[5] || ' ' || w[6] || ' ' || w[7],
+                 CAST(NULL AS VARCHAR)
+          FROM norm
+        ),
+        part2 AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 CAST(n1 + 3 + j AS INT) AS seq,
+                 'text' AS kind, w[n1 + j + 1] AS text,
+                 CAST(NULL AS VARCHAR) AS media_ref
+          FROM (SELECT doc_id, w, n1, unnest(range(n - n1)) AS j FROM norm)
+        )
+        SELECT doc_id, seq, kind, text, media_ref FROM mega_rows
+        UNION ALL SELECT * FROM part1
+        UNION ALL SELECT * FROM media
+        UNION ALL SELECT * FROM audio
+        UNION ALL SELECT * FROM part2
+    """
+
+
+def _ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    from srag_spark.operators.similarity import make_centroids
+
+    centroids = make_centroids(n_centroids, 64)
+    dots = "[" + ", ".join(_plane_dot_sql("embedding", c) for c in centroids) + "]"
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding, {dots} AS dots FROM embeddings
+        ),
+        cells AS (
+          SELECT vec_id, embedding,
+                 CAST(list_position(dots, list_max(dots)) AS INT) AS cell
+          FROM e
+        ),
+        qprobe AS (
+          SELECT vec_id AS query_id, embedding AS qv,
+                 unnest(list_transform(
+                   list_sort(list_transform(range(1, {n_centroids + 1}),
+                     i -> {{'nd': -dots[i], 'cell': i}}))[1:{nprobe}],
+                   s -> CAST(s.cell AS INT))) AS cell
+          FROM e WHERE vec_id < 5
+        ),
+        scored AS (
+          SELECT q.query_id, c.vec_id,
+                 round(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                   i -> c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)), 6) AS score_r
+          FROM cells c JOIN qprobe q USING (cell)
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, score_r,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score_r DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, score_r, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
 
 
 def _p7_sql() -> str:
@@ -1095,8 +1272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "retrieve_context": q_retrieve_context,
         "p7_recursive_chunks": q_p7_recursive_chunks,
-        # rows-only (non-SQL-expressible; pytest goldens pin semantics)
         "extract_spans": q_extract_spans,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        # rows-only (non-SQL-expressible; pytest goldens pin semantics)
         "mm_decode_media": q_mm_decode_media,
         "mm_extract_features": q_mm_extract_features,
     }
@@ -1432,9 +1610,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000) AS BIGINT) AS duration_s
             FROM sess GROUP BY user_id, session_id
         """,
+        "ann_ivf_topk": _ivf_sql(16, 4, 5),
         "lang_id": _langid_sql(),
         "retrieve_context": _retrieve_context_sql(),
         "p7_recursive_chunks": _p7_sql(),
+        "extract_spans": _extract_spans_sql(),
         "quality_score": """
             WITH base AS (
               SELECT doc_id,

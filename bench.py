@@ -48,6 +48,12 @@ HEADLINE_QUERY_NAMES = [
     "events_tumbling_agg",
     "tpch_q1",
     "tpch_q3",
+    # round 2 additions (keep the r1 list above stable for trend reads)
+    "p7_recursive_chunks",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "retrieve_context",
 ]
 
 
@@ -59,7 +65,12 @@ def ensure_synth_docs(spark, n_docs: int = N_DOCS, path: str = SYNTH_CACHE) -> s
     from srag_spark.synth import synth_documents_df
 
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        n_files = max(64, n_docs // 5000)
+        # file count divisible by every parallelism level under test:
+        # 200 files at 32 cores = 6.25 waves → the 8-task last wave idles
+        # 24 cores for a full task duration (~8% of the stage); 256 = 8
+        # exact waves at 32, 16 at 16, ... — no remainder tail anywhere
+        n_files = max(64, -(-n_docs // 4000))
+        n_files = ((n_files + 31) // 32) * 32  # round up to a multiple of 32
         synth_documents_df(spark, n_docs, seed=42, mega_every=500).repartition(
             n_files
         ).write.mode("overwrite").parquet(path)

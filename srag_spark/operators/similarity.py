@@ -81,6 +81,106 @@ def make_hyperplanes(n_planes: int, dim: int, seed_prefix: str = "lsh-plane") ->
     ]
 
 
+def make_centroids(
+    n_centroids: int, dim: int, seed_prefix: str = "ivf-centroid"
+) -> list[list[float]]:
+    """Deterministic unit-vector coarse-quantizer centroids from the hash
+    embedder — engine-agnostic (the DuckDB oracle rebuilds them from the
+    same seed strings).  A production IVF trains k-means offline; the
+    assign/probe machinery below is identical either way — swap this
+    function for trained centroids without touching the plan."""
+    from srag_spark.functions.embedding import hash_embed
+
+    return [
+        [float(x) for x in hash_embed(f"{seed_prefix}-{i}", dim=dim)]
+        for i in range(n_centroids)
+    ]
+
+
+def _centroid_dots_col(vec_col, centroids: list[list[float]]) -> "F.Column":
+    return F.array(
+        *[
+            dot_col(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+
+
+def ivf_cell_col(vec_col, centroids: list[list[float]]) -> "F.Column":
+    """IVF cell assignment: 1-based index of the nearest centroid (max
+    dot for unit vectors; first index wins ties).  Native, deterministic."""
+    dots = _centroid_dots_col(vec_col, centroids)
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def ivf_probe_cells_col(
+    vec_col, centroids: list[list[float]], nprobe: int
+) -> "F.Column":
+    """The query's ``nprobe`` nearest cells, by centroid dot desc (ties:
+    lower cell index) — classic IVF multi-cell probing."""
+    n = len(centroids)
+    dots = _centroid_dots_col(vec_col, centroids)
+    scored = F.transform(
+        F.sequence(F.lit(1), F.lit(n)),
+        lambda i: F.struct(
+            (-F.element_at(dots, i)).alias("nd"), i.cast("int").alias("cell")
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cell"]
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "qvec",
+) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to their nearest coarse-
+    quantizer cell (one shuffle-free column expression); each query
+    probes its ``nprobe`` nearest cells via an equi-join on the cell id;
+    exact cosine re-rank inside the probed cells.  At 10⁹+ vectors the
+    probed fraction is nprobe/n_centroids of the corpus instead of a full
+    scan — and unlike hyperplane LSH the cells partition the space, so
+    recall degrades gracefully as nprobe grows.  ``dim`` is required (no
+    driver-side data peek)."""
+    if dim is None:
+        raise ValueError("ivf_topk requires an explicit dim= (vector length)")
+    centroids = make_centroids(n_centroids, dim)
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        ivf_cell_col(F.col(vec_col), centroids).alias("cell"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(q_id_col).alias("query_id"),
+            F.col(q_vec_col).alias("qv"),
+            F.explode(
+                ivf_probe_cells_col(F.col(q_vec_col), centroids, nprobe)
+            ).alias("cell"),
+        )
+    )
+    scored = e.join(q, "cell").select(
+        "query_id",
+        "vec_id",
+        F.round(dot_col(F.col("v"), F.col("qv")), 6).alias("score_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score_r", "rank")
+    )
+
+
 def probe_buckets_col(bucket_col, n_planes: int, probes: int) -> "F.Column":
     """Array of probe bucket codes for a query: the bucket itself, plus —
     when ``probes`` ≥ 2 — every Hamming-1 neighbor (one bit flipped).

@@ -202,6 +202,62 @@ def test_lsh_topk_multiprobe_improves_recall(spark):
     assert r2 <= 1.0
 
 
+def test_ivf_topk_subset_of_brute_and_finds_self(spark):
+    from srag_spark.operators.similarity import ivf_topk
+
+    emb = _emb_df(spark, [f"doc {i}" for i in range(80)])
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    brute = {
+        (r["query_id"], r["vec_id"]): r["score_r"]
+        for r in brute_force_topk(emb, queries, k=80).collect()
+    }
+    out = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2, dim=32).collect()
+    for r in out:
+        assert brute[(r["query_id"], r["vec_id"])] == r["score_r"]
+    # a query's own vector shares its own cell → always rank 1
+    firsts = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    assert firsts == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_ivf_topk_recall_grows_with_nprobe(spark):
+    from srag_spark.operators.similarity import ivf_topk
+
+    emb = _emb_df(spark, [f"doc {i}" for i in range(150)])
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    truth = {}
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(nprobe):
+        got = {}
+        rows = ivf_topk(
+            emb, queries, k=5, n_centroids=8, nprobe=nprobe, dim=32
+        ).collect()
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(got.get(q, set()) & t) for q, t in truth.items()) / sum(
+            len(t) for t in truth.values()
+        )
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r1 <= r4 <= r8
+    assert r8 == 1.0  # probing every cell IS the exact scan
+    assert r4 > r1    # multi-cell probing must add recall on this corpus
+
+
+def test_ivf_topk_requires_dim(spark):
+    from srag_spark.operators.similarity import ivf_topk
+
+    emb = _emb_df(spark, ["a", "b"])
+    queries = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    with pytest.raises(ValueError, match="dim"):
+        ivf_topk(emb, queries, k=1)
+
+
 def test_lsh_topk_requires_dim(spark):
     emb = _emb_df(spark, ["a", "b"])
     queries = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
