@@ -90,6 +90,131 @@ def test_chunker_matches_single_chunk_fastpath(text):
     assert chunks == ([norm] if norm else [])
 
 
+# coordinates on a 0.001 grid so the "%.3f" payload encoding is exact
+# (the property compares against a sort on the ORIGINAL values)
+_pdf_run = st.tuples(
+    st.integers(1, 3),                                   # page
+    st.integers(0, 612_000).map(lambda v: v / 1000),     # x
+    st.integers(0, 792_000).map(lambda v: v / 1000),     # y
+    st.lists(_word, min_size=1, max_size=4).map(" ".join),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_pdf_run, max_size=25))
+def test_pdf_parse_preserves_words_in_reading_order(runs):
+    payload = "\n".join(
+        f"{p}\t{x:.3f}\t{y:.3f}\t{t}" for p, x, y, t in runs
+    )
+    paras = golden.parse_pdf_runs(payload)
+    got = [w for para in paras for w in para.split(" ")]
+    # expected word stream: runs sorted by (page, column, y, x, input pos)
+    ordered = sorted(
+        enumerate(runs),
+        key=lambda e: (
+            e[1][0],
+            0 if e[1][1] < golden.PDF_COLUMN_SPLIT_X else 1,
+            e[1][2],
+            e[1][1],
+            e[0],
+        ),
+    )
+    want = [w for _, (_p, _x, _y, t) in ordered for w in t.split()]
+    assert got == want
+    assert all(paras), "no empty paragraphs"
+
+
+_audio_word = st.tuples(
+    st.lists(_word, min_size=1, max_size=2).map(" ".join).map(
+        lambda w: w + "." if len(w) % 3 == 0 else w
+    ),
+    st.integers(0, 40_000),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_audio_word, max_size=30))
+def test_audio_segments_concat_and_boundaries(words):
+    segs = golden.segment_audio_words(words)
+    nonempty = [(t, o) for t, o in words if t]
+    # word stream preserved in order
+    assert " ".join(segs).split(" ") == (
+        " ".join(t for t, _ in nonempty).split(" ") if nonempty else [""]
+    ) or (not nonempty and segs == [])
+    # segment count = boundary count + 1 (boundary: prev ends in
+    # sentence punctuation, or offset gap exceeds AUDIO_GAP_MS)
+    if nonempty:
+        boundaries = sum(
+            1
+            for (pt, po), (_t, o) in zip(nonempty, nonempty[1:])
+            if pt[-1] in golden.AUDIO_SENTENCE_END
+            or o - po > golden.AUDIO_GAP_MS
+        )
+        assert len(segs) == boundaries + 1
+
+
+def _span_row(kind, text, off):
+    return {
+        "kind": kind,
+        "text": text if kind in ("text", "audio", "html", "pdf") else None,
+        "media_ref": "blob://m" if kind == "media" else None,
+        "offset": off,
+    }
+
+
+_kernel_spans = st.lists(
+    st.builds(
+        _span_row,
+        st.sampled_from(["text", "audio", "media", "junk"]),
+        st.lists(_word, max_size=3).map(" ".join),
+        st.one_of(st.none(), st.integers(0, 3000)),
+    ),
+    max_size=24,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_kernel_spans, st.integers(1, 8))
+def test_salted_slice_kernel_equals_whole_doc(spans, target):
+    """The salted-path law, pure-Python: global-order the spans, slice at
+    audio-run-safe bounds, run the kernel per slice with assume_sorted,
+    concatenate — must equal the whole-doc kernel output (the invariant
+    the Spark mega-doc path relies on, incl. null/unsorted offsets)."""
+    from srag_spark.operators.parse import slice_spans
+
+    cols = lambda ss: (  # noqa: E731
+        [s["kind"] for s in ss],
+        [s["text"] for s in ss],
+        [s["media_ref"] for s in ss],
+        [s["offset"] for s in ss],
+    )
+    whole = golden.extract_document_cols(*cols(spans))
+
+    order = sorted(
+        range(len(spans)),
+        key=lambda i: (
+            spans[i]["offset"] if spans[i]["offset"] is not None else i,
+            i,
+        ),
+    )
+    ordered = [spans[i] for i in order]
+    ok: list = []
+    ot: list = []
+    om: list = []
+    kept = dropped = fails = 0
+    for sl in slice_spans(ordered, target):
+        k, t, m, kk, dd, ff = golden.extract_document_cols(
+            *cols(sl), assume_sorted=True
+        )
+        ok.extend(k)
+        ot.extend(t)
+        om.extend(m)
+        kept += kk
+        dropped += dd
+        fails += ff
+    assert (ok, ot, om, kept, dropped, fails) == whole
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.lists(_word, max_size=50), st.integers(1, 7))
 def test_word_group_chunks_partition_tokens(words, size):
