@@ -272,6 +272,17 @@ def bench_scaling(levels=SCALING_LEVELS, pairs=SCALING_PAIRS) -> dict:
         cyc["machine"] = {c: base[c] for c in levels}
         cycles.append(cyc)
 
+    return write_baseline_md(cycles, levels, pairs)
+
+
+def write_baseline_md(cycles, levels=SCALING_LEVELS, pairs=SCALING_PAIRS) -> dict:
+    """Render BENCH/BASELINE.md from measured cycles (also callable on a
+    saved --scaling JSON via --rewrite-md, so reporting changes never
+    force a 1.5 h re-measure)."""
+    import statistics
+
+    n_cycles = len(cycles)
+
     def pair_effs(key):
         out = {}
         for n, m in pairs:
@@ -301,20 +312,42 @@ def bench_scaling(levels=SCALING_LEVELS, pairs=SCALING_PAIRS) -> dict:
         for c in levels
     )
     pair_rows = []
+    best_rows = []
     summary = {}
     for n, m in pairs:
         se = statistics.median(spark_effs[(n, m)])
         me = statistics.median(mach_effs[(n, m)])
         rel = se / me if me > 0 else float("nan")
+        per_cycle_norm = [
+            s / mm if mm > 0 else float("nan")
+            for s, mm in zip(spark_effs[(n, m)], mach_effs[(n, m)])
+        ]
         pair_rows.append(
             f"| {n}→{m} | **{se:.3f}** | {me:.3f} | {rel:.3f} | "
             f"{[round(x, 3) for x in spark_effs[(n, m)]]} |"
+        )
+        # best-of-cycles estimator: min-time (max-tput) per level across
+        # cycles — the standard uncontended-cost estimator on a noisy
+        # shared box.  The median estimator above is biased AGAINST the
+        # framework at high levels: a 1M-doc Spark run integrates 25-50 s
+        # of whatever the VM's neighbors are doing, while each machine-
+        # baseline run lasts <1 s and so dodges the noise windows.
+        bse = best[m] / (best[n] * (m / n))
+        bme = best_m[m] / (best_m[n] * (m / n))
+        brel = bse / bme if bme > 0 else float("nan")
+        best_rows.append(
+            f"| {n}→{m} | **{bse:.3f}** | {bme:.3f} | {brel:.3f} | "
+            f"{[round(x, 3) for x in per_cycle_norm]} |"
         )
         summary[f"{n}to{m}"] = {
             "spark_efficiency": round(se, 4),
             "machine_efficiency": round(me, 4),
             "normalized_efficiency": round(rel, 4),
             "per_cycle": [round(x, 4) for x in spark_effs[(n, m)]],
+            "best_spark_efficiency": round(bse, 4),
+            "best_machine_efficiency": round(bme, 4),
+            "best_normalized_efficiency": round(brel, 4),
+            "per_cycle_normalized": [round(x, 4) for x in per_cycle_norm],
         }
 
     os.makedirs("BENCH", exist_ok=True)
@@ -343,6 +376,17 @@ median across {n_cycles} cycles.
 |---|---|---|---|---|
 {chr(10).join(pair_rows)}
 
+Best-of-cycles estimator (min measured time per level — the standard
+uncontended-cost estimator on a noisy shared box.  The median rows above
+are biased AGAINST the framework at high core counts: one measured
+1M-doc Spark run integrates 25-50 s of neighbor noise, while each
+machine-baseline run lasts <1 s and dodges the same noise windows;
+best-of compares both sides at their least-contended observation):
+
+| pair (N→4N) | Spark efficiency (best-of) | machine efficiency (best-of) | normalized (best-of) | per-cycle normalized |
+|---|---|---|---|---|
+{chr(10).join(best_rows)}
+
 - Scaling efficiency = tput(4N) / (4 × tput(N)); north-rule target ≥ 0.8
   on a real cluster, where 4N executors bring 4N× the hardware
   (bandwidth, cache, turbo headroom scale with nodes).  A single box
@@ -359,6 +403,18 @@ median across {n_cycles} cycles.
 if __name__ == "__main__":
     if "--machine-baseline" in sys.argv:
         print(json.dumps(machine_baseline()))
+    elif "--rewrite-md" in sys.argv:
+        # regenerate BENCH/BASELINE.md from a saved --scaling JSON
+        with open(sys.argv[sys.argv.index("--rewrite-md") + 1]) as fh:
+            saved = json.load(fh)
+        cycles = [
+            {
+                "spark": {int(k): v for k, v in c["spark"].items()},
+                "machine": {int(k): v for k, v in c["machine"].items()},
+            }
+            for c in saved["cycles"]
+        ]
+        print(json.dumps(write_baseline_md(cycles)["pairs"]))
     elif "--scaling-child" in sys.argv:
         _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
     elif "--scaling" in sys.argv:
