@@ -1194,7 +1194,10 @@ def _p10_sql() -> str:
     )
 
 
-def _langid_sql() -> str:
+def _langid_exprs() -> tuple[str, str, str]:
+    """(hit_cols, n_expr, l_expr) — the language-ID marker-hit columns and
+    the sequential argmax fold over sorted langs with strict >, mirroring
+    the Spark when-chain in textstats.language_id."""
     from srag_spark.operators.textstats import LANG_MARKERS
 
     langs = sorted(LANG_MARKERS)
@@ -1204,14 +1207,17 @@ def _langid_sql() -> str:
         )
         for lang in langs
     )
-    # sequential fold over sorted langs with strict >, mirroring the
-    # Spark when-chain in textstats.language_id
     n_expr = f"h_{langs[0]}"
     l_expr = f"'{langs[0]}'"
     for lang in langs[1:]:
         h = f"h_{lang}"
         l_expr = f"(CASE WHEN {h} > {n_expr} THEN '{lang}' ELSE {l_expr} END)"
         n_expr = f"(CASE WHEN {h} > {n_expr} THEN {h} ELSE {n_expr} END)"
+    return hit_cols, n_expr, l_expr
+
+
+def _langid_sql() -> str:
+    hit_cols, n_expr, l_expr = _langid_exprs()
     return f"""
         WITH w AS (SELECT doc_id, {_NORM_W_SQL} AS w FROM documents),
         hits AS (SELECT doc_id, {hit_cols} FROM w)
@@ -1220,6 +1226,159 @@ def _langid_sql() -> str:
                ({n_expr})::BIGINT AS marker_hits
         FROM hits
     """
+
+
+_QUALITY_R_SQL = """
+    round(0.4 * least(n_words::DOUBLE / 100.0, 1.0)
+        + 0.3 * least((CASE WHEN n_words > 0 THEN stop::DOUBLE / n_words
+                       ELSE 0.0 END) * 10.0, 1.0)
+        + 0.3 * (CASE WHEN chars > 0 THEN alnum::DOUBLE / chars
+                 ELSE 0.0 END), 6)
+"""
+
+
+def _curate_sql(
+    langs: tuple[str, ...] = ("en", "und"),
+    min_quality: float = 0.45,
+    n_hashes: int = 16,
+    bands: int = 4,
+    tau: float = 0.5,
+) -> str:
+    """DuckDB twin of plans.curation.curate_corpus over the planted
+    corpus (documents ∪ near-dup copies ∪ exact copies)."""
+    hit_cols, n_expr, l_expr = _langid_exprs()
+    sig_cols = ",\n           ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(n_hashes)
+    )
+    rpb = n_hashes // bands
+    band_selects = "\n    UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {expr} AS band_val FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"h{b * rpb + j}" for j in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    lang_list = ", ".join(f"'{x}'" for x in langs)
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id,
+                 array_to_string(w[1:len(w)-1], ' ') AS text
+          FROM (SELECT doc_id, {_NORM_W_SQL} AS w FROM documents)
+          WHERE doc_id < 50 AND len(w) > 1
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id, text FROM documents
+          WHERE doc_id < 30
+        ),
+        lw AS (SELECT doc_id, {_NORM_W_SQL} AS w FROM corpus),
+        hits AS (SELECT doc_id, {hit_cols} FROM lw),
+        lang AS (
+          SELECT doc_id,
+                 CASE WHEN {n_expr} > 0 THEN {l_expr} ELSE 'und' END AS pred_lang
+          FROM hits
+        ),
+        qbase AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS qw,
+                 length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum,
+                 length(text) AS chars
+          FROM corpus
+        ),
+        qm AS (
+          SELECT doc_id, len(qw) AS n_words,
+                 len(list_filter(qw, x -> lower(x) IN
+                     ('the','a','and','of','to','in'))) AS stop,
+                 alnum, chars
+          FROM qbase
+        ),
+        qual AS (SELECT doc_id, {_QUALITY_R_SQL} AS quality_r FROM qm),
+        gated AS (
+          SELECT c.doc_id, c.text, lang.pred_lang, qual.quality_r
+          FROM corpus c
+          JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+          WHERE lang.pred_lang IN ({lang_list})
+            AND qual.quality_r >= {min_quality}
+        ),
+        keys AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k
+          FROM gated
+        ),
+        canon AS (SELECT k, min(doc_id) AS cid FROM keys GROUP BY k),
+        uniq AS (
+          SELECT g.* FROM gated g
+          JOIN keys USING (doc_id) JOIN canon USING (k)
+          WHERE g.doc_id = canon.cid
+        ),
+        sh AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(w) >= 3 THEN list_distinct(
+                   list_transform(range(len(w) - 2),
+                                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+                 WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                 ELSE [] END) AS shingle
+          FROM (SELECT doc_id, {_NORM_W_SQL} AS w FROM uniq)
+        ),
+        sig AS (
+          SELECT doc_id, {sig_cols}
+          FROM sh GROUP BY doc_id
+        ),
+        bands AS ({band_selects}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+        ),
+        dropped AS (
+          SELECT DISTINCT doc_b FROM pairs
+          JOIN sig sa ON sa.doc_id = doc_a
+          JOIN sig sb ON sb.doc_id = doc_b
+          WHERE round(({matches})::DOUBLE / {n_hashes}.0, 6) >= {tau}
+        )
+        SELECT doc_id, text, pred_lang, quality_r
+        FROM uniq
+        WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
+    """
+
+
+def q_curate_corpus(spark, sf_dir):
+    """Composed curation pipeline (plans.curation.curate_corpus): language
+    whitelist → quality gate ≥ 0.45 → exact dedup (keep canonical) →
+    MinHash/LSH near-dup suppression, over documents ∪ planted near-dup
+    copies (+100000, last word dropped) ∪ planted exact copies (+200000)
+    so every stage has true positives at sf0.01.  The whole dataflow is
+    native (no Python); oracle: _curate_sql — the same four stages as
+    composed DuckDB CTEs."""
+    from srag_spark.operators.dedup import words_col
+    from srag_spark.plans.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = words_col(F.col("text"))
+    near = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 50) & (F.size(words_col(F.col("text"))) > 1))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(F.slice(w, 1, F.size(w) - 1), " ").alias("text"),
+        )
+    )
+    exact = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(near).unionByName(exact)
+    return curate_corpus(
+        corpus,
+        lang_whitelist=("en", "und"),
+        min_quality=0.45,
+        n_hashes=16,
+        bands=4,
+        jaccard_tau=0.5,
+    )
 
 
 def q_mm_decode_media(spark, sf_dir):
@@ -1274,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_recursive_chunks": q_p7_recursive_chunks,
         "extract_spans": q_extract_spans,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "curate_corpus": q_curate_corpus,
         # rows-only (non-SQL-expressible; pytest goldens pin semantics)
         "mm_decode_media": q_mm_decode_media,
         "mm_extract_features": q_mm_extract_features,
@@ -1611,6 +1771,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, session_id
         """,
         "ann_ivf_topk": _ivf_sql(16, 4, 5),
+        "curate_corpus": _curate_sql(),
         "lang_id": _langid_sql(),
         "retrieve_context": _retrieve_context_sql(),
         "p7_recursive_chunks": _p7_sql(),

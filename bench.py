@@ -54,6 +54,7 @@ HEADLINE_QUERY_NAMES = [
     "dedup_embedding_cosine",
     "ann_ivf_topk",
     "retrieve_context",
+    "curate_corpus",
 ]
 
 

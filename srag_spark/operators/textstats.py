@@ -26,11 +26,11 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = ("the", "a", "and", "of", "to", "in")
 
 
-def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, pred_lang, marker_hits): argmax of marker-word hits, ties
-    broken by language code order; 'und' (undetermined) when no marker
-    matches — the ISO-639-3 convention."""
-    w = words_col(F.col(text_col))
+def language_pred_cols(text_col) -> tuple["F.Column", "F.Column"]:
+    """(pred_lang, marker_hits) column expressions over a raw text column
+    — per-row, join-free, so composed pipelines can inline the gate into
+    an existing scan instead of joining a derived table back."""
+    w = words_col(text_col)
 
     def marker_filter(markers):
         return lambda t: t.isin(*markers)
@@ -46,21 +46,27 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             best = F.struct(h.alias("n"), F.lit(lang).alias("lang"))
         else:
             best = F.when(hits[lang] > best["n"], F.struct(h.alias("n"), F.lit(lang).alias("lang"))).otherwise(best)
+    pred = F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return pred, best["n"].cast("bigint")
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pred_lang, marker_hits): argmax of marker-word hits, ties
+    broken by language code order; 'und' (undetermined) when no marker
+    matches — the ISO-639-3 convention."""
+    pred, hits = language_pred_cols(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
-        best["n"].cast("bigint").alias("marker_hits"),
+        pred.alias("pred_lang"),
+        hits.alias("marker_hits"),
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, n_words, avg_word_len_r, stop_ratio_r, alnum_ratio_r,
-    quality_r) — classic heuristic quality signals plus a composite:
-
-        quality = 0.4·clamp(n_words/100) + 0.3·stop_presence
-                + 0.3·alnum_ratio
-    """
-    raw = F.col(text_col)
+def quality_metric_cols(text_col) -> dict[str, "F.Column"]:
+    """Per-row quality-signal column expressions over a raw text column
+    (keys: n_words, avg_word_len_r, stop_ratio_r, alnum_ratio_r,
+    quality_r) — join-free for pipeline composition."""
+    raw = text_col
     w = F.array_remove(F.split(raw, r"\s+"), "")
     n_words = F.size(w)
     total_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
@@ -74,13 +80,26 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         + F.lit(0.3) * F.least(nz(stop, n_words) * F.lit(10.0), F.lit(1.0))
         + F.lit(0.3) * nz(alnum, chars)
     )
+    return {
+        "n_words": n_words.cast("bigint"),
+        "avg_word_len_r": F.round(nz(total_len, n_words), 6),
+        "stop_ratio_r": F.round(nz(stop, n_words), 6),
+        "alnum_ratio_r": F.round(nz(alnum, chars), 6),
+        "quality_r": F.round(quality, 6),
+    }
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_words, avg_word_len_r, stop_ratio_r, alnum_ratio_r,
+    quality_r) — classic heuristic quality signals plus a composite:
+
+        quality = 0.4·clamp(n_words/100) + 0.3·stop_presence
+                + 0.3·alnum_ratio
+    """
+    cols = quality_metric_cols(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n_words.cast("bigint").alias("n_words"),
-        F.round(nz(total_len, n_words), 6).alias("avg_word_len_r"),
-        F.round(nz(stop, n_words), 6).alias("stop_ratio_r"),
-        F.round(nz(alnum, chars), 6).alias("alnum_ratio_r"),
-        F.round(quality, 6).alias("quality_r"),
+        *[c.alias(name) for name, c in cols.items()],
     )
 
 

@@ -1,0 +1,102 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+The reference stores and retrieves documents; a training-data pipeline
+over the same corpus additionally has to CURATE it.  This plan composes
+the verified operator family into the canonical curation dataflow:
+
+    language ID  →  quality gate  →  exact dedup  →  near-dup suppression
+
+Every stage is a native DataFrame plan (no Python), so the composition
+whole-stage-codegens and has an exact DuckDB twin (driver entry
+``curate_corpus``).
+
+Scale notes (100 TB):
+
+* the two gates are INLINE per-row column expressions on the scan — one
+  pass, zero joins, zero shuffles, and they shrink the corpus before any
+  shuffle happens (language_pred_cols / quality_metric_cols, shared with
+  the standalone operators);
+* exact dedup is a window-min over ``md5(norm_text)`` — one shuffle on
+  the hash key, no join-back, no second scan;
+* the survivor set is persisted (``materialize=True``): the MinHash
+  stage references it from multiple join sides, and without
+  materialization Spark re-executes the whole upstream tree per
+  reference.  At true 100 TB scale, write the survivors to a table
+  between stages instead (the checkpointed-wave pattern of
+  plans.pipeline) — same dataflow, durable midpoint;
+* near-dup candidates come from the MinHash/LSH banded equi-join (never
+  all-pairs);
+* survivor selection is GREEDY PAIR SUPPRESSION: drop the greater id of
+  every near-dup pair (≥ threshold), keep the rest.  This is one
+  anti-join — the standard scalable choice.  Full connected-components
+  clustering (transitive closure) needs an iterative algorithm; greedy
+  suppression over-keeps only chain-shaped clusters whose links all pass
+  the threshold pairwise, which for high thresholds is rare and benign
+  (it keeps a slightly-too-similar doc, never drops a unique one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from srag_spark.operators.dedup import (
+    minhash_dedup_pairs,
+    norm_text_col,
+)
+from srag_spark.operators.textstats import (
+    language_pred_cols,
+    quality_metric_cols,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    lang_whitelist: tuple[str, ...] = ("en",),
+    min_quality: float = 0.45,
+    n_hashes: int = 16,
+    bands: int = 4,
+    jaccard_tau: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """(doc_id, text, pred_lang, quality_r) — the curated survivors.
+
+    A doc survives iff its predicted language is whitelisted, its
+    composite quality score ≥ ``min_quality``, it is the canonical (min
+    id) copy of its exact-duplicate group, and it is not the greater id
+    of any MinHash near-dup pair with estimated Jaccard ≥
+    ``jaccard_tau``.
+
+    ``materialize`` persists the post-dedup survivor set
+    (MEMORY_AND_DISK) because the near-dup stage consumes it from three
+    join sides; pass False to keep the plan fully lazy (small inputs /
+    single-shot EXPLAIN)."""
+    text = F.col(text_col)
+    pred_lang, _hits = language_pred_cols(text)
+    quality = quality_metric_cols(text)["quality_r"]
+    gated = docs.select(
+        F.col(id_col).alias("doc_id"),
+        text.alias("text"),
+        pred_lang.alias("pred_lang"),
+        quality.alias("quality_r"),
+    ).filter(
+        F.col("pred_lang").isin(*lang_whitelist)
+        & (F.col("quality_r") >= F.lit(float(min_quality)))
+    )
+    w = Window.partitionBy(F.md5(norm_text_col(F.col("text"))))
+    uniq = (
+        gated.withColumn("_cid", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_cid"))
+        .drop("_cid")
+    )
+    if materialize:
+        uniq = uniq.persist()
+    near = minhash_dedup_pairs(uniq, n_hashes=n_hashes, bands=bands).filter(
+        F.col("est_jaccard") >= F.lit(float(jaccard_tau))
+    )
+    drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    return uniq.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "text", "pred_lang", "quality_r"
+    )
