@@ -1346,6 +1346,51 @@ def _curate_sql(
     """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/C4-class repetition + garbage signals (textstats.
+    repetition_stats) over documents with planted self-repetition
+    (doc_id%5==0 → text doubled, so the duplicate-3-gram fraction
+    actually fires at sf0.01)."""
+    from srag_spark.operators.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.when(
+        F.col("doc_id") % 5 == 0, F.concat_ws(" ", "text", "text")
+    ).otherwise(F.col("text"))
+    return repetition_stats(docs.select("doc_id", t.alias("text")))
+
+
+_REPETITION_SQL = f"""
+    WITH rep AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    w AS (SELECT doc_id, text, {_NORM_W_SQL} AS w FROM rep),
+    g AS (
+      SELECT doc_id, text, w,
+             CASE WHEN len(w) >= 3 THEN list_transform(range(len(w) - 2),
+                    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+                  ELSE []::VARCHAR[] END AS grams
+      FROM w
+    )
+    SELECT doc_id,
+           len(w)::BIGINT AS n_words,
+           len(grams)::BIGINT AS n_ngrams,
+           round(CASE WHEN len(grams) > 0
+                 THEN len(list_distinct(grams))::DOUBLE / len(grams)
+                 ELSE 1.0 END, 6) AS distinct_ngram_ratio_r,
+           coalesce(list_max(list_transform(w, x -> length(x))), 0)::BIGINT
+             AS max_word_len,
+           round(CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                      / length(text)
+                 ELSE 0.0 END, 6) AS digit_ratio_r
+    FROM g
+"""
+
+
 def q_curate_corpus(spark, sf_dir):
     """Composed curation pipeline (plans.curation.curate_corpus): language
     whitelist → quality gate ≥ 0.45 → exact dedup (keep canonical) →
@@ -1434,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": q_extract_spans,
         "ann_ivf_topk": q_ann_ivf_topk,
         "curate_corpus": q_curate_corpus,
+        "repetition_stats": q_repetition_stats,
         # rows-only (non-SQL-expressible; pytest goldens pin semantics)
         "mm_decode_media": q_mm_decode_media,
         "mm_extract_features": q_mm_extract_features,
@@ -1772,6 +1818,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_topk": _ivf_sql(16, 4, 5),
         "curate_corpus": _curate_sql(),
+        "repetition_stats": _REPETITION_SQL,
         "lang_id": _langid_sql(),
         "retrieve_context": _retrieve_context_sql(),
         "p7_recursive_chunks": _p7_sql(),

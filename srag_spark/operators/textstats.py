@@ -103,6 +103,58 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, n_words, n_ngrams, distinct_ngram_ratio_r, max_word_len,
+    digit_ratio_r) — Gopher/C4-class repetition and garbage signals:
+
+    * ``distinct_ngram_ratio_r``: distinct word ``n``-grams over total —
+      boilerplate and looping text score low (Gopher drops docs whose
+      duplicate-n-gram fraction is high);
+    * ``max_word_len``: longest whitespace token — base64 blobs and
+      joined-word garbage score high;
+    * ``digit_ratio_r``: digit characters over total characters.
+
+    Pure native column expressions; exact DuckDB oracle.  Unlike
+    ``shingles_col`` these n-grams are NOT deduplicated before counting —
+    the duplicate fraction is the signal."""
+    w = words_col(F.col(text_col))
+    n_words = F.size(w)
+    grams = F.when(
+        n_words >= n,
+        F.transform(
+            F.sequence(F.lit(0), n_words - n),
+            lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    distinct_ratio = F.when(
+        n_grams > 0,
+        F.size(F.array_distinct(grams)).cast("double") / n_grams,
+    ).otherwise(F.lit(1.0))
+    max_wl = F.coalesce(
+        F.array_max(F.transform(w, lambda t: F.length(t))), F.lit(0)
+    )
+    raw = F.col(text_col)
+    digits = F.length(F.regexp_replace(raw, "[^0-9]", ""))
+    chars = F.length(raw)
+    digit_ratio = F.when(chars > 0, digits.cast("double") / chars).otherwise(
+        F.lit(0.0)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("bigint").alias("n_words"),
+        n_grams.cast("bigint").alias("n_ngrams"),
+        F.round(distinct_ratio, 6).alias("distinct_ngram_ratio_r"),
+        max_wl.cast("bigint").alias("max_word_len"),
+        F.round(digit_ratio, 6).alias("digit_ratio_r"),
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, ws_tokens, lex_tokens): whitespace tokens + BPE-ish
     lowercase-alphanumeric pieces."""

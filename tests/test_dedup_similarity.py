@@ -301,3 +301,23 @@ def test_fingerprint_stability_under_small_edit(spark):
     # min-shingle sketch survives a suffix edit (winnowing property)
     assert got["a"]["sketch"] == got["b"]["sketch"]
     assert got["a"]["sketch"] != got["c"]["sketch"]
+
+
+def test_repetition_stats_signals(spark):
+    from srag_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),          # all 3-grams distinct
+            (2, "one two three one two three"),          # doubled → dup 3-grams
+            (3, "short txt"),                            # < 3 words → ratio 1.0
+            (4, "a aaaaaaaaaaaaaaaa b 1234 5678"),       # long word + digits
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["distinct_ngram_ratio_r"] == 1.0
+    assert out[2]["distinct_ngram_ratio_r"] < 1.0
+    assert out[3]["n_ngrams"] == 0 and out[3]["distinct_ngram_ratio_r"] == 1.0
+    assert out[4]["max_word_len"] == 16
+    assert out[4]["digit_ratio_r"] > 0.2
