@@ -1427,11 +1427,84 @@ def q_curate_corpus(spark, sf_dir):
 
 
 def q_mm_decode_media(spark, sf_dir):
-    """Multimodal decode stage over synthesized binary media (rows-only;
-    contract tested in tests/test_multimodal_streaming.py)."""
-    from srag_spark.operators.multimodal import decode_media, synth_media_table
+    """Multimodal decode stage, ORACLE-CHECKED: payloads are the UTF-8
+    bytes of each document's text (doc_id%19==0 → empty payload, the
+    per-row error-isolation path), media_type cycles image/audio/video by
+    doc_id%3.  The stage under test is the real mapInPandas decode
+    operator; the fake decoder is pure sha256 byte arithmetic, which the
+    DuckDB twin (_mm_decode_sql) reproduces — DuckDB's sha256(VARCHAR)
+    hashes the same UTF-8 bytes as sha256 over encode(text).  The
+    binary-random-payload corpus stays covered by
+    tests/test_multimodal_streaming.py."""
+    from srag_spark.operators.multimodal import decode_media
 
-    return decode_media(synth_media_table(spark, n=200))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.select(
+        F.concat(F.lit("blob://"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("media_type"),
+        F.when(F.col("doc_id") % 19 == 0, F.lit(b""))
+        .otherwise(F.encode("text", "UTF-8"))
+        .alias("payload"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    dec = decode_media(media)
+    # -1 sentinel for not-applicable dims: the compare harness sorts
+    # column values and cannot order NULL ints (operator output keeps
+    # real NULLs; this is entry-level projection only)
+    return dec.select(
+        "media_ref",
+        "media_type",
+        *[
+            F.coalesce(F.col(c), F.lit(-1)).alias(c)
+            for c in ("width", "height", "duration_ms", "n_frames")
+        ],
+        "decode_ok",
+    )
+
+
+def _mm_decode_sql() -> str:
+    """DuckDB twin of the fake decoder's sha256 byte arithmetic."""
+
+    def byte(j: int) -> str:
+        hi = f"(strpos('0123456789abcdef', substring(hx, {2 * j + 1}, 1)) - 1)"
+        lo = f"(strpos('0123456789abcdef', substring(hx, {2 * j + 2}, 1)) - 1)"
+        return f"(16 * {hi} + {lo})"
+
+    img_dur = f"(1000 + ({byte(2)} * 256 + {byte(3)}) % 600000)"
+    vid_dur = f"(1000 + ({byte(4)} * 256 + {byte(5)}) % 600000)"
+    return f"""
+        WITH m AS (
+          SELECT 'blob://' || doc_id::VARCHAR AS media_ref,
+                 CASE doc_id % 3 WHEN 0 THEN 'image'
+                                 WHEN 1 THEN 'audio'
+                                 ELSE 'video' END AS media_type,
+                 (doc_id % 19 = 0 OR length(text) = 0) AS err,
+                 sha256(text) AS hx
+          FROM documents
+        )
+        SELECT media_ref, media_type,
+               (CASE WHEN err THEN -1
+                     WHEN media_type IN ('image', 'video')
+                     THEN 320 + {byte(0)} * 8 ELSE -1 END)::INTEGER AS width,
+               (CASE WHEN err THEN -1
+                     WHEN media_type IN ('image', 'video')
+                     THEN 240 + {byte(1)} * 8 ELSE -1 END)::INTEGER AS height,
+               (CASE WHEN err THEN -1
+                     WHEN media_type = 'audio' THEN {img_dur}
+                     WHEN media_type = 'video' THEN {vid_dur}
+                     ELSE -1 END)::INTEGER AS duration_ms,
+               (CASE WHEN err THEN -1
+                     WHEN media_type = 'video'
+                     THEN greatest(1, {vid_dur} // 40) ELSE -1 END)::INTEGER AS n_frames,
+               CASE WHEN err THEN 'error:empty payload' ELSE 'ok' END
+                 AS decode_ok
+        FROM m
+    """
 
 
 def q_mm_extract_features(spark, sf_dir):
@@ -1819,6 +1892,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_sql(16, 4, 5),
         "curate_corpus": _curate_sql(),
         "repetition_stats": _REPETITION_SQL,
+        "mm_decode_media": _mm_decode_sql(),
         "lang_id": _langid_sql(),
         "retrieve_context": _retrieve_context_sql(),
         "p7_recursive_chunks": _p7_sql(),
