@@ -89,7 +89,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<string>) — sig[i] = min over shingles of
     md5(i || ':' || shingle).  Engine-agnostic (md5 hex + lexicographic
-    min).  One explode + one groupBy with ``n_hashes`` min-aggregates."""
+    min).  One explode + one groupBy with ``n_hashes`` min-aggregates.
+
+    Scale note: the explode never shuffles the expanded relation — each
+    doc's shingles live in one scan partition, so hash aggregation
+    combines map-side to one signature row per doc before the exchange
+    (only (doc_id, sig) rows move).  The tempting zero-shuffle
+    alternative (array_min over a transform per permutation) computes
+    identical values but measured ~4× slower: nested higher-order
+    expressions evaluate interpreted, while the exploded form stays
+    inside codegen'd hash aggregation.  (If you do write higher-order
+    lambdas here: pyspark counts ALL lambda parameters when choosing the
+    unary (element) vs binary (element, index) form, so a default-arg
+    closure like ``lambda s, _i=i`` silently binds the index column.)"""
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(F.col(text_col), shingle_n)).alias("shingle"),

@@ -41,10 +41,15 @@ def build_transcripts(extracted: DataFrame, created_at=None) -> DataFrame:
             F.lit(1.0).alias("confidence"),
         ),
     )
-    kind_counts = {
-        k: F.size(F.filter("spans", lambda s, _k=F.lit(k): s["kind"] == _k))
-        for k in _SOURCE_FOR_KIND
-    }
+    def count_kind(k: str):
+        # factory closure, NOT a default-arg lambda: pyspark counts ALL
+        # lambda parameters when choosing the unary (element) vs binary
+        # (element, index) filter form, so `lambda s, _k=...` binds _k to
+        # the element-index column (string-vs-int compare: wrong counts,
+        # or a CAST error under ANSI)
+        return F.size(F.filter("spans", lambda s: s["kind"] == F.lit(k)))
+
+    kind_counts = {k: count_kind(k) for k in _SOURCE_FOR_KIND}
     source = None
     best = None
     for k in ("text", "audio", "html", "pdf"):  # tie order: text wins

@@ -187,3 +187,33 @@ def test_validate_language(spark):
         "1": "en", "2": "fr", "3": None, "4": None, "5": None,
         "6": None, "7": "la",
     }
+
+
+def test_build_transcripts_source_dominance(spark):
+    """Regression: kind counts must actually count (a default-arg lambda
+    in F.filter bound the element INDEX instead of the kind literal,
+    making every count empty — source fell back to 'Text' always)."""
+    from srag_spark.operators.transcripts import build_transcripts
+
+    df = spark.createDataFrame(
+        [
+            ("aud", [
+                {"kind": "audio", "text": "a", "media_ref": None, "seq": 0},
+                {"kind": "audio", "text": "b", "media_ref": None, "seq": 1},
+                {"kind": "text", "text": "c", "media_ref": None, "seq": 2},
+            ], 0, 0, 0),
+            ("doc", [
+                {"kind": "pdf", "text": "p", "media_ref": None, "seq": 0},
+                {"kind": "pdf", "text": "q", "media_ref": None, "seq": 1},
+            ], 0, 0, 0),
+            ("tie", [
+                {"kind": "text", "text": "t", "media_ref": None, "seq": 0},
+                {"kind": "audio", "text": "u", "media_ref": None, "seq": 1},
+            ], 0, 0, 0),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,seq:int>>, blocks_kept long, blocks_dropped long, "
+        "parse_failures long",
+    )
+    out = {r["doc_id"]: r["source"] for r in build_transcripts(df).collect()}
+    assert out == {"aud": "Audio", "doc": "Document", "tie": "Text"}
