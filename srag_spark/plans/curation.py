@@ -17,7 +17,12 @@ Scale notes (100 TB):
   shuffle happens (language_pred_cols / quality_metric_cols, shared with
   the standalone operators);
 * exact dedup is a window-min over ``md5(norm_text)`` — one shuffle on
-  the hash key, no join-back, no second scan;
+  the hash key, no join-back, no second scan.  Skew boundary: a window
+  partition holds every copy of one text, so this assumes per-text
+  duplication stays processable (≲10⁷ copies; WindowExec spills).  For
+  corpora with astronomically duplicated boilerplate, swap this stage
+  for ``operators.dedup.exact_dedup`` (groupBy + join), whose map-side
+  partial aggregation and AQE skew-join split the hot keys;
 * the survivor set is persisted (``materialize=True``): the MinHash
   stage references it from multiple join sides, and without
   materialization Spark re-executes the whole upstream tree per
