@@ -156,10 +156,19 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """End-to-end MinHash/LSH near-dup candidates with estimated Jaccard
-    (= fraction of matching signature rows)."""
+    (= fraction of matching signature rows).
+
+    ``materialize`` persists the signature table (one short row per doc)
+    before the band/join stages: three consumers reference it (the band
+    explode and both join-back sides), and without persistence Spark
+    re-executes the full shingle→md5 aggregation per consumer — the
+    dominant cost ×3.  Pass False to keep the plan fully lazy."""
     sigs = minhash_signatures(docs, n_hashes, shingle_n, text_col, id_col)
+    if materialize:
+        sigs = sigs.persist()
     pairs = lsh_candidate_pairs(sigs, bands, n_hashes // bands)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
