@@ -280,16 +280,25 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | None = 1000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with Jaccard ≥ threshold over
     distinct word n-grams.  Joins docs only via shared shingles; shingles
     appearing in > ``max_shingle_df`` docs are dropped first (skew guard —
-    a stop-shingle in k docs would emit k² join rows)."""
+    a stop-shingle in k docs would emit k² join rows).
+
+    ``materialize`` persists the (capped) inverted index once: four
+    consumers reference it (the df-cap aggregate, per-doc sizes, and
+    both self-join sides), each otherwise re-running the shingle explode
+    (+ cap join).  At extreme corpus sizes prefer writing the index to a
+    table between stages instead of caching it (MEMORY_AND_DISK spill)."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
     )
     if max_shingle_df:
+        if materialize:
+            sh = sh.persist()
         rare = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -297,6 +306,8 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
+    if materialize:
+        sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
