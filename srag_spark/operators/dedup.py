@@ -230,11 +230,18 @@ def simhash_hamming(col_a, col_b) -> "F.Column":
 
 
 def simhash_near_pairs(
-    sigs: DataFrame, max_hamming: int = 3, bands: int = 4
+    sigs: DataFrame, max_hamming: int = 3, bands: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 32 bits into ``bands`` byte
     blocks; pairs sharing ≥1 block are candidates (any pair within
-    hamming ≤ bands-1 must share a block); verify exact hamming."""
+    hamming ≤ bands-1 must share a block); verify exact hamming.
+
+    ``materialize`` persists the signature input once — both self-join
+    sides otherwise re-execute whatever plan produced it (for
+    simhash_signatures: the token explode + 32-sum aggregation)."""
+    if materialize:
+        sigs = sigs.persist()
     width = 32 // bands
     banded = sigs.select(
         "doc_id",
@@ -415,7 +422,8 @@ def embedding_neardup_pairs(
     coded = emb.select(
         F.col(id_col).alias("doc_id"),
         hyperplane_bucket_col(F.col(vec_col), planes).alias("code"),
-    )
+    ).persist()  # both self-join sides consume the banded codes; without
+    # this the n_planes×dim dot-product projection runs twice
     banded = coded.select(
         "doc_id",
         F.posexplode(
