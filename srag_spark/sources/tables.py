@@ -1,92 +1,165 @@
-"""Table storage helpers: the engine's sink layer.
+"""Table storage: manifest-committed, key-bucketed parquet tables.
 
 The reference persists to Postgres with upserts
 (PostgresTranscriptRepository.scala:39-58 ``INSERT ... ON CONFLICT(id) DO
 UPDATE``), deletes lexical segments by transcript before re-indexing
 (OpenSearchAdapter.scala:147-181), and tolerates replays (J7).  On a lake
 the same semantics are Iceberg ``MERGE INTO`` / row-level deletes; this
-container has no Iceberg runtime, so these helpers implement the
-equivalent contract over plain parquet **bucketed by key hash**:
+container has no Iceberg runtime, so this module implements the same
+contract — including Iceberg's snapshot-atomicity — over plain parquet
+plus a tiny manifest layer:
 
-* tables are laid out as parquet partitioned by
-  ``_kb = pmod(xxhash64(bucket_col), n_buckets)`` — the unit of rewrite.
-  The bucket column is the FIRST key column (the entity id, e.g.
-  ``doc_id``), so both full-key upserts and entity-level deletes
-  (delete-all-segments-of-transcript, the reference's S10 shape) prune
-  to the same buckets;
-* ``upsert_by_key`` / ``delete_by_key`` rewrite ONLY the buckets that
-  contain incoming keys, via dynamic partition overwrite (the Iceberg
-  ``overwritePartitions`` analogue).  Partition pruning keeps the read
-  side to the touched buckets too — a 1-row upsert into a 10k-bucket
-  100 TB table reads and rewrites ~1/10k of it, not all of it;
-* both are idempotent: replaying the same batch converges (J7);
-* no POSIX renames: everything goes through Spark's committed
-  partition-overwrite protocol, which works on object stores.
-  Durability caveat (documented, not hidden): without a manifest layer,
-  plain-parquet dynamic overwrite is not atomic ACROSS buckets — a crash
-  mid-commit can leave some buckets updated and others not.  Each bucket
-  itself is replaced atomically by the commit protocol, and replaying
-  the batch converges.  Iceberg MERGE adds cross-bucket atomicity; the
-  call sites don't change, only this module.
+* rows are bucketed by ``pmod(xxhash64(bucket_col), n_buckets)``; the
+  bucket column is the FIRST key column (the entity id, e.g. ``doc_id``),
+  so full-key upserts and entity-level deletes (S10: delete-all-segments-
+  of-transcript) prune to the same buckets;
+* each write commit lands its rows under a fresh, uniquely named data
+  directory (``data/<commit>/_kb=<b>/``) — **existing files are never
+  rewritten, moved, or deleted by a commit**, which is exactly the
+  object-store-safe discipline (no read-modify-write of live objects, no
+  directory renames);
+* the current snapshot is a JSON **manifest** (``_manifests/v<N>.json``)
+  mapping every live bucket to its one data directory, plus the layout
+  (n_buckets, bucket column) and the table schema.  A commit writes the
+  new data dirs, then publishes manifest vN+1 via a single atomic rename
+  — the Iceberg commit protocol in miniature.  A crash anywhere before
+  the rename leaves readers on the old consistent snapshot (cross-bucket
+  atomicity, previously a documented gap);
+* ``upsert_by_key`` / ``delete_by_key`` read ONLY the manifest dirs of
+  buckets containing incoming keys and write ONLY those buckets' new
+  dirs: a 1-row upsert into a 10k-bucket 100 TB table reads and rewrites
+  ~1/10k of it.  Both are idempotent — replaying a batch converges (J7);
+* layout metadata lives INSIDE the manifest (not a sidecar), so it is
+  committed atomically with the first data write — a table can never
+  exist with data but no layout record;
+* superseded data dirs stay on storage as older snapshots (time travel
+  for free); ``vacuum`` drops everything unreferenced by the latest
+  manifest.
 
-``n_buckets`` and the bucket column are fixed at table creation and
-recorded in a ``_kb_meta`` sidecar (files starting with ``_`` are
-invisible to the parquet reader).
+Concurrency: single-writer per table (the reference serializes writes per
+transcript the same way, via Postgres row locks).  A lost race surfaces
+as a failed manifest rename → error, never corruption.  On S3 proper the
+rename becomes a conditional PUT (see fsio.rename_atomic).
+
+All filesystem access goes through :mod:`srag_spark.sources.fsio`
+(Hadoop FileSystem API) — no ``os`` / ``shutil`` / ``open()`` anywhere,
+so the sink runs unchanged on HDFS / S3A / GCS.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
+import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from srag_spark.sources import fsio
 
 BUCKET_COL = "_kb"
 DEFAULT_KEY_BUCKETS = 64
-_META_FILE = "_kb_meta"
+_MANIFEST_DIR = "_manifests"
 
 
 def _key_bucket(bucket_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(bucket_col), F.lit(n_buckets)).cast("int")
 
 
-def _read_meta(path: str) -> tuple[int, str] | None:
-    meta = os.path.join(path, _META_FILE)
-    if os.path.exists(meta):
-        with open(meta) as fh:
-            n, col = fh.read().strip().split(":", 1)
-            return int(n), col
-    return None
+# ---------------------------------------------------------------------------
+# manifest protocol
+# ---------------------------------------------------------------------------
+def _manifest_path(path: str, version: int) -> str:
+    return f"{path}/{_MANIFEST_DIR}/v{version:010d}.json"
 
 
-def _write_meta(path: str, n_buckets: int, bucket_col: str) -> None:
-    with open(os.path.join(path, _META_FILE), "w") as fh:
-        fh.write(f"{n_buckets}:{bucket_col}")
+def latest_manifest_version(spark: SparkSession, path: str) -> int | None:
+    names = fsio.list_names(spark, f"{path}/{_MANIFEST_DIR}")
+    versions = [
+        int(n[1:-5])
+        for n in names
+        if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
+    ]
+    return max(versions) if versions else None
 
 
-def table_exists(path: str) -> bool:
-    return os.path.exists(path)
+def read_manifest(spark: SparkSession, path: str) -> dict | None:
+    """Latest committed snapshot, or None if the table does not exist."""
+    v = latest_manifest_version(spark, path)
+    if v is None:
+        return None
+    m = json.loads(fsio.read_text(spark, _manifest_path(path, v)))
+    m["version"] = v
+    return m
 
 
-def read_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
-    """Read a bucketed table, hiding the internal bucket column."""
-    reader = spark.read.schema(schema) if schema is not None else spark.read
-    df = reader.parquet(path)
-    return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+def commit_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
+    """Publish the next snapshot: write to a temp object, then one atomic
+    rename to ``v<N+1>.json``.  THE commit point — everything before this
+    call is invisible to readers; a failed rename means a concurrent
+    writer won and this commit must be retried from the read."""
+    prev = latest_manifest_version(spark, path)
+    version = (prev or 0) + 1
+    manifest = {k: v for k, v in manifest.items() if k != "version"}
+    tmp = f"{path}/{_MANIFEST_DIR}/.tmp-{uuid.uuid4().hex}.json"
+    fsio.write_text(spark, tmp, json.dumps(manifest, sort_keys=True))
+    if not fsio.rename_atomic(spark, tmp, _manifest_path(path, version)):
+        fsio.delete(spark, tmp, recursive=False)
+        raise RuntimeError(
+            f"manifest commit v{version} at {path} lost a race with a "
+            "concurrent writer; re-read and retry the batch"
+        )
 
 
-def _layout(path: str, key_cols: list[str], n_buckets: int) -> tuple[int, str]:
-    meta = _read_meta(path)
-    if meta is not None:
-        n, col = meta
+def table_exists(spark: SparkSession, path: str) -> bool:
+    return latest_manifest_version(spark, path) is not None
+
+
+# ---------------------------------------------------------------------------
+# read path
+# ---------------------------------------------------------------------------
+def _bucket_dirs(path: str, manifest: dict, buckets=None) -> list[str]:
+    live = manifest["buckets"]
+    keys = live.keys() if buckets is None else (str(b) for b in buckets)
+    return [f"{path}/{live[k]}" for k in sorted(keys, key=int) if k in live]
+
+
+def read_table(
+    spark: SparkSession, path: str, buckets: list[int] | None = None
+) -> DataFrame:
+    """Read the latest snapshot (optionally pruned to specific buckets —
+    the manifest-level partition pruning used by upsert/delete)."""
+    manifest = read_manifest(spark, path)
+    if manifest is None:
+        raise FileNotFoundError(f"no table (no committed manifest) at {path}")
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    dirs = _bucket_dirs(path, manifest, buckets)
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
+
+
+# ---------------------------------------------------------------------------
+# write path
+# ---------------------------------------------------------------------------
+def _layout(manifest: dict | None, key_cols: list[str], n_buckets: int):
+    if manifest is not None:
+        n, col = manifest["n_buckets"], manifest["bucket_col"]
         if col not in key_cols:
             raise ValueError(
-                f"table at {path} is bucketed by {col!r}; keys {key_cols} "
-                "must include it for partition-scoped rewrites"
+                f"table is bucketed by {col!r}; keys {key_cols} must "
+                "include it for partition-scoped rewrites"
             )
         return n, col
     return n_buckets, key_cols[0]
+
+
+def _write_buckets(df: DataFrame, path: str, commit_id: str) -> str:
+    """Write rows (already carrying BUCKET_COL) under a fresh commit dir,
+    one subdirectory per bucket, via Spark's committed parquet write."""
+    data_dir = f"{path}/data/{commit_id}"
+    df.write.partitionBy(BUCKET_COL).parquet(data_dir)
+    return data_dir
 
 
 def upsert_by_key(
@@ -97,28 +170,54 @@ def upsert_by_key(
     n_buckets: int = DEFAULT_KEY_BUCKETS,
 ) -> None:
     """MERGE-INTO-equivalent: replace rows matching incoming keys, insert
-    the rest (right-biased upsert, S4 semantics).  Rewrites ONLY the
-    key-hash buckets touched by ``incoming`` (dynamic partition
-    overwrite); untouched buckets' files are left in place."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    n_buckets, bcol = _layout(path, key_cols, n_buckets)
+    the rest (right-biased upsert, S4 semantics).  Reads and rewrites ONLY
+    the key-hash buckets touched by ``incoming``; publishes atomically via
+    the manifest.  Because merged buckets are written to a NEW directory
+    (never the one being read), no lineage break / checkpoint is needed
+    and a mid-write crash leaves the old snapshot intact."""
+    manifest = read_manifest(spark, path)
+    n_buckets, bcol = _layout(manifest, key_cols, n_buckets)
     inc = incoming.withColumn(BUCKET_COL, _key_bucket(bcol, n_buckets))
-    if not table_exists(path):
-        inc.write.partitionBy(BUCKET_COL).parquet(path)
-        _write_meta(path, n_buckets, bcol)
+    touched = sorted(
+        r[0] for r in inc.select(BUCKET_COL).distinct().collect()
+    )
+    commit_id = f"c{uuid.uuid4().hex}"
+
+    if manifest is None:
+        data_dir = _write_buckets(inc, path, commit_id)
+        commit_manifest(
+            spark,
+            path,
+            {
+                "n_buckets": n_buckets,
+                "bucket_col": bcol,
+                "schema": incoming.schema.json(),
+                "buckets": {
+                    str(b): f"data/{commit_id}/{BUCKET_COL}={b}" for b in touched
+                },
+            },
+        )
         return
-    touched = [r[0] for r in inc.select(BUCKET_COL).distinct().collect()]
-    # partition pruning: only the touched buckets are scanned
-    existing = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+
+    # manifest-level pruning: read only touched buckets' live dirs
+    existing = read_table(spark, path, buckets=touched)
     kept = existing.join(
         incoming.select(*key_cols).distinct(), key_cols, "left_anti"
+    ).withColumn(BUCKET_COL, _key_bucket(bcol, n_buckets))
+    _write_buckets(kept.unionByName(inc), path, commit_id)
+    buckets = dict(manifest["buckets"])
+    for b in touched:  # every touched bucket has ≥1 incoming row
+        buckets[str(b)] = f"data/{commit_id}/{BUCKET_COL}={b}"
+    commit_manifest(
+        spark,
+        path,
+        {
+            "n_buckets": n_buckets,
+            "bucket_col": bcol,
+            "schema": manifest["schema"],
+            "buckets": buckets,
+        },
     )
-    out = kept.unionByName(inc)
-    # break lineage off the output path before overwriting it (Spark
-    # refuses to overwrite a path it is reading from); the materialized
-    # set is bounded by the touched buckets, which is the point
-    out = out.localCheckpoint(eager=True)
-    out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
 
 
 def delete_by_key(
@@ -127,32 +226,85 @@ def delete_by_key(
     keys: DataFrame,
     key_cols: list[str],
 ) -> None:
-    """Row-level delete: drop rows whose key appears in ``keys`` (S10 —
-    the reference deletes all lexical segments of a transcript before
-    re-indexing).  ``key_cols`` may be a key prefix as long as it
-    includes the table's bucket column; only buckets that can contain
-    the keys are scanned and rewritten."""
-    if not table_exists(path):
+    """Row-level delete: drop rows whose key appears in ``keys`` (S10).
+    ``key_cols`` may be a key prefix as long as it includes the table's
+    bucket column.  Emptied buckets simply leave the manifest — no
+    directory deletion on the data path (old dirs age out via vacuum)."""
+    manifest = read_manifest(spark, path)
+    if manifest is None:
         return
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    n_buckets, bcol = _layout(path, key_cols, DEFAULT_KEY_BUCKETS)
+    n_buckets, bcol = _layout(manifest, key_cols, DEFAULT_KEY_BUCKETS)
     keyed = keys.select(*key_cols).distinct().withColumn(
         BUCKET_COL, _key_bucket(bcol, n_buckets)
     )
-    touched = [r[0] for r in keyed.select(BUCKET_COL).distinct().collect()]
-    existing = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    touched = sorted(
+        {r[0] for r in keyed.select(BUCKET_COL).distinct().collect()}
+        & {int(b) for b in manifest["buckets"]}
+    )
+    if not touched:
+        return
+    existing = read_table(spark, path, buckets=touched)
     remaining = existing.join(
         keyed.drop(BUCKET_COL), key_cols, "left_anti"
-    ).localCheckpoint(eager=True)
-    # dynamic overwrite only replaces partitions PRESENT in the output —
-    # a bucket whose rows all died must be dropped explicitly (Iceberg
-    # row-level DELETE subsumes this)
-    nonempty = {
-        r[0] for r in remaining.select(BUCKET_COL).distinct().collect()
-    }
-    remaining.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+    ).withColumn(BUCKET_COL, _key_bucket(bcol, n_buckets))
+    commit_id = f"c{uuid.uuid4().hex}"
+    _write_buckets(remaining, path, commit_id)
+    surviving = set(_buckets_in_commit(spark, f"{path}/data/{commit_id}"))
+    buckets = dict(manifest["buckets"])
     for b in touched:
-        if b not in nonempty:
-            shutil.rmtree(
-                os.path.join(path, f"{BUCKET_COL}={b}"), ignore_errors=True
-            )
+        if b in surviving:
+            buckets[str(b)] = f"data/{commit_id}/{BUCKET_COL}={b}"
+        else:
+            buckets.pop(str(b), None)  # bucket emptied → drop from snapshot
+    commit_manifest(
+        spark,
+        path,
+        {
+            "n_buckets": n_buckets,
+            "bucket_col": bcol,
+            "schema": manifest["schema"],
+            "buckets": buckets,
+        },
+    )
+
+
+def _buckets_in_commit(spark: SparkSession, data_dir: str) -> list[int]:
+    """Bucket ids physically present under a commit dir (FS listing — no
+    second Spark job over row data; a bucket whose rows all died simply
+    has no directory)."""
+    return [
+        int(name.split("=", 1)[1])
+        for name in fsio.list_names(spark, data_dir)
+        if name.startswith(f"{BUCKET_COL}=")
+    ]
+
+
+# ---------------------------------------------------------------------------
+# maintenance
+# ---------------------------------------------------------------------------
+def vacuum(spark: SparkSession, path: str, keep_manifests: int = 1) -> int:
+    """Drop data directories unreferenced by the ``keep_manifests`` most
+    recent snapshots, plus older manifest files.  Returns the number of
+    data dirs removed.  Run out-of-band (never required for correctness —
+    superseded dirs are invisible to readers)."""
+    versions = sorted(
+        int(n[1:-5])
+        for n in fsio.list_names(spark, f"{path}/{_MANIFEST_DIR}")
+        if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
+    )
+    if not versions:
+        return 0
+    keep = versions[-keep_manifests:]
+    live_commits: set[str] = set()
+    for v in keep:
+        m = json.loads(fsio.read_text(spark, _manifest_path(path, v)))
+        for d in m["buckets"].values():
+            live_commits.add(d.split("/")[1])  # data/<commit>/_kb=N
+    removed = 0
+    for name in fsio.list_names(spark, f"{path}/data"):
+        if name not in live_commits:
+            fsio.delete(spark, f"{path}/data/{name}")
+            removed += 1
+    for v in versions[:-keep_manifests]:
+        fsio.delete(spark, _manifest_path(path, v), recursive=False)
+    return removed

@@ -9,13 +9,19 @@ from srag_spark.operators.transcripts import (
     enrich_metadata,
     validate_language,
 )
-from srag_spark.sources.tables import delete_by_key, upsert_by_key
+from srag_spark.sources.tables import (
+    delete_by_key,
+    read_manifest,
+    read_table,
+    upsert_by_key,
+    vacuum,
+)
 
 
 def rows_of(spark, path):
     return {
         (r["doc_id"], r["segment_index"]): r["text"]
-        for r in spark.read.parquet(path).collect()
+        for r in read_table(spark, path).collect()
     }
 
 
@@ -64,11 +70,9 @@ def test_delete_by_key(spark, tmp_path):
 
 def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     """The scale contract: an upsert touching one key must leave every
-    other bucket's files physically untouched (same paths, same mtimes) —
-    the partition-scoped rewrite, not a full-table rewrite."""
-    import glob
-    import os
-
+    other bucket's files physically untouched (same paths, same bytes —
+    the manifest keeps pointing at them) and must remap ONLY the touched
+    bucket to a new commit directory."""
     from pyspark.sql import functions as F
 
     path = str(tmp_path / "t")
@@ -78,37 +82,29 @@ def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
         spark, path, spark.createDataFrame(rows, schema),
         ["doc_id", "segment_index"], n_buckets=16,
     )
-
-    def files():
-        return {
-            p: os.path.getmtime(p)
-            for p in glob.glob(f"{path}/_kb=*/*.parquet")
-        }
-
-    before = files()
-    assert len({p.split("/_kb=")[1].split("/")[0] for p in before}) > 4
+    m1 = read_manifest(spark, path)
+    assert len(m1["buckets"]) > 4
     upsert_by_key(
         spark, path, spark.createDataFrame([("d0", 0, "v0b")], schema),
         ["doc_id", "segment_index"],
     )
-    after = files()
+    m2 = read_manifest(spark, path)
     b0 = spark.range(1).select(
         F.pmod(F.xxhash64(F.lit("d0")), F.lit(16)).cast("int")
     ).head()[0]
-    tag = f"/_kb={b0}/"
-    assert {p: m for p, m in before.items() if tag not in p} == {
-        p: m for p, m in after.items() if tag not in p
+    # untouched buckets: manifest still references the ORIGINAL dirs —
+    # their files were not rewritten, moved, or deleted
+    assert {b: d for b, d in m1["buckets"].items() if b != str(b0)} == {
+        b: d for b, d in m2["buckets"].items() if b != str(b0)
     }
-    assert any(tag in p for p in after)
+    assert m2["buckets"][str(b0)] != m1["buckets"][str(b0)]
     got = rows_of(spark, path)
     assert got[("d0", 0)] == "v0b" and len(got) == 200
 
 
-def test_delete_drops_emptied_bucket_dirs(spark, tmp_path):
-    """Deleting every row of a bucket must remove the bucket directory
-    (dynamic overwrite alone would leave the stale files in place)."""
-    import glob
-
+def test_delete_drops_emptied_buckets_from_snapshot(spark, tmp_path):
+    """Deleting every row of every bucket must leave an empty (but
+    readable) snapshot — emptied buckets leave the manifest."""
     path = str(tmp_path / "t")
     schema = "doc_id string, segment_index int, text string"
     rows = [(f"d{i}", s, "x") for i in range(40) for s in (0, 1)]
@@ -116,13 +112,107 @@ def test_delete_drops_emptied_bucket_dirs(spark, tmp_path):
         spark, path, spark.createDataFrame(rows, schema),
         ["doc_id", "segment_index"], n_buckets=8,
     )
-    # delete ALL doc_ids → every bucket emptied → every bucket dir gone
     delete_by_key(
         spark, path,
         spark.createDataFrame([(f"d{i}",) for i in range(40)], "doc_id string"),
         ["doc_id"],
     )
-    assert glob.glob(f"{path}/_kb=*") == []
+    assert read_manifest(spark, path)["buckets"] == {}
+    empty = read_table(spark, path)
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "segment_index", "text"]
+
+
+def test_crash_before_manifest_commit_preserves_snapshot(spark, tmp_path, monkeypatch):
+    """Cross-bucket atomicity: a crash AFTER data files are written but
+    BEFORE the manifest rename must leave readers on the old consistent
+    snapshot (the documented gap the manifest protocol closes)."""
+    import srag_spark.sources.tables as T
+
+    path = str(tmp_path / "t")
+    schema = "doc_id string, segment_index int, text string"
+    v1 = [(f"d{i}", 0, f"v{i}") for i in range(50)]
+    upsert_by_key(
+        spark, path, spark.createDataFrame(v1, schema),
+        ["doc_id", "segment_index"], n_buckets=8,
+    )
+    before = rows_of(spark, path)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before commit")
+
+    monkeypatch.setattr(T, "commit_manifest", boom)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        upsert_by_key(
+            spark, path,
+            spark.createDataFrame(
+                [(f"d{i}", 0, "CLOBBER") for i in range(50)], schema
+            ),
+            ["doc_id", "segment_index"],
+        )
+    monkeypatch.undo()
+    # reader sees the OLD snapshot — none of the half-written batch
+    assert rows_of(spark, path) == before
+    # and replaying the batch converges (J7)
+    upsert_by_key(
+        spark, path,
+        spark.createDataFrame([(f"d{i}", 0, "v2") for i in range(50)], schema),
+        ["doc_id", "segment_index"],
+    )
+    assert set(rows_of(spark, path).values()) == {"v2"}
+
+
+def test_vacuum_drops_only_unreferenced_commits(spark, tmp_path):
+    path = str(tmp_path / "t")
+    schema = "doc_id string, segment_index int, text string"
+    for ver in ("a", "b", "c"):
+        upsert_by_key(
+            spark, path,
+            spark.createDataFrame([("d1", 0, ver), (f"k{ver}", 0, ver)], schema),
+            ["doc_id", "segment_index"], n_buckets=4,
+        )
+    before = rows_of(spark, path)
+    removed = vacuum(spark, path)
+    assert removed >= 1
+    assert rows_of(spark, path) == before  # latest snapshot fully intact
+
+
+def test_tables_module_is_object_store_safe():
+    """The sink must make NO direct local-filesystem calls — everything
+    goes through the Hadoop FS API (fsio) or Spark reads/writes, so it
+    runs unchanged on HDFS/S3A/GCS (VERDICT r2 item 1)."""
+    import ast
+    import pathlib
+
+    import srag_spark.sources.tables as T
+
+    src = pathlib.Path(T.__file__).read_text()
+    tree = ast.parse(src)
+    imported = {
+        alias.name.split(".")[0]
+        for node in ast.walk(tree)
+        if isinstance(node, (ast.Import, ast.ImportFrom))
+        for alias in getattr(node, "names", [])
+    } | {
+        node.module.split(".")[0]
+        for node in ast.walk(tree)
+        if isinstance(node, ast.ImportFrom) and node.module
+    }
+    assert "os" not in imported and "shutil" not in imported
+    called = {
+        node.func.id
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+    }
+    assert "open" not in called
+    attrs = {
+        node.attr
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Attribute)
+    }
+    assert "localCheckpoint" not in attrs
 
 
 def test_build_transcripts_word_shape(spark):
