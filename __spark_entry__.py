@@ -1508,11 +1508,66 @@ def _mm_decode_sql() -> str:
 
 
 def q_mm_extract_features(spark, sf_dir):
-    """Multimodal feature extraction (unit-norm float[64]; rows-only)."""
-    from srag_spark.operators.multimodal import extract_features, synth_media_table
+    """Multimodal feature extraction, ORACLE-CHECKED over all 64 dims:
+    payloads are the UTF-8 bytes of each document's text; the stage under
+    test is the real mapInPandas encoder (multimodal.extract_features).
+    The sha256-byte-arithmetic feature spec (hash_feature_vec) is frozen
+    with identical IEEE-double operation order in the DuckDB twin
+    (_mm_features_sql) — including the float32 quantization (CAST AS
+    REAL) — so all 32,000 values are bit-identical before rounding.  The
+    binary-random-payload corpus stays covered by
+    tests/test_multimodal_streaming.py."""
+    from srag_spark.operators.multimodal import extract_features
 
-    feats = extract_features(synth_media_table(spark, n=200))
-    return feats.select("media_ref", F.round(F.element_at("feature", 1), 6).alias("f0"))
+    media = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("blob://"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_ref",
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double"), 6).alias(f"f{i}")
+            for i in range(64)
+        ],
+    )
+
+
+def _mm_features_sql() -> str:
+    """DuckDB twin of hash_feature_vec: sha256 blocks → uint16 pairs →
+    [−1,1] doubles → unit-norm → float32 quantization (CAST AS REAL),
+    every arithmetic step in the same IEEE order as the Python spec."""
+
+    def byte(h: str, j: int) -> str:
+        hi = f"(strpos('0123456789abcdef', substring({h}, {2 * j + 1}, 1)) - 1)"
+        lo = f"(strpos('0123456789abcdef', substring({h}, {2 * j + 2}, 1)) - 1)"
+        return f"(16 * {hi} + {lo})"
+
+    def dim(block: int, j: int) -> str:
+        raw = f"({byte(f'h{block}', 2 * j)} * 256 + {byte(f'h{block}', 2 * j + 1)})"
+        return f"((({raw} / 65535.0) * 2.0) - 1.0)"
+
+    vdefs = ", ".join(
+        f"{dim(b, j)} AS v{16 * b + j}" for b in range(4) for j in range(16)
+    )
+    hdefs = ", ".join(f"sha256(text || ':{b}') AS h{b}" for b in range(4))
+    norm = " + ".join(f"v{i}*v{i}" for i in range(64))
+    fcols = ", ".join(
+        f"round(CAST(v{i}/nrm AS REAL)::DOUBLE, 6) AS f{i}" for i in range(64)
+    )
+    return f"""
+        WITH m AS (
+          SELECT 'blob://' || doc_id::VARCHAR AS media_ref, text FROM documents
+        ),
+        h AS (SELECT media_ref, {hdefs} FROM m),
+        r AS (SELECT media_ref, {vdefs} FROM h),
+        n AS (SELECT *, sqrt({norm}) AS nrm FROM r)
+        SELECT media_ref, {fcols} FROM n
+    """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1553,7 +1608,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "curate_corpus": q_curate_corpus,
         "repetition_stats": q_repetition_stats,
-        # rows-only (non-SQL-expressible; pytest goldens pin semantics)
         "mm_decode_media": q_mm_decode_media,
         "mm_extract_features": q_mm_extract_features,
     }
@@ -1893,6 +1947,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _curate_sql(),
         "repetition_stats": _REPETITION_SQL,
         "mm_decode_media": _mm_decode_sql(),
+        "mm_extract_features": _mm_features_sql(),
         "lang_id": _langid_sql(),
         "retrieve_context": _retrieve_context_sql(),
         "p7_recursive_chunks": _p7_sql(),

@@ -22,6 +22,7 @@ engine-side plumbing a training-data pipeline needs over such columns:
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -156,27 +157,50 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+def hash_feature_vec(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Engine-agnostic deterministic feature vector of a payload.
+
+    Frozen spec (every step reproducible in the DuckDB oracle at
+    ``__spark_entry__._mm_features_sql`` — identical IEEE-double operation
+    order, so the results are bit-identical cross-engine):
+
+      * block b (16 dims each): digest_b = sha256(payload ++ b":{b}");
+      * raw_j = 256·digest[2j] + digest[2j+1]  (uint16 big-endian);
+      * v_j   = (raw_j / 65535.0) · 2.0 − 1.0  (double, in [−1, 1]);
+      * norm  = sqrt(Σ v_j² left-to-right);  feature_j = float32(v_j/norm).
+
+    A real vision/audio encoder replaces THIS function only — the
+    mapInPandas plumbing, schema, and batch shape stay fixed."""
+    vals: list[float] = []
+    for b in range(dim // 16):
+        digest = hashlib.sha256((payload or b"") + f":{b}".encode()).digest()
+        for j in range(16):
+            raw = digest[2 * j] * 256 + digest[2 * j + 1]
+            vals.append((raw / 65535.0) * 2.0 - 1.0)
+    acc = 0.0
+    for v in vals:
+        acc += v * v
+    norm = math.sqrt(acc) or 1.0  # math.sqrt == IEEE sqrt == DuckDB sqrt
+    return [v / norm for v in vals]
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Feature-extract stage: payload → unit-norm float[64].
 
-    Deterministic hash features stand in for a vision/audio encoder; the
-    Arrow batch shape (one vector per row, fixed dim) is exactly what a
-    real encoder batch would produce."""
+    Deterministic sha256-derived features stand in for a vision/audio
+    encoder (see :func:`hash_feature_vec` — exactly oracle-reproducible);
+    the Arrow batch shape (one vector per row, fixed dim) is what a real
+    encoder batch would produce."""
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
-                seed = int.from_bytes(
-                    hashlib.sha256(payload or b"").digest()[:8], "big"
-                )
-                rng = np.random.Generator(np.random.PCG64(seed))
-                v = rng.standard_normal(FEATURE_DIM).astype(np.float32)
-                n = float(np.linalg.norm(v)) or 1.0
-                feats.append((v / n).tolist())
+            feats = [
+                np.asarray(hash_feature_vec(p), dtype=np.float32).tolist()
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {"media_ref": pdf["media_ref"], "feature": feats}
             )
