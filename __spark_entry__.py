@@ -154,9 +154,9 @@ def q_p8_word_group_chunks(spark, sf_dir):
 
 
 def q_p10_language_validation(spark, sf_dir):
-    """P10: ISO-639-1 validation against the reference's 110 enumerated
-    codes (LanguageCode.scala:27-137) — regex shape alone is not enough
-    ('zz' must be invalid)."""
+    """P10: ISO-639-1 validation against the reference's 109 enumerated
+    codes (LanguageCode.scala:27-137) — a deliberate tightening of its
+    regex-only isValid: 'zz' is regex-shaped but must be invalid."""
     from srag_spark.operators.transcripts import ISO_639_1_CODES
 
     return _t(spark, sf_dir, "documents").select(

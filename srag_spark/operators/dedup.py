@@ -26,6 +26,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+# ---------------------------------------------------------------------------
+# persist lifecycle: operators that materialize multi-consumer
+# intermediates register them in the caller-supplied ``persisted`` list so
+# the cache can be RELEASED after the consuming action — without a handle,
+# repeated operator calls would accumulate cached relations for the
+# SparkSession lifetime (ADVICE r2).  Spark's LRU still evicts under
+# memory pressure, so an un-released handle degrades, never breaks.
+# ---------------------------------------------------------------------------
+def _persist(df: DataFrame, persisted: list | None) -> DataFrame:
+    out = df.persist()
+    if persisted is not None:
+        persisted.append(out)
+    return out
+
+
+def release(persisted: list) -> None:
+    """Unpersist every DataFrame an operator registered via its
+    ``persisted=`` parameter; call after the consuming action."""
+    for df in persisted:
+        df.unpersist()
+    persisted.clear()
+
 # ---------------------------------------------------------------------------
 # shared text normalization (frozen; mirrors oracle SQL in __spark_entry__)
 # ---------------------------------------------------------------------------
@@ -157,6 +180,7 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize: bool = True,
+    persisted: list | None = None,
 ) -> DataFrame:
     """End-to-end MinHash/LSH near-dup candidates with estimated Jaccard
     (= fraction of matching signature rows).
@@ -165,10 +189,11 @@ def minhash_dedup_pairs(
     before the band/join stages: three consumers reference it (the band
     explode and both join-back sides), and without persistence Spark
     re-executes the full shingle→md5 aggregation per consumer — the
-    dominant cost ×3.  Pass False to keep the plan fully lazy."""
+    dominant cost ×3.  Pass False to keep the plan fully lazy; pass a
+    ``persisted`` list to :func:`release` the cache after consumption."""
     sigs = minhash_signatures(docs, n_hashes, shingle_n, text_col, id_col)
     if materialize:
-        sigs = sigs.persist()
+        sigs = _persist(sigs, persisted)
     pairs = lsh_candidate_pairs(sigs, bands, n_hashes // bands)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -232,6 +257,7 @@ def simhash_hamming(col_a, col_b) -> "F.Column":
 def simhash_near_pairs(
     sigs: DataFrame, max_hamming: int = 3, bands: int = 4,
     materialize: bool = True,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 32 bits into ``bands`` byte
     blocks; pairs sharing ≥1 block are candidates (any pair within
@@ -239,9 +265,10 @@ def simhash_near_pairs(
 
     ``materialize`` persists the signature input once — both self-join
     sides otherwise re-execute whatever plan produced it (for
-    simhash_signatures: the token explode + 32-sum aggregation)."""
+    simhash_signatures: the token explode + 32-sum aggregation); pass a
+    ``persisted`` list to :func:`release` the cache after consumption."""
     if materialize:
-        sigs = sigs.persist()
+        sigs = _persist(sigs, persisted)
     width = 32 // bands
     banded = sigs.select(
         "doc_id",
@@ -288,6 +315,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize: bool = True,
+    persisted: list | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with Jaccard ≥ threshold over
     distinct word n-grams.  Joins docs only via shared shingles; shingles
@@ -297,15 +325,17 @@ def ngram_jaccard_pairs(
     ``materialize`` persists the (capped) inverted index once: four
     consumers reference it (the df-cap aggregate, per-doc sizes, and
     both self-join sides), each otherwise re-running the shingle explode
-    (+ cap join).  At extreme corpus sizes prefer writing the index to a
-    table between stages instead of caching it (MEMORY_AND_DISK spill)."""
+    (+ cap join); pass a ``persisted`` list to :func:`release` the caches
+    after consumption.  At extreme corpus sizes prefer writing the index
+    to a table between stages instead of caching it (MEMORY_AND_DISK
+    spill)."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
     )
     if max_shingle_df:
         if materialize:
-            sh = sh.persist()
+            sh = _persist(sh, persisted)
         rare = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -314,7 +344,7 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(rare, "shingle")
     if materialize:
-        sh = sh.persist()
+        sh = _persist(sh, persisted)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -390,9 +420,11 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     n_planes: int = 16,
     bands: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = True,
+    persisted: list | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos_r) near-dup pairs with cosine ≥ threshold, found
     via hyperplane-LSH banding — the 100 TB-safe plan (the same shape as
@@ -411,9 +443,16 @@ def embedding_neardup_pairs(
 
     Recall < 1 for near-boundary pairs by LSH construction; raise
     ``n_planes``/``bands`` to trade shuffle for recall.  Assumes
-    unit-norm vectors (dot = cosine)."""
+    unit-norm vectors (dot = cosine).  ``dim`` is REQUIRED (like the
+    sibling ANN operators): a wrong dim would make ``zip_with`` pad with
+    nulls, every bucket code degenerate to all-'0', and the band join
+    blow up to a silent all-pairs product — fail loudly instead."""
     from srag_spark.operators.similarity import hyperplane_bucket_col, make_hyperplanes
 
+    if dim is None:
+        raise ValueError(
+            "embedding_neardup_pairs requires an explicit dim= (vector length)"
+        )
     planes = make_hyperplanes(n_planes, dim)
     width = n_planes // bands
     # code computed once per row (n_planes dot products), then banded with
@@ -422,8 +461,11 @@ def embedding_neardup_pairs(
     coded = emb.select(
         F.col(id_col).alias("doc_id"),
         hyperplane_bucket_col(F.col(vec_col), planes).alias("code"),
-    ).persist()  # both self-join sides consume the banded codes; without
-    # this the n_planes×dim dot-product projection runs twice
+    )
+    if materialize:
+        # both self-join sides consume the banded codes; without this the
+        # n_planes×dim dot-product projection runs twice
+        coded = _persist(coded, persisted)
     banded = coded.select(
         "doc_id",
         F.posexplode(

@@ -194,9 +194,12 @@ def rrf_fuse(
     The ≤pool invariant is ENFORCED here (both inputs are sort-limited to
     ``pool`` before ranking), so the global rank window is always bounded
     — a caller passing an unlimited frame cannot trigger a single-task
-    sort of the world.  The constant partition key keeps WindowExec off
-    its no-partition warning path; with ≤pool rows one partition is the
-    point, not a problem.  The full-outer join broadcasts."""
+    sort of the world.  Note: Catalyst constant-folds the ``lit(0)``
+    partition key OUT of the executed window spec, so WindowExec still
+    logs its "No Partition Defined" warning — that warning is BENIGN here
+    (the input is already limited to ≤pool rows; one partition is the
+    point), and the ``.limit(pool)`` calls below are what actually bound
+    it.  The full-outer join broadcasts."""
     semantic = semantic.orderBy(F.desc("score"), *key_cols).limit(pool)
     lexical = lexical.orderBy(F.desc("score"), *key_cols).limit(pool)
     w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), *key_cols)
@@ -305,13 +308,18 @@ def retrieve_context(
     candidates = resolve_candidate_texts(fused, lexical, chunks).cache()
     try:
         n = candidates.count()
+        # every returned frame is MATERIALIZED (eager localCheckpoint of
+        # ≤limit rows) before candidates is unpersisted below — otherwise
+        # the caller's first action would re-execute the whole plan
+        # uncached, and a reranker failure at consumption time would
+        # escape the fusion fallback (ADVICE r2)
         fusion_results = (
             candidates.select(*_KEY, "text", F.col("fused_score").alias("score"))
             .orderBy(F.desc("score"), *_KEY)
             .limit(limit)
         )
         if n < MIN_CANDIDATES_FOR_RERANK:
-            return fusion_results
+            return fusion_results.localCheckpoint(eager=True)
         try:
             score = (
                 rerank_col
@@ -319,11 +327,11 @@ def retrieve_context(
                 else make_rerank_udf(query_text)(F.col("text"))
             )
             scored = candidates.select(*_KEY, "text", score.alias("score"))
-            filtered = filter_reranked(scored, limit)
-            filtered.count()  # force evaluation so reranker failures surface HERE
-            return filtered
+            # eager checkpoint forces the rerank UDF NOW, inside the try —
+            # the fallback decision is made on materialized results
+            return filter_reranked(scored, limit).localCheckpoint(eager=True)
         except Exception:  # noqa: BLE001 — reranker failure → fusion fallback
-            return fusion_results
+            return fusion_results.localCheckpoint(eager=True)
     finally:
         candidates.unpersist(blocking=False)
 

@@ -86,10 +86,16 @@ def enrich_metadata(df: DataFrame, extra: dict[str, str]) -> DataFrame:
 
 
 # The reference's enumerated ISO-639-1 codes (LanguageCode.scala:27-137,
-# allSupportedLanguages + the named vals at :139-251) — 110 two-letter
-# codes.  LanguageCode.isValid itself is regex-only, but the domain model
-# enumerates exactly these names; validate_language enforces the stricter
-# named-code semantics so e.g. 'zz' (regex-valid, not a language) → NULL.
+# allSupportedLanguages + the named vals at :139-251) — exactly these 109
+# two-letter codes (set equality re-verified against the reference enum).
+# DELIBERATE TIGHTENING beyond the reference: LanguageCode.isValid (used
+# at runtime by AssemblyAIAdapter) is regex-only (^[a-z]{2}$), so the
+# reference would preserve any two-letter string; we enforce the domain
+# model's enumerated names instead, so e.g. 'zz' (regex-valid, not a
+# language) → NULL.  Real ISO codes absent from the reference's own enum
+# (e.g. 'be', 'nb', 'nn') are likewise nulled — matching the enum, not
+# the ISO registry, is the contract here, and the DuckDB oracle mirrors
+# the same set.
 ISO_639_1_CODES = frozenset(
     """en fr es de it pt ru nl pl uk cs sk hu ro bg hr sr sl mk bs sq el tr
     fi sv no da is et lv lt ca gl eu cy ga br mt lb fo zh ja ko hi bn ta te
@@ -101,9 +107,10 @@ ISO_639_1_CODES = frozenset(
 
 def validate_language(df: DataFrame, col: str = "language") -> DataFrame:
     """P10: ISO-639-1 normalization — lowercase, must be one of the
-    reference's 110 enumerated codes (LanguageCode.scala:27-137), else
-    NULL; 'en_us'-style ASR codes take the primary subtag first
-    (AssemblyAIAdapter.scala:310-314)."""
+    reference's 109 enumerated codes (LanguageCode.scala:27-137; a
+    deliberate tightening of its regex-only isValid — see ISO_639_1_CODES
+    above), else NULL; 'en_us'-style ASR codes take the primary subtag
+    first (AssemblyAIAdapter.scala:310-314)."""
     primary = F.lower(F.split(F.col(col), "_")[0])
     return df.withColumn(
         col,

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from srag_spark.operators.dedup import (
+    _persist,
     minhash_dedup_pairs,
     norm_text_col,
 )
@@ -65,6 +66,7 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize: bool = True,
+    persisted: list | None = None,
 ) -> DataFrame:
     """(doc_id, text, pred_lang, quality_r) — the curated survivors.
 
@@ -77,7 +79,8 @@ def curate_corpus(
     ``materialize`` persists the post-dedup survivor set
     (MEMORY_AND_DISK) because the near-dup stage consumes it from three
     join sides; pass False to keep the plan fully lazy (small inputs /
-    single-shot EXPLAIN)."""
+    single-shot EXPLAIN), or pass a ``persisted`` list and call
+    ``operators.dedup.release`` after the consuming action."""
     text = F.col(text_col)
     pred_lang, _hits = language_pred_cols(text)
     quality = quality_metric_cols(text)["quality_r"]
@@ -97,8 +100,11 @@ def curate_corpus(
         .drop("_cid")
     )
     if materialize:
-        uniq = uniq.persist()
-    near = minhash_dedup_pairs(uniq, n_hashes=n_hashes, bands=bands).filter(
+        uniq = _persist(uniq, persisted)
+    near = minhash_dedup_pairs(
+        uniq, n_hashes=n_hashes, bands=bands,
+        materialize=materialize, persisted=persisted,
+    ).filter(
         F.col("est_jaccard") >= F.lit(float(jaccard_tau))
     )
     drop = near.select(F.col("doc_b").alias("doc_id")).distinct()

@@ -321,3 +321,22 @@ def test_repetition_stats_signals(spark):
     assert out[3]["n_ngrams"] == 0 and out[3]["distinct_ngram_ratio_r"] == 1.0
     assert out[4]["max_word_len"] == 16
     assert out[4]["digit_ratio_r"] > 0.2
+
+
+def test_persist_handles_released(spark):
+    """Operators register their cached intermediates in the caller's
+    ``persisted`` list; release() unpersists them all (ADVICE r2 — no
+    session-lifetime cache accumulation)."""
+    from srag_spark.operators.dedup import minhash_dedup_pairs, release
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i}") for i in range(20)],
+        "doc_id int, text string",
+    )
+    handles = []
+    pairs = minhash_dedup_pairs(docs, persisted=handles)
+    pairs.count()
+    assert len(handles) == 1 and handles[0].is_cached
+    cached = handles[0]
+    release(handles)
+    assert handles == [] and not cached.is_cached
