@@ -1243,9 +1243,13 @@ def _curate_sql(
     n_hashes: int = 16,
     bands: int = 4,
     tau: float = 0.5,
+    mode: str = "greedy",
 ) -> str:
     """DuckDB twin of plans.curation.curate_corpus over the planted
-    corpus (documents ∪ near-dup copies ∪ exact copies)."""
+    corpus (documents ∪ near-dup copies ∪ exact copies).  ``mode`` picks
+    the suppression stage: 'greedy' = drop the greater id of every pair;
+    'cc' = recursive-CTE transitive closure keeping only each connected
+    component's min id (the oracle for dedup.cluster_canonical)."""
     hit_cols, n_expr, l_expr = _langid_exprs()
     sig_cols = ",\n           ".join(
         f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(n_hashes)
@@ -1262,8 +1266,36 @@ def _curate_sql(
         f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
     )
     lang_list = ", ".join(f"'{x}'" for x in langs)
+    if mode == "greedy":
+        dropped = f"""
+        dropped AS (
+          SELECT DISTINCT doc_b FROM pairs
+          JOIN sig sa ON sa.doc_id = doc_a
+          JOIN sig sb ON sb.doc_id = doc_b
+          WHERE round(({matches})::DOUBLE / {n_hashes}.0, 6) >= {tau}
+        )"""
+    else:
+        dropped = f"""
+        near AS (
+          SELECT doc_a, doc_b FROM pairs
+          JOIN sig sa ON sa.doc_id = doc_a
+          JOIN sig sb ON sb.doc_id = doc_b
+          WHERE round(({matches})::DOUBLE / {n_hashes}.0, 6) >= {tau}
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM near
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM near
+        ),
+        reach AS (
+          SELECT src AS doc_id, src AS lab FROM edges
+          UNION
+          SELECT e.dst AS doc_id, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id
+        ),
+        canon_cc AS (SELECT doc_id, min(lab) AS canonical FROM reach GROUP BY doc_id),
+        dropped AS (SELECT doc_id AS doc_b FROM canon_cc WHERE doc_id <> canonical)"""
     return f"""
-        WITH corpus AS (
+        WITH RECURSIVE corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
           SELECT doc_id + 100000 AS doc_id,
@@ -1333,13 +1365,7 @@ def _curate_sql(
           FROM bands a JOIN bands b
             ON a.band_id = b.band_id AND a.band_val = b.band_val
            AND a.doc_id < b.doc_id
-        ),
-        dropped AS (
-          SELECT DISTINCT doc_b FROM pairs
-          JOIN sig sa ON sa.doc_id = doc_a
-          JOIN sig sb ON sb.doc_id = doc_b
-          WHERE round(({matches})::DOUBLE / {n_hashes}.0, 6) >= {tau}
-        )
+        ),{dropped}
         SELECT doc_id, text, pred_lang, quality_r
         FROM uniq
         WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
@@ -1423,6 +1449,41 @@ def q_curate_corpus(spark, sf_dir):
         n_hashes=16,
         bands=4,
         jaccard_tau=0.5,
+    )
+
+
+def q_curate_corpus_cc(spark, sf_dir):
+    """Curation with connected-components near-dup canonicalization
+    (dedup_mode='cc' → operators.dedup.cluster_canonical): transitive
+    near-dup clusters collapse to their MIN id, where greedy suppression
+    would over-keep chain members.  Same planted corpus as curate_corpus;
+    oracle: _curate_sql(mode='cc') — a DuckDB recursive CTE computing the
+    min reachable id over the pair graph."""
+    from srag_spark.operators.dedup import words_col
+    from srag_spark.plans.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = words_col(F.col("text"))
+    near = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 50) & (F.size(words_col(F.col("text"))) > 1))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(F.slice(w, 1, F.size(w) - 1), " ").alias("text"),
+        )
+    )
+    exact = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(near).unionByName(exact)
+    return curate_corpus(
+        corpus,
+        lang_whitelist=("en", "und"),
+        min_quality=0.45,
+        n_hashes=16,
+        bands=4,
+        jaccard_tau=0.5,
+        dedup_mode="cc",
     )
 
 
@@ -1607,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": q_extract_spans,
         "ann_ivf_topk": q_ann_ivf_topk,
         "curate_corpus": q_curate_corpus,
+        "curate_corpus_cc": q_curate_corpus_cc,
         "repetition_stats": q_repetition_stats,
         "mm_decode_media": q_mm_decode_media,
         "mm_extract_features": q_mm_extract_features,
@@ -1945,6 +2007,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_topk": _ivf_sql(16, 4, 5),
         "curate_corpus": _curate_sql(),
+        "curate_corpus_cc": _curate_sql(mode="cc"),
         "repetition_stats": _REPETITION_SQL,
         "mm_decode_media": _mm_decode_sql(),
         "mm_extract_features": _mm_features_sql(),

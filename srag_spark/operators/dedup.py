@@ -378,6 +378,77 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# connected-components canonicalization over a near-dup pair graph
+# ---------------------------------------------------------------------------
+def cluster_canonical(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(doc_id, canonical_id) for every doc appearing in ``pairs``:
+    canonical_id = MIN doc id of the doc's connected component — the
+    transitive-closure alternative to greedy pair suppression (greedy
+    over-keeps chain clusters: in 1—5—3, greedy keeps both 1 and 3
+    because 3 is never the greater id of a pair; CC keeps only 1).
+
+    Iterative min-label propagation, all native joins:
+
+      * per round, every node takes min(own label, neighbors' labels,
+        label-of-its-label);  the third term is pointer jumping, which
+        cuts convergence from O(diameter) to O(log diameter) rounds;
+      * each round is one equi-join shuffle keyed on node ids over a
+        relation bounded by the PAIR GRAPH (docs that near-dup anything),
+        not the corpus — at 100 TB this is the small minority of docs;
+      * lineage is truncated per round (eager localCheckpoint of the tiny
+        label table); on a real cluster with executor churn, point
+        ``spark.sparkContext.setCheckpointDir`` at durable storage and
+        swap for ``checkpoint()`` — one line, noted here on purpose;
+      * convergence check = one count per round (labels that changed);
+        stops early, ``max_iters`` bounds the worst case.
+
+    Exact DuckDB oracle: recursive CTE (min reachable id).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        hop = labels.join(
+            labels.select(
+                F.col("doc_id").alias("label"), F.col("label").alias("jumped")
+            ),
+            "label",
+        ).select("doc_id", F.col("jumped").alias("label"))
+        new = (
+            labels.unionByName(nbr)
+            .unionByName(hop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("label", "new_label")
+            .join(labels, "doc_id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.withColumnRenamed("label", "canonical_id")
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 def dot_col(a, b) -> "F.Column":

@@ -31,13 +31,18 @@ Scale notes (100 TB):
   plans.pipeline) — same dataflow, durable midpoint;
 * near-dup candidates come from the MinHash/LSH banded equi-join (never
   all-pairs);
-* survivor selection is GREEDY PAIR SUPPRESSION: drop the greater id of
-  every near-dup pair (≥ threshold), keep the rest.  This is one
-  anti-join — the standard scalable choice.  Full connected-components
-  clustering (transitive closure) needs an iterative algorithm; greedy
-  suppression over-keeps only chain-shaped clusters whose links all pass
-  the threshold pairwise, which for high thresholds is rare and benign
-  (it keeps a slightly-too-similar doc, never drops a unique one).
+* survivor selection defaults to GREEDY PAIR SUPPRESSION: drop the
+  greater id of every near-dup pair (≥ threshold), keep the rest.  This
+  is one anti-join — the standard scalable choice.  It over-keeps only
+  chain-shaped clusters in which some non-minimal doc is smaller than
+  ALL of its neighbors (e.g. 1—5—3: 3 is never a pair's greater id, so
+  greedy keeps it; the cluster canonical is 1), which for high
+  thresholds is rare and benign (it keeps a slightly-too-similar doc,
+  never drops a unique one).  ``dedup_mode="cc"`` switches to full
+  connected-components canonicalization
+  (operators.dedup.cluster_canonical — iterative min-label propagation
+  with pointer jumping over the pair graph), keeping exactly one doc
+  per transitive near-dup cluster.
 """
 
 from __future__ import annotations
@@ -47,6 +52,7 @@ from pyspark.sql import functions as F
 
 from srag_spark.operators.dedup import (
     _persist,
+    cluster_canonical,
     minhash_dedup_pairs,
     norm_text_col,
 )
@@ -67,14 +73,23 @@ def curate_corpus(
     id_col: str = "doc_id",
     materialize: bool = True,
     persisted: list | None = None,
+    dedup_mode: str = "greedy",
 ) -> DataFrame:
     """(doc_id, text, pred_lang, quality_r) — the curated survivors.
 
     A doc survives iff its predicted language is whitelisted, its
     composite quality score ≥ ``min_quality``, it is the canonical (min
-    id) copy of its exact-duplicate group, and it is not the greater id
-    of any MinHash near-dup pair with estimated Jaccard ≥
-    ``jaccard_tau``.
+    id) copy of its exact-duplicate group, and it survives near-dup
+    suppression over the MinHash pair graph (est. Jaccard ≥
+    ``jaccard_tau``) under the chosen ``dedup_mode``:
+
+    * ``"greedy"`` (default): drop the greater id of every near-dup pair
+      — one anti-join, zero iteration; over-keeps chain clusters (see
+      module docstring);
+    * ``"cc"``: full connected-components canonicalization
+      (operators.dedup.cluster_canonical) — keep only the MIN id of each
+      transitive near-dup cluster; O(log diameter) label-propagation
+      rounds over the pair graph only.
 
     ``materialize`` persists the post-dedup survivor set
     (MEMORY_AND_DISK) because the near-dup stage consumes it from three
@@ -107,7 +122,15 @@ def curate_corpus(
     ).filter(
         F.col("est_jaccard") >= F.lit(float(jaccard_tau))
     )
-    drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    if dedup_mode == "greedy":
+        drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    elif dedup_mode == "cc":
+        canon = cluster_canonical(near)
+        drop = canon.filter(F.col("doc_id") != F.col("canonical_id")).select(
+            "doc_id"
+        )
+    else:
+        raise ValueError(f"dedup_mode must be 'greedy' or 'cc', got {dedup_mode!r}")
     return uniq.join(drop, "doc_id", "left_anti").select(
         "doc_id", "text", "pred_lang", "quality_r"
     )
