@@ -26,9 +26,10 @@ Scale notes (100 TB):
 * the survivor set is persisted (``materialize=True``): the MinHash
   stage references it from multiple join sides, and without
   materialization Spark re-executes the whole upstream tree per
-  reference.  At true 100 TB scale, write the survivors to a table
-  between stages instead (the checkpointed-wave pattern of
-  plans.pipeline) — same dataflow, durable midpoint;
+  reference.  At true 100 TB scale use :func:`curate_corpus_durable`,
+  which writes the survivors to a manifest-committed bucketed table
+  between the stages (the checkpointed-wave pattern of plans.pipeline)
+  — same dataflow, durable midpoint, resumable restart;
 * near-dup candidates come from the MinHash/LSH banded equi-join (never
   all-pairs);
 * survivor selection defaults to GREEDY PAIR SUPPRESSION: drop the
@@ -47,8 +48,13 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from srag_spark.sources import fsio
+from srag_spark.sources.tables import read_table, upsert_by_key
 
 from srag_spark.operators.dedup import (
     _persist,
@@ -96,6 +102,26 @@ def curate_corpus(
     join sides; pass False to keep the plan fully lazy (small inputs /
     single-shot EXPLAIN), or pass a ``persisted`` list and call
     ``operators.dedup.release`` after the consuming action."""
+    uniq = gate_and_exact_dedup(
+        docs, lang_whitelist, min_quality, text_col, id_col
+    )
+    if materialize:
+        uniq = _persist(uniq, persisted)
+    return suppress_neardups(
+        uniq, n_hashes, bands, jaccard_tau, dedup_mode,
+        materialize=materialize, persisted=persisted,
+    )
+
+
+def gate_and_exact_dedup(
+    docs: DataFrame,
+    lang_whitelist: tuple[str, ...],
+    min_quality: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stage 1: inline language/quality gates on the scan + window-min
+    exact dedup (one shuffle).  Lazy — callers persist or table-write."""
     text = F.col(text_col)
     pred_lang, _hits = language_pred_cols(text)
     quality = quality_metric_cols(text)["quality_r"]
@@ -109,13 +135,24 @@ def curate_corpus(
         & (F.col("quality_r") >= F.lit(float(min_quality)))
     )
     w = Window.partitionBy(F.md5(norm_text_col(F.col("text"))))
-    uniq = (
+    return (
         gated.withColumn("_cid", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("_cid"))
         .drop("_cid")
     )
-    if materialize:
-        uniq = _persist(uniq, persisted)
+
+
+def suppress_neardups(
+    uniq: DataFrame,
+    n_hashes: int,
+    bands: int,
+    jaccard_tau: float,
+    dedup_mode: str,
+    materialize: bool = True,
+    persisted: list | None = None,
+) -> DataFrame:
+    """Stage 2: MinHash/LSH pair graph + greedy or connected-components
+    suppression over the exact-dedup survivors."""
     near = minhash_dedup_pairs(
         uniq, n_hashes=n_hashes, bands=bands,
         materialize=materialize, persisted=persisted,
@@ -133,4 +170,50 @@ def curate_corpus(
         raise ValueError(f"dedup_mode must be 'greedy' or 'cc', got {dedup_mode!r}")
     return uniq.join(drop, "doc_id", "left_anti").select(
         "doc_id", "text", "pred_lang", "quality_r"
+    )
+
+
+def curate_corpus_durable(
+    spark,
+    docs: DataFrame,
+    work_dir: str,
+    lang_whitelist: tuple[str, ...] = ("en",),
+    min_quality: float = 0.45,
+    n_hashes: int = 16,
+    bands: int = 4,
+    jaccard_tau: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dedup_mode: str = "greedy",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Curation with a DURABLE midpoint — the 100 TB form of
+    :func:`curate_corpus` (its own scale note recommends exactly this):
+    the gate + exact-dedup survivor set is written to a manifest-committed
+    bucketed table (``{work_dir}/survivors``) instead of ``persist()``,
+    and the near-dup stage reads it back from storage.  Consequences:
+
+    * the multi-consumer near-dup joins re-read a compact columnar table,
+      not executor block caches — no recompute storm on executor loss,
+      no session-lifetime cache;
+    * a crash between the stages resumes WITHOUT re-running the gates or
+      the exact-dedup shuffle: the completion marker (written through the
+      FS API after the table commit) gates stage 1, the wave/checkpoint
+      pattern of plans.pipeline applied at stage granularity;
+    * replaying stage 1 after a partial failure converges (the table
+      write is an idempotent keyed upsert, J7).
+    """
+    surv_path = f"{work_dir}/survivors"
+    marker = f"{work_dir}/_survivors_done.json"
+    if not fsio.exists(spark, marker):
+        uniq = gate_and_exact_dedup(
+            docs, lang_whitelist, min_quality, text_col, id_col
+        )
+        upsert_by_key(spark, surv_path, uniq, ["doc_id"], n_buckets=n_buckets)
+        fsio.write_text(
+            spark, marker, json.dumps({"stage": "survivors", "status": "done"})
+        )
+    survivors = read_table(spark, surv_path)
+    return suppress_neardups(
+        survivors, n_hashes, bands, jaccard_tau, dedup_mode, materialize=False
     )

@@ -123,3 +123,43 @@ def test_curate_corpus_cc_vs_greedy_on_chain_cluster(spark):
     assert 1 in greedy and 1 in cc
     # the over-keep: greedy retains 3; CC collapses the whole cluster to 1
     assert 3 in greedy and 3 not in cc
+
+
+def test_curate_corpus_durable_resumes_without_recompute(spark, tmp_path):
+    """Durable midpoint: crash between the survivor write and the
+    near-dup stage, then restart with a POISONED input whose evaluation
+    would raise — the restart must read survivors from the table (never
+    re-running the gates) and produce the correct final result."""
+    import pytest
+    from pyspark.sql.functions import pandas_udf
+
+    import srag_spark.plans.curation as C
+
+    work = str(tmp_path / "curate")
+    rows = [(10, GOOD), (20, GOOD + " tail"), (30, GOOD)]  # 30 exact-dups 10
+    docs = _df(spark, rows)
+
+    # first run crashes INSIDE stage 2 (after the survivor table commit)
+    real_suppress = C.suppress_neardups
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash between stages")
+
+    C.suppress_neardups = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            C.curate_corpus_durable(
+                spark, docs, work, lang_whitelist=("en",), min_quality=0.0
+            )
+    finally:
+        C.suppress_neardups = real_suppress
+
+    def _poison_fn(s):
+        raise RuntimeError("stage 1 recomputed")
+
+    poison = pandas_udf(_poison_fn, "string")
+    poisoned = docs.withColumn("text", poison(F.col("text")))
+    out = C.curate_corpus_durable(
+        spark, poisoned, work, lang_whitelist=("en",), min_quality=0.0
+    )
+    assert {r["doc_id"] for r in out.collect()} == {10}
