@@ -97,6 +97,44 @@ def make_centroids(
     ]
 
 
+def train_centroids_kmeans(
+    emb: DataFrame,
+    n_centroids: int,
+    dim: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd k-means over the embedding table, expressed natively — the
+    trained-centroid path for :func:`ivf_topk`'s documented swap point:
+
+      * assignment = ``ivf_cell_col`` (nearest-centroid column expression,
+        shuffle-free, codegen'd);
+      * update = ONE groupBy per iteration with ``dim`` avg-aggregates
+        (map-side partial aggregation; only n_centroids × dim numbers
+        ever reach the driver — no row data);
+      * new centroids are re-unit-normalized (assignment uses dot = cosine
+        on unit vectors); cells that captured no vectors keep their
+        previous centroid.
+
+    Seeded deterministically from :func:`make_centroids`, so training is
+    reproducible across runs and cluster sizes."""
+    import math
+
+    cents = make_centroids(n_centroids, dim)
+    v = F.col(vec_col)
+    for _ in range(iters):
+        assigned = emb.select(ivf_cell_col(v, cents).alias("cell"), v.alias("v"))
+        aggs = [F.avg(F.element_at("v", i + 1)).alias(f"d{i}") for i in range(dim)]
+        rows = assigned.groupBy("cell").agg(*aggs).collect()
+        new = [list(c) for c in cents]
+        for r in rows:
+            vec = [float(r[f"d{i}"]) for i in range(dim)]
+            norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+            new[r["cell"] - 1] = [x / norm for x in vec]
+        cents = new
+    return cents
+
+
 def _centroid_dots_col(vec_col, centroids: list[list[float]]) -> "F.Column":
     return F.array(
         *[
@@ -142,6 +180,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     q_id_col: str = "query_id",
     q_vec_col: str = "qvec",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: vectors are assigned to their nearest coarse-
     quantizer cell (one shuffle-free column expression); each query
@@ -150,10 +189,17 @@ def ivf_topk(
     probed fraction is nprobe/n_centroids of the corpus instead of a full
     scan — and unlike hyperplane LSH the cells partition the space, so
     recall degrades gracefully as nprobe grows.  ``dim`` is required (no
-    driver-side data peek)."""
+    driver-side data peek).  ``centroids`` overrides the deterministic
+    seeded quantizer with trained ones (:func:`train_centroids_kmeans`)
+    — the assign/probe plan is identical either way."""
     if dim is None:
         raise ValueError("ivf_topk requires an explicit dim= (vector length)")
-    centroids = make_centroids(n_centroids, dim)
+    if centroids is None:
+        centroids = make_centroids(n_centroids, dim)
+    elif len(centroids) != n_centroids:
+        raise ValueError(
+            f"got {len(centroids)} centroids for n_centroids={n_centroids}"
+        )
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),

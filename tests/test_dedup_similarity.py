@@ -340,3 +340,43 @@ def test_persist_handles_released(spark):
     cached = handles[0]
     release(handles)
     assert handles == [] and not cached.is_cached
+
+
+def test_ivf_trained_centroids_beat_seeded_at_equal_nprobe(spark):
+    """The documented quantizer swap point: k-means-trained centroids
+    (two native Lloyd iterations) must give >= recall than the seeded
+    quantizer at every equal nprobe on this corpus, and strictly better
+    somewhere (deterministic data -> deterministic recalls)."""
+    from srag_spark.operators.similarity import ivf_topk, train_centroids_kmeans
+
+    emb = _emb_df(spark, [f"doc {i}" for i in range(150)])
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    truth = {}
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(centroids, nprobe):
+        got = {}
+        rows = ivf_topk(
+            emb, queries, k=5, n_centroids=8, nprobe=nprobe, dim=32,
+            centroids=centroids,
+        ).collect()
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(got.get(q, set()) & t) for q, t in truth.items()) / sum(
+            len(t) for t in truth.values()
+        )
+
+    trained = train_centroids_kmeans(emb, 8, 32, iters=2)
+    assert len(trained) == 8 and all(len(c) == 32 for c in trained)
+    # trained centroids stay (re-)unit-normalized
+    for c in trained:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+    gains = []
+    for nprobe in (1, 2, 3):
+        s, t = recall(None, nprobe), recall(trained, nprobe)
+        assert t >= s
+        gains.append(t - s)
+    assert max(gains) > 0
