@@ -55,6 +55,9 @@ HEADLINE_QUERY_NAMES = [
     "ann_ivf_topk",
     "retrieve_context",
     "curate_corpus",
+    # round 3 additions
+    "curate_corpus_cc",
+    "mm_extract_features",
 ]
 
 
@@ -118,6 +121,11 @@ def bench_default() -> dict:
         t0 = time.monotonic()
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         per_query[name] = round(time.monotonic() - t0, 3)
+        # release operator-persisted relations between queries: each
+        # query's warmup rebuilds (and its timed run reuses, via the
+        # CacheManager's plan matching) its OWN caches, but nothing
+        # accumulates across queries for the session lifetime
+        spark.catalog.clearCache()
 
     total = round(sum(per_query.values()), 3)
     sf = Path(SF_DIR).name.replace("sf", "")
