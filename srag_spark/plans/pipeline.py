@@ -35,7 +35,6 @@ bucket ids.
 from __future__ import annotations
 
 import datetime as _dt
-import os
 import traceback
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -53,6 +52,7 @@ from srag_spark.schema import (
     STATUS_FAILED,
     STATUS_SUCCESS,
 )
+from srag_spark.sources import fsio
 
 
 def _now() -> _dt.datetime:
@@ -110,7 +110,7 @@ class ExtractionPipeline:
     # -- checkpoint table ---------------------------------------------------
     def checkpoints(self) -> DataFrame:
         """Full checkpoint history (may be empty)."""
-        if not os.path.exists(self.checkpoint_dir):
+        if not fsio.exists(self.spark, self.checkpoint_dir):
             return self.spark.createDataFrame([], CHECKPOINTS_SCHEMA)
         return self.spark.read.schema(CHECKPOINTS_SCHEMA).parquet(self.checkpoint_dir)
 

@@ -5,18 +5,21 @@ The reference fans out health checks to all 8 ports before serving
 (Main.scala:36-49,87-112).  The lake equivalent: verify inputs exist and
 are readable with the expected schema, and that output locations are
 writable, before launching a multi-hour job.  Checks run concurrently is
-pointless here (local FS metadata), so they run sequentially but report
-ALL failures at once, like the reference's aggregated health report.
+pointless here (FS metadata round-trips), so they run sequentially but
+report ALL failures at once, like the reference's aggregated health
+report.  The writability probe goes through the Hadoop FS API (fsio), so
+the gate exercises the SAME filesystem the job will write to — on
+S3A/HDFS a local-FS probe would prove nothing.
 """
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 
 from srag_spark.schema import DOCUMENTS_SCHEMA
+from srag_spark.sources import fsio
 
 
 @dataclass
@@ -38,15 +41,14 @@ def check_input_table(spark: SparkSession, path: str) -> CheckResult:
     return CheckResult("input_table", True)
 
 
-def check_output_writable(path: str) -> CheckResult:
+def check_output_writable(spark: SparkSession, path: str) -> CheckResult:
     try:
-        os.makedirs(path, exist_ok=True)
-        probe = os.path.join(path, ".preflight_probe")
-        with open(probe, "w") as f:
-            f.write("ok")
-        os.remove(probe)
+        fsio.mkdirs(spark, path)
+        probe = f"{path}/.preflight_probe"
+        fsio.write_text(spark, probe, "ok")
+        fsio.delete(spark, probe, recursive=False)
         return CheckResult("output_writable", True)
-    except OSError as exc:
+    except Exception as exc:  # noqa: BLE001 — py4j raises Java IO errors
         return CheckResult("output_writable", False, str(exc))
 
 
@@ -55,7 +57,7 @@ def preflight(spark: SparkSession, input_path: str, output_path: str) -> list[Ch
     reference aggregates unhealthy ports the same way)."""
     results = [
         check_input_table(spark, input_path),
-        check_output_writable(output_path),
+        check_output_writable(spark, output_path),
     ]
     failures = [r for r in results if not r.ok]
     if failures:

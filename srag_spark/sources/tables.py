@@ -178,12 +178,11 @@ def upsert_by_key(
     manifest = read_manifest(spark, path)
     n_buckets, bcol = _layout(manifest, key_cols, n_buckets)
     inc = incoming.withColumn(BUCKET_COL, _key_bucket(bcol, n_buckets))
-    touched = sorted(
-        r[0] for r in inc.select(BUCKET_COL).distinct().collect()
-    )
     commit_id = f"c{uuid.uuid4().hex}"
 
     if manifest is None:
+        # initial load: write once, derive the bucket set from the
+        # committed directories (no second execution of the incoming plan)
         data_dir = _write_buckets(inc, path, commit_id)
         commit_manifest(
             spark,
@@ -193,11 +192,18 @@ def upsert_by_key(
                 "bucket_col": bcol,
                 "schema": incoming.schema.json(),
                 "buckets": {
-                    str(b): f"data/{commit_id}/{BUCKET_COL}={b}" for b in touched
+                    str(b): f"data/{commit_id}/{BUCKET_COL}={b}"
+                    for b in _buckets_in_commit(spark, data_dir)
                 },
             },
         )
         return
+    # incremental: the touched-bucket set drives manifest-level pruning of
+    # the read side, so it must be known BEFORE the merge (one pass over
+    # incoming's bucket column — tiny projection)
+    touched = sorted(
+        r[0] for r in inc.select(BUCKET_COL).distinct().collect()
+    )
 
     # manifest-level pruning: read only touched buckets' live dirs
     existing = read_table(spark, path, buckets=touched)
