@@ -36,10 +36,13 @@ plus a tiny manifest layer:
   for free); ``vacuum`` drops everything unreferenced by the latest
   manifest.
 
-Concurrency: single-writer per table (the reference serializes writes per
-transcript the same way, via Postgres row locks).  A lost race surfaces
-as a failed manifest rename → error, never corruption.  On S3 proper the
-rename becomes a conditional PUT (see fsio.rename_atomic).
+Concurrency: optimistic compare-and-publish.  Each commit pins the
+snapshot version it was derived from; if another writer published in
+between, the commit is REJECTED (never a lost update — the reference
+serializes the same hazard with Postgres row locks) and the batch
+retries against the fresh snapshot (bounded by ``max_commit_retries``).
+On S3 proper the rename becomes a conditional PUT (see
+fsio.rename_atomic).
 
 All filesystem access goes through :mod:`srag_spark.sources.fsio`
 (Hadoop FileSystem API) — no ``os`` / ``shutil`` / ``open()`` anywhere,
@@ -83,31 +86,56 @@ def latest_manifest_version(spark: SparkSession, path: str) -> int | None:
     return max(versions) if versions else None
 
 
-def read_manifest(spark: SparkSession, path: str) -> dict | None:
-    """Latest committed snapshot, or None if the table does not exist."""
-    v = latest_manifest_version(spark, path)
+def read_manifest(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict | None:
+    """A committed snapshot — the latest, or a specific ``version`` (time
+    travel: every snapshot stays readable until vacuumed).  None if the
+    table does not exist; raises for an explicitly requested version that
+    is absent."""
+    v = latest_manifest_version(spark, path) if version is None else version
     if v is None:
         return None
-    m = json.loads(fsio.read_text(spark, _manifest_path(path, v)))
+    try:
+        m = json.loads(fsio.read_text(spark, _manifest_path(path, v)))
+    except Exception as exc:
+        raise FileNotFoundError(
+            f"no manifest v{v} at {path} (vacuumed or never committed)"
+        ) from exc
     m["version"] = v
     return m
 
 
-def commit_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
+class ManifestCommitRace(RuntimeError):
+    """A concurrent writer published the version this commit targeted.
+    The batch is retried from a fresh manifest read (optimistic
+    concurrency); the loser's data dirs become vacuumable garbage."""
+
+
+def commit_manifest(
+    spark: SparkSession, path: str, manifest: dict, expected_prev: int | None = None
+) -> None:
     """Publish the next snapshot: write to a temp object, then one atomic
     rename to ``v<N+1>.json``.  THE commit point — everything before this
-    call is invisible to readers; a failed rename means a concurrent
-    writer won and this commit must be retried from the read."""
+    call is invisible to readers.  ``expected_prev`` pins the snapshot
+    this commit was derived FROM: if another writer committed in between
+    (either the listing moved past it, or the rename target exists), the
+    commit fails with :class:`ManifestCommitRace` instead of publishing a
+    lost update."""
     prev = latest_manifest_version(spark, path)
+    if expected_prev is not None and (prev or 0) != expected_prev:
+        raise ManifestCommitRace(
+            f"table at {path} moved to v{prev} while this batch was derived "
+            f"from v{expected_prev}"
+        )
     version = (prev or 0) + 1
     manifest = {k: v for k, v in manifest.items() if k != "version"}
     tmp = f"{path}/{_MANIFEST_DIR}/.tmp-{uuid.uuid4().hex}.json"
     fsio.write_text(spark, tmp, json.dumps(manifest, sort_keys=True))
     if not fsio.rename_atomic(spark, tmp, _manifest_path(path, version)):
         fsio.delete(spark, tmp, recursive=False)
-        raise RuntimeError(
-            f"manifest commit v{version} at {path} lost a race with a "
-            "concurrent writer; re-read and retry the batch"
+        raise ManifestCommitRace(
+            f"manifest commit v{version} at {path} lost the rename race"
         )
 
 
@@ -125,11 +153,15 @@ def _bucket_dirs(path: str, manifest: dict, buckets=None) -> list[str]:
 
 
 def read_table(
-    spark: SparkSession, path: str, buckets: list[int] | None = None
+    spark: SparkSession,
+    path: str,
+    buckets: list[int] | None = None,
+    version: int | None = None,
 ) -> DataFrame:
-    """Read the latest snapshot (optionally pruned to specific buckets —
-    the manifest-level partition pruning used by upsert/delete)."""
-    manifest = read_manifest(spark, path)
+    """Read a snapshot — the latest, or time-travel to ``version``
+    (optionally pruned to specific buckets — the manifest-level partition
+    pruning used by upsert/delete)."""
+    manifest = read_manifest(spark, path, version=version)
     if manifest is None:
         raise FileNotFoundError(f"no table (no committed manifest) at {path}")
     schema = StructType.fromJson(json.loads(manifest["schema"]))
@@ -168,14 +200,37 @@ def upsert_by_key(
     incoming: DataFrame,
     key_cols: list[str],
     n_buckets: int = DEFAULT_KEY_BUCKETS,
+    max_commit_retries: int = 2,
 ) -> None:
     """MERGE-INTO-equivalent: replace rows matching incoming keys, insert
     the rest (right-biased upsert, S4 semantics).  Reads and rewrites ONLY
     the key-hash buckets touched by ``incoming``; publishes atomically via
     the manifest.  Because merged buckets are written to a NEW directory
     (never the one being read), no lineage break / checkpoint is needed
-    and a mid-write crash leaves the old snapshot intact."""
+    and a mid-write crash leaves the old snapshot intact.
+
+    Optimistic concurrency: if another writer commits between this
+    batch's manifest read and its commit, the commit is rejected (never a
+    lost update) and the whole batch retries against the fresh snapshot,
+    up to ``max_commit_retries`` times — the reference's Postgres row
+    locks replaced by compare-and-publish."""
+    for attempt in range(max_commit_retries + 1):
+        try:
+            return _upsert_once(spark, path, incoming, key_cols, n_buckets)
+        except ManifestCommitRace:
+            if attempt == max_commit_retries:
+                raise
+
+
+def _upsert_once(
+    spark: SparkSession,
+    path: str,
+    incoming: DataFrame,
+    key_cols: list[str],
+    n_buckets: int,
+) -> None:
     manifest = read_manifest(spark, path)
+    expected_prev = manifest["version"] if manifest is not None else 0
     n_buckets, bcol = _layout(manifest, key_cols, n_buckets)
     inc = incoming.withColumn(BUCKET_COL, _key_bucket(bcol, n_buckets))
     commit_id = f"c{uuid.uuid4().hex}"
@@ -196,6 +251,7 @@ def upsert_by_key(
                     for b in _buckets_in_commit(spark, data_dir)
                 },
             },
+            expected_prev=expected_prev,
         )
         return
     # incremental: the touched-bucket set drives manifest-level pruning of
@@ -223,6 +279,7 @@ def upsert_by_key(
             "schema": manifest["schema"],
             "buckets": buckets,
         },
+        expected_prev=expected_prev,
     )
 
 
@@ -231,14 +288,31 @@ def delete_by_key(
     path: str,
     keys: DataFrame,
     key_cols: list[str],
+    max_commit_retries: int = 2,
 ) -> None:
     """Row-level delete: drop rows whose key appears in ``keys`` (S10).
     ``key_cols`` may be a key prefix as long as it includes the table's
     bucket column.  Emptied buckets simply leave the manifest — no
-    directory deletion on the data path (old dirs age out via vacuum)."""
+    directory deletion on the data path (old dirs age out via vacuum).
+    Same optimistic-concurrency retry as :func:`upsert_by_key`."""
+    for attempt in range(max_commit_retries + 1):
+        try:
+            return _delete_once(spark, path, keys, key_cols)
+        except ManifestCommitRace:
+            if attempt == max_commit_retries:
+                raise
+
+
+def _delete_once(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+) -> None:
     manifest = read_manifest(spark, path)
     if manifest is None:
         return
+    expected_prev = manifest["version"]
     n_buckets, bcol = _layout(manifest, key_cols, DEFAULT_KEY_BUCKETS)
     keyed = keys.select(*key_cols).distinct().withColumn(
         BUCKET_COL, _key_bucket(bcol, n_buckets)
@@ -271,6 +345,7 @@ def delete_by_key(
             "schema": manifest["schema"],
             "buckets": buckets,
         },
+        expected_prev=expected_prev,
     )
 
 

@@ -307,3 +307,128 @@ def test_build_transcripts_source_dominance(spark):
     )
     out = {r["doc_id"]: r["source"] for r in build_transcripts(df).collect()}
     assert out == {"aud": "Audio", "doc": "Document", "tie": "Text"}
+
+
+def test_time_travel_reads_old_snapshots(spark, tmp_path):
+    """Every committed snapshot stays readable by version until vacuumed
+    (the Iceberg-style time-travel the manifest layer gives for free)."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    schema = "doc_id string, segment_index int, text string"
+    for i, val in enumerate(("v1", "v2", "v3")):
+        upsert_by_key(
+            spark, path,
+            spark.createDataFrame([("d1", 0, val)], schema),
+            ["doc_id", "segment_index"], n_buckets=4,
+        )
+    assert read_manifest(spark, path)["version"] == 3
+    for v, val in ((1, "v1"), (2, "v2"), (3, "v3")):
+        got = read_table(spark, path, version=v).collect()
+        assert [(r["doc_id"], r["text"]) for r in got] == [("d1", val)]
+    vacuum(spark, path, keep_manifests=1)
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path, version=1)
+    assert [r["text"] for r in read_table(spark, path).collect()] == ["v3"]
+
+
+def test_sink_model_based_random_op_sequences(spark, tmp_path):
+    """Property test: any sequence of upsert/delete batches must leave
+    the table equal to a dict model with right-biased upsert semantics."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    schema = "doc_id string, segment_index int, text string"
+    keys = st.sampled_from([f"k{i}" for i in range(6)])
+    upsert_op = st.tuples(
+        st.just("upsert"),
+        st.lists(st.tuples(keys, st.integers(0, 2), st.text("abc", min_size=1, max_size=4)),
+                 min_size=1, max_size=4),
+    )
+    delete_op = st.tuples(st.just("delete"), st.lists(keys, min_size=1, max_size=3))
+
+    counter = [0]
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(ops=st.lists(st.one_of(upsert_op, delete_op), min_size=1, max_size=5))
+    def run(ops):
+        counter[0] += 1
+        path = str(tmp_path / f"m{counter[0]}")
+        model: dict = {}
+        wrote = False
+        for kind, payload in ops:
+            if kind == "upsert":
+                # right-biased within a batch too: last occurrence wins,
+                # matching the dict-update model below
+                dedup = {(k, s): t for k, s, t in payload}
+                batch = [(k, s, t) for (k, s), t in dedup.items()]
+                upsert_by_key(
+                    spark, path, spark.createDataFrame(batch, schema),
+                    ["doc_id", "segment_index"], n_buckets=4,
+                )
+                model.update(dedup)
+                wrote = True
+            elif wrote:  # delete on a non-existent table is a no-op
+                delete_by_key(
+                    spark, path,
+                    spark.createDataFrame([(k,) for k in payload], "doc_id string"),
+                    ["doc_id"],
+                )
+                model = {ks: t for ks, t in model.items() if ks[0] not in payload}
+        if wrote:
+            assert rows_of(spark, path) == model
+
+    run()
+
+
+def test_concurrent_writer_race_retries_without_lost_update(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency: an interloper commits BETWEEN the victim's
+    manifest read and its commit.  The victim's first commit must be
+    rejected (compare-and-publish) and its retry must merge against the
+    interloper's snapshot — both writers' rows survive, victim wins the
+    overlapping key."""
+    import srag_spark.sources.tables as T
+
+    path = str(tmp_path / "t")
+    schema = "doc_id string, segment_index int, text string"
+    upsert_by_key(
+        spark, path,
+        spark.createDataFrame([("base", 0, "b0")], schema),
+        ["doc_id", "segment_index"], n_buckets=4,
+    )
+
+    real_write = T._write_buckets
+    state = {"injected": False}
+
+    def hooked(df, path_, commit_id):
+        out = real_write(df, path_, commit_id)
+        if not state["injected"]:
+            state["injected"] = True
+            # interloper sneaks a commit in after the victim wrote its
+            # data but before its manifest publish
+            upsert_by_key(
+                spark, path,
+                spark.createDataFrame(
+                    [("interloper", 0, "i1"), ("shared", 0, "interloper")], schema
+                ),
+                ["doc_id", "segment_index"],
+            )
+        return out
+
+    monkeypatch.setattr(T, "_write_buckets", hooked)
+    upsert_by_key(
+        spark, path,
+        spark.createDataFrame(
+            [("victim", 0, "v1"), ("shared", 0, "victim")], schema
+        ),
+        ["doc_id", "segment_index"],
+    )
+    monkeypatch.undo()
+    got = rows_of(spark, path)
+    assert got[("base", 0)] == "b0"
+    assert got[("interloper", 0)] == "i1"
+    assert got[("victim", 0)] == "v1"
+    # the retry merged ON TOP of the interloper's snapshot
+    assert got[("shared", 0)] == "victim"
+    assert len(got) == 4
