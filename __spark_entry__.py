@@ -174,7 +174,9 @@ def q_q2_vector_topk(spark, sf_dir):
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"]
     ]
-    q = F.array(*[F.lit(x) for x in qvec])
+    from srag_spark.operators.dedup import lit_vec
+
+    q = lit_vec(qvec)
     scored = emb.filter(F.col("vec_id") != 0).select(
         "vec_id",
         F.aggregate(

@@ -451,6 +451,38 @@ def cluster_canonical(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
+def lit_vec_sql(values) -> str:
+    """SQL text for a literal double array.  ``repr(float)`` is
+    shortest-roundtrip, so the parsed doubles are bit-identical to the
+    Python values."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in values) + ")"
+
+
+def lit_vec(values) -> "F.Column":
+    """Literal double-array column in ONE py4j round trip.
+
+    ``F.lit(list)`` (and ``F.array(*[F.lit(x) ...])``) issue a py4j call
+    PER ELEMENT; at 16 planes/centroids × 64 dims × 2 call sites that is
+    ~13k gateway round trips ≈ 2 s of driver time per operator call
+    (measured — it dominated ann_ivf_topk's steady-state latency).  A
+    SQL-text ``array(...)`` parses JVM-side in one call."""
+    return F.expr(lit_vec_sql(values))
+
+
+def dot_lit_sql(vec_sql: str, values) -> str:
+    """SQL text of :func:`dot_col` against a literal vector — identical
+    operation order (cast-to-double both sides, sequential left fold), so
+    results are bit-identical to the Column form; exists so operators
+    that embed MANY literal dots (16 hyperplanes / centroids per call)
+    can build the whole expression in ONE ``F.expr`` parse instead of
+    hundreds of py4j lambda constructions (~9 ms each, measured)."""
+    return (
+        f"aggregate(zip_with(transform({vec_sql}, x -> CAST(x AS DOUBLE)), "
+        f"transform({lit_vec_sql(values)}, x -> CAST(x AS DOUBLE)), "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def dot_col(a, b) -> "F.Column":
     """Sequential-order dot product of two array<float|double> columns,
     computed in double (identical operation order in the DuckDB oracle)."""
@@ -531,7 +563,7 @@ def embedding_neardup_pairs(
     # code expression from being inlined per band
     coded = emb.select(
         F.col(id_col).alias("doc_id"),
-        hyperplane_bucket_col(F.col(vec_col), planes).alias("code"),
+        hyperplane_bucket_col(vec_col, planes).alias("code"),
     )
     if materialize:
         # both self-join sides consume the banded codes; without this the

@@ -75,7 +75,9 @@ def cosine_topk(
     effectively broadcast.  Top-k is a global sort-limit (Spark performs
     it as per-partition top-k + driver merge — no full shuffle).
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    from srag_spark.operators.dedup import lit_vec
+
+    q = lit_vec(query_vec)  # ONE py4j round trip, not 384 per-element lit()s
     scored = apply_metadata_filter(embeddings, flt).select(
         "doc_id",
         "segment_index",

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from srag_spark.operators.dedup import dot_col
+from srag_spark.operators.dedup import dot_col, dot_lit_sql
 
 
 def brute_force_topk(
@@ -58,16 +58,20 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket_col(vec_col, hyperplanes: list[list[float]]) -> "F.Column":
+def hyperplane_bucket_col(vec_sql: str, hyperplanes: list[list[float]]) -> "F.Column":
     """Signed-projection LSH bucket code: one char per hyperplane
-    ('1' if dot(v, h) > 0 else '0').  Native, deterministic."""
-    bits = []
-    for h in hyperplanes:
-        arr = F.array(*[F.lit(float(x)) for x in h])
-        bits.append(
-            F.when(dot_col(vec_col, arr) > 0, F.lit("1")).otherwise(F.lit("0"))
-        )
-    return F.concat(*bits)
+    ('1' if dot(v, h) > 0 else '0').  Native, deterministic.
+
+    ``vec_sql`` is the vector column as SQL text (a column name or
+    expression).  The whole code — every plane's dot product — is built
+    as ONE ``F.expr`` parse: constructing it Column-by-Column costs
+    hundreds of py4j round trips (4 higher-order lambdas per dot ≈ 9 ms
+    each), which dominated these operators' driver-side latency."""
+    cases = "".join(
+        f", CASE WHEN {dot_lit_sql(vec_sql, h)} > 0.0D THEN '1' ELSE '0' END"
+        for h in hyperplanes
+    )
+    return F.expr(f"concat({cases[2:]})")
 
 
 def make_hyperplanes(n_planes: int, dim: int, seed_prefix: str = "lsh-plane") -> list[list[float]]:
@@ -123,7 +127,7 @@ def train_centroids_kmeans(
     cents = make_centroids(n_centroids, dim)
     v = F.col(vec_col)
     for _ in range(iters):
-        assigned = emb.select(ivf_cell_col(v, cents).alias("cell"), v.alias("v"))
+        assigned = emb.select(ivf_cell_col(vec_col, cents).alias("cell"), v.alias("v"))
         aggs = [F.avg(F.element_at("v", i + 1)).alias(f"d{i}") for i in range(dim)]
         rows = assigned.groupBy("cell").agg(*aggs).collect()
         new = [list(c) for c in cents]
@@ -135,37 +139,34 @@ def train_centroids_kmeans(
     return cents
 
 
-def _centroid_dots_col(vec_col, centroids: list[list[float]]) -> "F.Column":
-    return F.array(
-        *[
-            dot_col(vec_col, F.array(*[F.lit(float(x)) for x in c]))
-            for c in centroids
-        ]
+def _centroid_dots_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    return (
+        "array(" + ",".join(dot_lit_sql(vec_sql, c) for c in centroids) + ")"
     )
 
 
-def ivf_cell_col(vec_col, centroids: list[list[float]]) -> "F.Column":
+def ivf_cell_col(vec_sql: str, centroids: list[list[float]]) -> "F.Column":
     """IVF cell assignment: 1-based index of the nearest centroid (max
-    dot for unit vectors; first index wins ties).  Native, deterministic."""
-    dots = _centroid_dots_col(vec_col, centroids)
-    return F.array_position(dots, F.array_max(dots)).cast("int")
+    dot for unit vectors; first index wins ties).  Native, deterministic;
+    one ``F.expr`` parse (see :func:`hyperplane_bucket_col`)."""
+    dots = _centroid_dots_sql(vec_sql, centroids)
+    return F.expr(
+        f"CAST(array_position({dots}, array_max({dots})) AS INT)"
+    )
 
 
 def ivf_probe_cells_col(
-    vec_col, centroids: list[list[float]], nprobe: int
+    vec_sql: str, centroids: list[list[float]], nprobe: int
 ) -> "F.Column":
     """The query's ``nprobe`` nearest cells, by centroid dot desc (ties:
     lower cell index) — classic IVF multi-cell probing."""
     n = len(centroids)
-    dots = _centroid_dots_col(vec_col, centroids)
-    scored = F.transform(
-        F.sequence(F.lit(1), F.lit(n)),
-        lambda i: F.struct(
-            (-F.element_at(dots, i)).alias("nd"), i.cast("int").alias("cell")
-        ),
-    )
-    return F.transform(
-        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cell"]
+    dots = _centroid_dots_sql(vec_sql, centroids)
+    return F.expr(
+        "transform(slice(array_sort(transform(sequence(1, "
+        f"{n}), i -> named_struct('nd', -element_at({dots}, i), "
+        "'cell', CAST(i AS INT)))), 1, "
+        f"{int(nprobe)}), s -> s.cell)"
     )
 
 
@@ -203,14 +204,14 @@ def ivf_topk(
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
-        ivf_cell_col(F.col(vec_col), centroids).alias("cell"),
+        ivf_cell_col(vec_col, centroids).alias("cell"),
     )
     q = F.broadcast(
         queries.select(
             F.col(q_id_col).alias("query_id"),
             F.col(q_vec_col).alias("qv"),
             F.explode(
-                ivf_probe_cells_col(F.col(q_vec_col), centroids, nprobe)
+                ivf_probe_cells_col(q_vec_col, centroids, nprobe)
             ).alias("cell"),
         )
     )
@@ -271,7 +272,7 @@ def lsh_topk(
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
-        hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        hyperplane_bucket_col(vec_col, planes).alias("bucket"),
     )
     q = F.broadcast(
         queries.select(
@@ -279,7 +280,7 @@ def lsh_topk(
             F.col(q_vec_col).alias("qv"),
             F.explode(
                 probe_buckets_col(
-                    hyperplane_bucket_col(F.col(q_vec_col), planes), n_planes, probes
+                    hyperplane_bucket_col(q_vec_col, planes), n_planes, probes
                 )
             ).alias("bucket"),
         )
