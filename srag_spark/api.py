@@ -1,0 +1,147 @@
+"""SragEngine — the engine's façade: the reference's service surface as
+one object over manifest-committed tables.
+
+The reference exposes its capabilities as HTTP endpoints
+(MainHandlers.scala: POST /api/v1/ingest/{audio|text}, POST
+/api/v1/query, GET /api/v1/transcripts[/id], DELETE /api/v1/transcripts/
+id) backed by Postgres + Qdrant + OpenSearch.  A user switching to this
+engine gets the same verbs on one class, backed by three
+manifest-committed tables under a single root:
+
+    root/transcripts   (doc_id)                    — S4/S5/S6/Q9
+    root/chunks        (doc_id, segment_index)     — S9 lexical corpus
+    root/embeddings    (doc_id, segment_index)     — S7/S8 vector corpus
+
+``ingest`` is the whole worker pipeline (extract → transcript build →
+chunk → embed → upsert, IngestionWorker.scala:70-95 +
+IndexingPipeline.scala:56-115) as ONE call: re-ingesting a document
+replaces it everywhere (entity delete before keyed upsert, so a shrunk
+doc leaves no stale chunks — the reference's delete-then-index,
+OpenSearchAdapter.scala:147-181); replaying converges (J7).  ``query``
+is QueryService.retrieveContext (vector ∥ BM25 → RRF → rerank gates).
+
+Every write commits through the snapshot-atomic manifest protocol
+(sources/tables) — a crash mid-ingest leaves all three tables readable
+at their previous consistent snapshots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from srag_spark.operators.parse import extract_documents
+from srag_spark.operators.retrieval import listing, retrieve_context
+from srag_spark.operators.transcripts import build_transcripts, validate_language
+from srag_spark.plans.indexing import build_chunks, build_embeddings
+from srag_spark.sources.tables import (
+    delete_by_key,
+    read_table,
+    table_exists,
+    upsert_by_key,
+)
+
+_CHUNK_KEY = ["doc_id", "segment_index"]
+
+
+class SragEngine:
+    """One engine instance per table root; safe to re-instantiate over
+    existing tables (all state lives in the manifests)."""
+
+    def __init__(
+        self, spark: SparkSession, root: str, n_buckets: int = 64
+    ) -> None:
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.n_buckets = n_buckets
+        self.transcripts_path = f"{self.root}/transcripts"
+        self.chunks_path = f"{self.root}/chunks"
+        self.embeddings_path = f"{self.root}/embeddings"
+
+    # -- ingest (POST /api/v1/ingest/* + the async worker pipeline) --------
+    def ingest(self, docs: DataFrame) -> dict:
+        """Extract, build transcripts, chunk, embed, and upsert — the full
+        ingestion worker for a batch of interleaved documents
+        (DOCUMENTS_SCHEMA).  Returns row counts per table."""
+        extracted = extract_documents(docs)
+        transcripts = validate_language(build_transcripts(extracted))
+        chunks = build_chunks(extracted)
+        embeddings = build_embeddings(chunks)
+
+        doc_ids = docs.select("doc_id").distinct()
+        # replace-entity: a re-ingested doc drops ALL its previous rows
+        # first (delete-then-index), so shrunk docs leave nothing stale
+        for path in (self.chunks_path, self.embeddings_path):
+            if table_exists(self.spark, path):
+                delete_by_key(self.spark, path, doc_ids, ["doc_id"])
+        upsert_by_key(
+            self.spark, self.transcripts_path, transcripts, ["doc_id"],
+            n_buckets=self.n_buckets,
+        )
+        upsert_by_key(
+            self.spark, self.chunks_path, chunks, _CHUNK_KEY,
+            n_buckets=self.n_buckets,
+        )
+        upsert_by_key(
+            self.spark, self.embeddings_path, embeddings, _CHUNK_KEY,
+            n_buckets=self.n_buckets,
+        )
+        return {
+            "documents": doc_ids.count(),
+            "chunks": self.chunks().count(),
+            "embeddings": self.embeddings().count(),
+        }
+
+    # -- table accessors ---------------------------------------------------
+    def transcripts(self) -> DataFrame:
+        return read_table(self.spark, self.transcripts_path)
+
+    def chunks(self) -> DataFrame:
+        return read_table(self.spark, self.chunks_path)
+
+    def embeddings(self) -> DataFrame:
+        return read_table(self.spark, self.embeddings_path)
+
+    # -- query (POST /api/v1/query) ----------------------------------------
+    def query(
+        self,
+        text: str,
+        limit: int = 5,
+        flt: dict[str, str] | None = None,
+        rerank_col=None,
+    ) -> DataFrame:
+        """Hybrid retrieval (Q1): vector top-200 ∥ BM25 top-200 → RRF →
+        rerank gates.  Returns (doc_id, segment_index, text, score)."""
+        return retrieve_context(
+            self.chunks(), self.embeddings(), text, limit=limit, flt=flt,
+            rerank_col=rerank_col,
+        )
+
+    # -- transcripts endpoints (GET/DELETE /api/v1/transcripts*) -----------
+    def get_transcript(self, doc_id: str) -> DataFrame:
+        """Point lookup (S6)."""
+        return self.transcripts().filter(F.col("doc_id") == doc_id).limit(1)
+
+    def list_transcripts(
+        self,
+        flt: dict[str, str] | None = None,
+        sort_by: str = "created_at",
+        metadata_key: str | None = None,
+        ascending: bool = False,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Filtered, sorted listing (Q9, MainHandlers.scala:62-90)."""
+        out = listing(
+            self.transcripts(), flt, sort_by, metadata_key, ascending
+        )
+        return out.limit(limit) if limit is not None else out
+
+    def delete_transcript(self, doc_id: str) -> None:
+        """Delete a document everywhere (S10): transcript row plus all its
+        chunks and embeddings."""
+        keys = self.spark.createDataFrame([(doc_id,)], "doc_id string")
+        for path in (
+            self.transcripts_path, self.chunks_path, self.embeddings_path
+        ):
+            if table_exists(self.spark, path):
+                delete_by_key(self.spark, path, keys, ["doc_id"])
