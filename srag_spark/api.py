@@ -145,3 +145,17 @@ class SragEngine:
         ):
             if table_exists(self.spark, path):
                 delete_by_key(self.spark, path, keys, ["doc_id"])
+
+    # -- maintenance -------------------------------------------------------
+    def vacuum(self, keep_manifests: int = 1) -> int:
+        """Reclaim data dirs unreferenced by recent snapshots across all
+        three tables (run out-of-band; never needed for correctness)."""
+        from srag_spark.sources.tables import vacuum
+
+        return sum(
+            vacuum(self.spark, path, keep_manifests=keep_manifests)
+            for path in (
+                self.transcripts_path, self.chunks_path, self.embeddings_path
+            )
+            if table_exists(self.spark, path)
+        )
