@@ -380,3 +380,24 @@ def test_ivf_trained_centroids_beat_seeded_at_equal_nprobe(spark):
         assert t >= s
         gains.append(t - s)
     assert max(gains) > 0
+
+
+def test_dot_lit_sql_bit_identical_to_dot_col(spark):
+    """The SQL-text literal-dot fast path (one F.expr parse) must produce
+    BIT-identical doubles to the Column-built dot_col form — no rounding
+    allowed (the ANN/near-dup operators rely on exact equality for their
+    DuckDB oracles)."""
+    from srag_spark.operators.dedup import dot_col, dot_lit_sql, lit_vec
+
+    vecs = [[float(x) for x in hash_embed(f"v{i}", dim=33)] for i in range(20)]
+    lits = [float(x) for x in hash_embed("plane", dim=33)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id int, v array<double>"
+    )
+    out = df.select(
+        "id",
+        dot_col(F.col("v"), lit_vec(lits)).alias("a"),
+        F.expr(dot_lit_sql("v", lits)).alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in out)
+    assert any(r["a"] != 0.0 for r in out)
