@@ -1489,6 +1489,50 @@ def q_curate_corpus_cc(spark, sf_dir):
     )
 
 
+_BOILER = ". Subscribe to our newsletter for updates"
+
+
+def q_dedup_lines(spark, sf_dir):
+    """C4-style corpus-wide line dedup (dedup.line_dedup_flags) over
+    documents with a planted boilerplate footer appended to EVERY doc —
+    the realistic true-positive: exactly one doc keeps the footer line,
+    all other copies are flagged.  Oracle: same split/normalize/window
+    spec in DuckDB."""
+    from srag_spark.operators.dedup import line_dedup_flags
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat("text", F.lit(_BOILER)).alias("text")
+    )
+    return line_dedup_flags(docs).select(
+        "doc_id", "pos", F.md5("line").alias("line_md5"), "keep"
+    )
+
+
+def _dedup_lines_sql() -> str:
+    norm = "trim(regexp_replace(lower(line), '[^a-z0-9]+', ' ', 'g'))"
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_split_to_array(text || '{_BOILER}', '\\.\\s+') AS parts
+          FROM documents
+        ),
+        e AS (SELECT doc_id, unnest(range(len(parts))) AS pos, parts FROM d),
+        l AS (
+          SELECT doc_id, CAST(pos AS INT) AS pos, trim(parts[pos + 1]) AS line
+          FROM e
+        ),
+        f AS (SELECT * FROM l WHERE length(line) > 0),
+        r AS (
+          SELECT doc_id, pos, line,
+                 row_number() OVER (
+                   PARTITION BY md5({norm}) ORDER BY doc_id, pos
+                 ) AS rn
+          FROM f
+        )
+        SELECT doc_id, pos, md5(line) AS line_md5, (rn = 1) AS keep FROM r
+    """
+
+
 def q_mm_decode_media(spark, sf_dir):
     """Multimodal decode stage, ORACLE-CHECKED: payloads are the UTF-8
     bytes of each document's text (doc_id%19==0 → empty payload, the
@@ -1671,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "curate_corpus": q_curate_corpus,
         "curate_corpus_cc": q_curate_corpus_cc,
+        "dedup_lines": q_dedup_lines,
         "repetition_stats": q_repetition_stats,
         "mm_decode_media": q_mm_decode_media,
         "mm_extract_features": q_mm_extract_features,
@@ -2010,6 +2055,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_sql(16, 4, 5),
         "curate_corpus": _curate_sql(),
         "curate_corpus_cc": _curate_sql(mode="cc"),
+        "dedup_lines": _dedup_lines_sql(),
         "repetition_stats": _REPETITION_SQL,
         "mm_decode_media": _mm_decode_sql(),
         "mm_extract_features": _mm_features_sql(),

@@ -58,6 +58,7 @@ HEADLINE_QUERY_NAMES = [
     # round 3 additions
     "curate_corpus_cc",
     "mm_extract_features",
+    "dedup_lines",
 ]
 
 

@@ -378,6 +378,55 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# C4-style corpus-wide line dedup
+# ---------------------------------------------------------------------------
+def line_dedup_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, pos, line, keep) — corpus-wide line-level dedup verdicts,
+    the C4 pipeline's "discard any duplicated line" rule (the classic
+    boilerplate killer: navigation text, cookie banners, 'subscribe'
+    footers repeat across millions of pages).
+
+    Frozen spec (mirrored by the DuckDB oracle):
+      * lines = text split on ``\\.\\s+`` (sentence-ish units; both
+        engines' regex dialects agree on this pattern), trimmed,
+        empties dropped; ``pos`` = 0-based unit index;
+      * two lines duplicate iff their normalizations match
+        (:func:`norm_text_col`), compared via md5;
+      * ``keep`` = this occurrence is the GLOBAL first (min (doc_id,
+        pos)) of its group — one occurrence of every line survives, so
+        reassembling kept lines loses no unique content.
+
+    Plan shape at 100 TB: one explode + one window over the line-hash
+    (every copy of one line in one partition — the same skew boundary as
+    window-min exact dedup; astronomically-duplicated boilerplate wants
+    the groupBy + join-back form instead, same as curation's note).
+    Reassembly is the caller's ``array_join(collect_list(...))``."""
+    lines = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), r"\.\s+")).alias("pos", "raw"),
+        )
+        .select("doc_id", "pos", F.trim("raw").alias("line"))
+        .filter(F.length("line") > 0)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(norm_text_col(F.col("line")))).orderBy(
+        "doc_id", "pos"
+    )
+    return lines.select(
+        "doc_id",
+        "pos",
+        "line",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # connected-components canonicalization over a near-dup pair graph
 # ---------------------------------------------------------------------------
 def cluster_canonical(pairs: DataFrame, max_iters: int = 20) -> DataFrame:

@@ -401,3 +401,29 @@ def test_dot_lit_sql_bit_identical_to_dot_col(spark):
     ).collect()
     assert all(r["a"] == r["b"] for r in out)
     assert any(r["a"] != 0.0 for r in out)
+
+
+def test_line_dedup_flags_keeps_global_first(spark):
+    """C4 line-dedup: only the global-first occurrence (min doc_id, pos)
+    of each normalized line survives; unique lines always kept; position
+    indexing counts pre-filter units."""
+    from srag_spark.operators.dedup import line_dedup_flags
+
+    df = spark.createDataFrame(
+        [
+            ("1", "Unique alpha. Shared Boilerplate Line. Unique beta"),
+            ("2", "shared boilerplate line. Unique gamma"),
+            ("3", "Totally distinct text here"),
+        ],
+        DOCS,
+    )
+    got = {
+        (r["doc_id"], r["pos"]): (r["line"], r["keep"])
+        for r in line_dedup_flags(df).collect()
+    }
+    assert got[("1", 0)] == ("Unique alpha", True)
+    assert got[("1", 1)] == ("Shared Boilerplate Line", True)   # global first
+    assert got[("1", 2)] == ("Unique beta", True)
+    assert got[("2", 0)] == ("shared boilerplate line", False)  # dup (case/punct-insensitive)
+    assert got[("2", 1)] == ("Unique gamma", True)
+    assert got[("3", 0)] == ("Totally distinct text here", True)
