@@ -32,8 +32,13 @@ from pyspark.sql import functions as F
 
 from srag_spark.operators.parse import extract_documents
 from srag_spark.operators.retrieval import listing, retrieve_context
-from srag_spark.operators.transcripts import build_transcripts, validate_language
+from srag_spark.operators.transcripts import (
+    build_transcripts,
+    enrich_metadata,
+    validate_language,
+)
 from srag_spark.plans.indexing import build_chunks, build_embeddings
+from srag_spark.schema import TRANSCRIPTS_SCHEMA
 from srag_spark.sources.tables import (
     delete_by_key,
     read_table,
@@ -59,13 +64,66 @@ class SragEngine:
         self.embeddings_path = f"{self.root}/embeddings"
 
     # -- ingest (POST /api/v1/ingest/* + the async worker pipeline) --------
-    def ingest(self, docs: DataFrame) -> dict:
+    def _doc_meta(self, docs: DataFrame, extra: dict[str, str] | None):
+        """(doc_id, metadata) with per-doc input metadata (optional
+        ``metadata`` column on ``docs``) right-merged with the batch-level
+        ``extra`` dict — the reference's job-metadata merge
+        (Transcript.scala:17-21 ``transcript.metadata ++ job.metadata``).
+        None when the batch carries no metadata at all."""
+        has_col = "metadata" in docs.columns
+        if not has_col and not extra:
+            return None
+        meta = (
+            F.col("metadata")
+            if has_col
+            else F.create_map().cast("map<string,string>")
+        )
+        base = docs.select("doc_id", meta.alias("metadata"))
+        return enrich_metadata(base, extra) if extra else base
+
+    def ingest(
+        self, docs: DataFrame, metadata: dict[str, str] | None = None
+    ) -> dict:
         """Extract, build transcripts, chunk, embed, and upsert — the full
         ingestion worker for a batch of interleaved documents
-        (DOCUMENTS_SCHEMA).  Returns row counts per table."""
-        extracted = extract_documents(docs)
-        transcripts = validate_language(build_transcripts(extracted))
-        chunks = build_chunks(extracted)
+        (DOCUMENTS_SCHEMA).  Returns row counts per table.
+
+        ``docs`` may carry two OPTIONAL columns beyond the input_hint
+        shape: ``metadata map<string,string>`` (per-doc) and ``language
+        string`` — the reference's ingest request fields
+        (MainEndpoints.scala text/audio requests carry language +
+        metadata; IngestionWorker merges job metadata into the
+        transcript, Transcript.scala:17-21).  ``metadata`` (the kwarg) is
+        batch-level extra metadata, right-merged over per-doc maps.  Both
+        flow onto the transcript row AND every derived chunk/embedding
+        row, so ``query(flt=...)`` / ``list_transcripts(flt=...)``
+        filter engine-built tables exactly as the reference filters
+        OpenSearch/Qdrant on ``metadata.*``
+        (OpenSearchAdapter.scala:216-224, QdrantAdapter.scala:173-181).
+        """
+        extracted = extract_documents(docs.select("doc_id", "spans"))
+        doc_meta = self._doc_meta(docs, metadata)
+        transcripts = build_transcripts(extracted, source_docs=docs)
+        if doc_meta is not None:
+            transcripts = (
+                transcripts.drop("metadata")
+                .join(doc_meta, "doc_id", "left")
+                .withColumn(
+                    "metadata",
+                    F.coalesce(
+                        "metadata", F.create_map().cast("map<string,string>")
+                    ),
+                )
+            )
+        if "language" in docs.columns:
+            transcripts = (
+                transcripts.drop("language")
+                .join(docs.select("doc_id", "language"), "doc_id", "left")
+            )
+        transcripts = validate_language(transcripts).select(
+            *[f.name for f in TRANSCRIPTS_SCHEMA.fields]
+        )
+        chunks = build_chunks(extracted, doc_meta=doc_meta)
         embeddings = build_embeddings(chunks)
 
         doc_ids = docs.select("doc_id").distinct()

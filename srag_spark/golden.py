@@ -306,6 +306,41 @@ def segment_audio_words(words: list[tuple[str, int]]) -> list[str]:
     return segments
 
 
+def segment_audio_words_timed(
+    words: list[tuple[str, int]],
+) -> list[tuple[str, int, int]]:
+    """(segment_text, start_ms, end_ms) per segment — segmentation
+    IDENTICAL to :func:`segment_audio_words` (pinned by tests), plus the
+    millisecond span each segment covers: start = first word's start
+    offset, end = LAST word's start offset (the input spans carry only
+    AssemblyAI start offsets — AssemblyAIAdapter.scala:50-56 word shape —
+    so a word-duration end is not reconstructible; last-start is the
+    faithful bound the data supports)."""
+    segments: list[tuple[str, int, int]] = []
+    cur: list[str] = []
+    cur_t0: int | None = None
+    prev_last: str | None = None
+    prev_off: int | None = None
+    for text, off in words:
+        if not text:
+            continue
+        if (
+            prev_last is None
+            or prev_last in AUDIO_SENTENCE_END
+            or (prev_off is not None and off - prev_off > AUDIO_GAP_MS)
+        ):
+            if cur:
+                segments.append((" ".join(cur), cur_t0, prev_off))
+                cur = []
+        if not cur:
+            cur_t0 = off
+        cur.append(text)
+        prev_last, prev_off = text[-1], off
+    if cur:
+        segments.append((" ".join(cur), cur_t0, prev_off))
+    return segments
+
+
 # ---------------------------------------------------------------------------
 # Whole-document golden extraction (the per-row invariant generator)
 # ---------------------------------------------------------------------------

@@ -8,8 +8,16 @@ validation operators.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 # per-span-kind source attribution: reference IngestSource enum
 # (IngestSource.scala:3-4; DB also reserves 'Document', V1 migration :8)
@@ -21,26 +29,126 @@ _SOURCE_FOR_KIND = {
 }
 
 
-def build_transcripts(extracted: DataFrame, created_at=None) -> DataFrame:
+_AUDIO_TIMES_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("start", LongType(), True),
+            StructField("end", LongType(), True),
+        ]
+    )
+)
+
+
+@pandas_udf(_AUDIO_TIMES_TYPE)
+def _audio_times_udf(spans: pd.Series) -> pd.Series:
+    """Per-document (start_ms, end_ms) for each AUDIO SEGMENT the golden
+    extraction emits, in output order.  Mirrors the kernel's document
+    ordering + audio run batching (golden.extract_document_cols) but
+    touches only audio runs — html/pdf/text spans are skipped entirely,
+    so this pass is cheap even on mixed docs.  Alignment invariant
+    (pinned by tests): element j of the result times the j-th audio-kind
+    span of the extracted output."""
+    from srag_spark.golden import segment_audio_words_timed
+
+    def times(doc_spans):
+        if doc_spans is None:
+            return []
+        n = len(doc_spans)
+        offsets = [s.get("offset") for s in doc_spans]
+        order = sorted(
+            range(n),
+            key=lambda i: (offsets[i] if offsets[i] is not None else i, i),
+        )
+        out = []
+        p = 0
+        while p < n:
+            i = order[p]
+            if doc_spans[i].get("kind") != "audio":
+                p += 1
+                continue
+            run = []
+            q = p
+            while q < n and doc_spans[order[q]].get("kind") == "audio":
+                j = order[q]
+                off = offsets[j]
+                run.append(
+                    (doc_spans[j].get("text") or "", off if off is not None else 0)
+                )
+                q += 1
+            out.extend(
+                {"start": t0, "end": t1}
+                for _txt, t0, t1 in segment_audio_words_timed(run)
+            )
+            p = q
+        return out
+
+    return spans.map(times)
+
+
+def build_transcripts(
+    extracted: DataFrame, created_at=None, source_docs: DataFrame | None = None
+) -> DataFrame:
     """Extracted docs → transcripts table.
 
     words: one Word per extracted non-media span — text spans carry
     synthetic ordinal offsets with confidence 1.0 (the exact
     TextPreparatorPipeline.scala:52-58 shape); source = the dominant
     span kind's IngestSource, 'Text' on ties (deterministic).
+
+    ``source_docs`` (the original DOCUMENTS_SCHEMA batch) opts into audio
+    timing fidelity: audio-derived words carry their segment's real
+    millisecond offsets from the source ASR spans (the AssemblyAI word
+    shape the reference stores, AssemblyAIAdapter.scala:50-56 /
+    Transcript word start/end) instead of ordinals.  Only docs that
+    actually contain audio spans pay the timing pass (filtered before
+    the UDF); the join is doc_id-keyed like every other ingest stage.
     """
     if created_at is None:
         created_at = F.current_timestamp()
     nonmedia = F.filter("spans", lambda s: s["text"].isNotNull())
-    words = F.transform(
-        nonmedia,
-        lambda s, i: F.struct(
-            s["text"].alias("text"),
-            i.cast("long").alias("start"),
-            (i + 1).cast("long").alias("end"),
-            F.lit(1.0).alias("confidence"),
-        ),
-    )
+    if source_docs is None:
+        words = F.transform(
+            nonmedia,
+            lambda s, i: F.struct(
+                s["text"].alias("text"),
+                i.cast("long").alias("start"),
+                (i + 1).cast("long").alias("end"),
+                F.lit(1.0).alias("confidence"),
+            ),
+        )
+    else:
+        times = (
+            source_docs.filter(
+                F.exists("spans", lambda s: s["kind"] == F.lit("audio"))
+            )
+            .select("doc_id", _audio_times_udf(F.col("spans")).alias("_atimes"))
+        )
+        extracted = extracted.join(times, "doc_id", "left")
+
+        def _word(s, i):
+            # audio ordinal of position i = audio spans strictly before it
+            # (media spans are never audio, so the nonmedia prefix count
+            # equals the full-output prefix count)
+            ord_ = F.size(
+                F.filter(
+                    F.slice(nonmedia, F.lit(1), i),
+                    lambda x: x["kind"] == F.lit("audio"),
+                )
+            )
+            t = F.element_at(F.col("_atimes"), ord_ + 1)
+            use_ms = (
+                F.col("_atimes").isNotNull()
+                & (s["kind"] == F.lit("audio"))
+                & t.isNotNull()
+            )
+            return F.struct(
+                s["text"].alias("text"),
+                F.when(use_ms, t["start"]).otherwise(i.cast("long")).alias("start"),
+                F.when(use_ms, t["end"]).otherwise((i + 1).cast("long")).alias("end"),
+                F.lit(1.0).alias("confidence"),
+            )
+
+        words = F.transform(nonmedia, _word)
     def count_kind(k: str):
         # factory closure, NOT a default-arg lambda: pyspark counts ALL
         # lambda parameters when choosing the unary (element) vs binary

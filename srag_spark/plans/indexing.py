@@ -18,9 +18,28 @@ from srag_spark.functions.embedding import embed_udf
 from srag_spark.operators.chunk import chunk_documents, reconstruct_text
 
 
-def build_chunks(extracted: DataFrame, max_chars: int = 1000, overlap: int = 200) -> DataFrame:
-    """extracted docs → chunks table (doc_id, segment_index, text, metadata)."""
-    return chunk_documents(reconstruct_text(extracted), max_chars=max_chars, overlap=overlap)
+def build_chunks(
+    extracted: DataFrame,
+    max_chars: int = 1000,
+    overlap: int = 200,
+    doc_meta: DataFrame | None = None,
+) -> DataFrame:
+    """extracted docs → chunks table (doc_id, segment_index, text, metadata).
+
+    ``doc_meta`` (doc_id, metadata) carries per-document metadata onto
+    every chunk row — the reference indexes ``metadata.*`` on each segment
+    doc for filterable search (OpenSearchAdapter.scala:56-79,107-127;
+    QdrantAdapter.scala:66-77 payload).  The join is keyed on doc_id —
+    the same key every downstream bucket/upsert uses — and ``doc_meta``
+    is a thin (id, small-map) projection of the ingest batch, so at scale
+    this is one co-keyed shuffle of ids+maps, not a second pass over
+    document text."""
+    text_df = reconstruct_text(extracted)
+    if doc_meta is not None:
+        text_df = text_df.join(
+            doc_meta.select("doc_id", "metadata"), "doc_id", "left"
+        )
+    return chunk_documents(text_df, max_chars=max_chars, overlap=overlap)
 
 
 def build_embeddings(chunks: DataFrame) -> DataFrame:

@@ -228,3 +228,27 @@ def test_word_group_chunks_partition_tokens(words, size):
         assert len(got) <= size
         regrouped.extend(got)
     assert regrouped == toks or (toks == [] and chunks == [])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_audio_word, max_size=30))
+def test_audio_segments_timed_matches_untimed(words):
+    """segment_audio_words_timed segments IDENTICALLY to
+    segment_audio_words; its times are the first/last word start offsets
+    of each segment (the only offsets the input carries)."""
+    timed = golden.segment_audio_words_timed(words)
+    assert [t for t, _s, _e in timed] == golden.segment_audio_words(words)
+    nonempty = [(t, o) for t, o in words if t]
+    # segments partition the nonempty entries in order; greedily consume
+    # entries per segment (joining another entry strictly lengthens the
+    # text, so the match point is unique) and check the ms bounds
+    pos = 0
+    for seg_text, t0, t1 in timed:
+        taken: list[str] = []
+        offs: list[int] = []
+        while " ".join(taken) != seg_text:
+            taken.append(nonempty[pos][0])
+            offs.append(nonempty[pos][1])
+            pos += 1
+        assert t0 == offs[0] and t1 == offs[-1]
+    assert pos == len(nonempty)
