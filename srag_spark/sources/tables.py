@@ -201,6 +201,7 @@ def upsert_by_key(
     key_cols: list[str],
     n_buckets: int = DEFAULT_KEY_BUCKETS,
     max_commit_retries: int = 2,
+    persist_incoming: bool = True,
 ) -> None:
     """MERGE-INTO-equivalent: replace rows matching incoming keys, insert
     the rest (right-biased upsert, S4 semantics).  Reads and rewrites ONLY
@@ -209,17 +210,41 @@ def upsert_by_key(
     (never the one being read), no lineage break / checkpoint is needed
     and a mid-write crash leaves the old snapshot intact.
 
+    In-batch key duplicates are collapsed to ONE row before merging, so
+    the table keeps the primary-key uniqueness the reference's ``INSERT
+    ... ON CONFLICT(id) DO UPDATE`` guarantees
+    (PostgresTranscriptRepository.scala:39-58).  Which duplicate survives
+    is unspecified (SQL statement order does not exist on an unordered
+    DataFrame); it is deterministic when the duplicates are identical
+    rows — the replay case.
+
+    The (deduplicated) incoming plan is consumed by up to three actions
+    (touched-bucket scan, anti-join key distinct, merged write), so it is
+    persisted MEMORY_AND_DISK for the duration of the call and released
+    after — without this, an expensive upstream (the Python parse kernel,
+    the embedding UDF) re-executes per action.  ``persist_incoming=False``
+    opts out for trivially cheap plans (e.g. a bare parquet scan).
+
     Optimistic concurrency: if another writer commits between this
     batch's manifest read and its commit, the commit is rejected (never a
     lost update) and the whole batch retries against the fresh snapshot,
     up to ``max_commit_retries`` times — the reference's Postgres row
     locks replaced by compare-and-publish."""
-    for attempt in range(max_commit_retries + 1):
-        try:
-            return _upsert_once(spark, path, incoming, key_cols, n_buckets)
-        except ManifestCommitRace:
-            if attempt == max_commit_retries:
-                raise
+    from pyspark import StorageLevel
+
+    incoming = incoming.dropDuplicates(key_cols)
+    if persist_incoming:
+        incoming.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for attempt in range(max_commit_retries + 1):
+            try:
+                return _upsert_once(spark, path, incoming, key_cols, n_buckets)
+            except ManifestCommitRace:
+                if attempt == max_commit_retries:
+                    raise
+    finally:
+        if persist_incoming:
+            incoming.unpersist(blocking=False)
 
 
 def _upsert_once(
@@ -263,8 +288,10 @@ def _upsert_once(
 
     # manifest-level pruning: read only touched buckets' live dirs
     existing = read_table(spark, path, buckets=touched)
+    # incoming keys are unique (dropDuplicates in upsert_by_key), so the
+    # anti-join side needs no extra distinct aggregation
     kept = existing.join(
-        incoming.select(*key_cols).distinct(), key_cols, "left_anti"
+        incoming.select(*key_cols), key_cols, "left_anti"
     ).withColumn(BUCKET_COL, _key_bucket(bcol, n_buckets))
     _write_buckets(kept.unionByName(inc), path, commit_id)
     buckets = dict(manifest["buckets"])

@@ -180,3 +180,19 @@ def test_engine_ingest_audio_word_ms_offsets(spark, tmp_path):
     # text-derived words fall back to ordinal offsets
     assert shaped[3] == ("trailing", 3, 4)
     assert shaped[4] == ("text", 4, 5)
+
+
+def test_engine_ingest_parse_kernel_runs_once(spark, tmp_path):
+    """VERDICT r3 #2: the extraction kernel must execute each document
+    exactly once per ingest call (the persisted plan), not once per
+    downstream table action."""
+    eng = SragEngine(spark, str(tmp_path / "kb"), n_buckets=4)
+    docs = _docs(spark, [("a", TEXT_A), ("b", TEXT_B), ("c", "one more doc here")])
+    acc = spark.sparkContext.accumulator(0)
+    eng.ingest(docs, doc_counter=acc)
+    assert acc.value == 3
+    # replay (now against existing tables: delete + 3 incremental upserts
+    # = strictly more actions) still parses each doc exactly once
+    acc2 = spark.sparkContext.accumulator(0)
+    eng.ingest(docs, doc_counter=acc2)
+    assert acc2.value == 3

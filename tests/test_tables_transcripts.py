@@ -432,3 +432,26 @@ def test_concurrent_writer_race_retries_without_lost_update(spark, tmp_path, mon
     # the retry merged ON TOP of the interloper's snapshot
     assert got[("shared", 0)] == "victim"
     assert len(got) == 4
+
+
+def test_upsert_collapses_in_batch_duplicate_keys(spark, tmp_path):
+    """ADVICE r3: two rows with the same key in ONE batch must collapse
+    to a single surviving row (the reference's ON CONFLICT upsert leaves
+    exactly one row per id)."""
+    from srag_spark.sources.tables import read_table, upsert_by_key
+
+    path = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [("k1", "v-a"), ("k1", "v-a"), ("k2", "v-b")], "id string, val string"
+    )
+    upsert_by_key(spark, path, batch, ["id"], n_buckets=4)
+    rows = read_table(spark, path).collect()
+    assert sorted(r["id"] for r in rows) == ["k1", "k2"]
+
+    # incremental path too: duplicate keys in a later batch, one survives
+    batch2 = spark.createDataFrame(
+        [("k2", "v-new"), ("k2", "v-new"), ("k3", "v-c")], "id string, val string"
+    )
+    upsert_by_key(spark, path, batch2, ["id"], n_buckets=4)
+    got = {r["id"]: r["val"] for r in read_table(spark, path).collect()}
+    assert got == {"k1": "v-a", "k2": "v-new", "k3": "v-c"}
