@@ -240,13 +240,20 @@ class SragEngine:
                 delete_by_key(self.spark, path, keys, ["doc_id"])
 
     # -- maintenance -------------------------------------------------------
-    def vacuum(self, keep_manifests: int = 1) -> int:
+    def vacuum(
+        self, keep_manifests: int = 1, min_age_seconds: float = 3600.0
+    ) -> int:
         """Reclaim data dirs unreferenced by recent snapshots across all
-        three tables (run out-of-band; never needed for correctness)."""
+        three tables (run out-of-band; never needed for correctness).
+        ``min_age_seconds`` is the orphan-retention guard protecting
+        concurrent writers' unpublished commits (sources.tables.vacuum)."""
         from srag_spark.sources.tables import vacuum
 
         return sum(
-            vacuum(self.spark, path, keep_manifests=keep_manifests)
+            vacuum(
+                self.spark, path, keep_manifests=keep_manifests,
+                min_age_seconds=min_age_seconds,
+            )
             for path in (
                 self.transcripts_path, self.chunks_path, self.embeddings_path
             )

@@ -68,11 +68,72 @@ def read_text(spark: SparkSession, path: str) -> str:
     return row[0] if row is not None else ""
 
 
+def modification_time_ms(spark: SparkSession, path: str) -> int | None:
+    """FileStatus modification time in ms since epoch; None if absent."""
+    fs = _fs(spark, path)
+    p = _jpath(spark, path)
+    if not fs.exists(p):
+        return None
+    return int(fs.getFileStatus(p).getModificationTime())
+
+
+def current_time_ms(spark: SparkSession) -> int:
+    """JVM clock (System.currentTimeMillis) — the same clock that stamps
+    local/HDFS FileStatus modification times, so age comparisons against
+    :func:`modification_time_ms` are skew-free on those filesystems.  On
+    object stores the store's clock stamps objects; keep retention
+    windows ≫ plausible clock skew."""
+    return int(spark._jvm.System.currentTimeMillis())
+
+
+_CLAIM_STALE_MS = 60_000
+
+
 def rename_atomic(spark: SparkSession, src: str, dst: str) -> bool:
-    """Atomic single-object rename (HDFS/local: atomic; S3: replace with a
-    conditional PUT).  Returns False if ``dst`` already exists — the
-    optimistic-concurrency signal for manifest commits."""
+    """Atomic, EXCLUSIVE single-object publish via rename (S3 proper:
+    replace with a conditional PUT).  Returns False if ``dst`` already
+    exists or another writer is publishing it.
+
+    Plain exists-check-then-rename is TOCTOU-racy on a LOCAL filesystem:
+    Hadoop's RawLocalFileSystem rename is POSIX rename, which OVERWRITES
+    an existing destination, so two racing commits could both 'succeed'
+    and silently drop one update (HDFS rename refuses instead).
+    Exclusivity is therefore taken with an atomic create-exclusive claim
+    object (``FileSystem.create(path, overwrite=false)`` — atomic on
+    local AND HDFS): exactly one racer creates ``<dst>.claim`` and gets
+    to rename; losers return False.  Content atomicity still comes from
+    the rename (readers never see a torn ``dst``).
+
+    Crash recovery: a writer that dies between claim and rename leaves a
+    claim with no ``dst``; a later writer treats a claim older than 60 s
+    whose ``dst`` is still absent as stale, removes it, and re-claims
+    (best-effort — the stale path assumes no writer takes >60 s between
+    claim and rename, which is the same class of assumption as vacuum's
+    retention window)."""
     fs = _fs(spark, src)
-    if fs.exists(_jpath(spark, dst)):
+    dstp = _jpath(spark, dst)
+    if fs.exists(dstp):
         return False
-    return bool(fs.rename(_jpath(spark, src), _jpath(spark, dst)))
+    claim = _jpath(spark, dst + ".claim")
+
+    def try_claim() -> bool:
+        try:
+            fs.create(claim, False).close()
+            return True
+        except Exception:  # noqa: BLE001 — FileAlreadyExists via py4j
+            return False
+
+    if not try_claim():
+        age = None
+        if fs.exists(claim) and not fs.exists(dstp):
+            age = current_time_ms(spark) - int(
+                fs.getFileStatus(claim).getModificationTime()
+            )
+        if age is None or age < _CLAIM_STALE_MS:
+            return False
+        fs.delete(claim, False)  # stale claim from a crashed writer
+        if not try_claim():
+            return False
+    if fs.exists(dstp):  # claimed a version that was published meanwhile
+        return False
+    return bool(fs.rename(_jpath(spark, src), dstp))

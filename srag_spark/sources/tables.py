@@ -390,11 +390,27 @@ def _buckets_in_commit(spark: SparkSession, data_dir: str) -> list[int]:
 # ---------------------------------------------------------------------------
 # maintenance
 # ---------------------------------------------------------------------------
-def vacuum(spark: SparkSession, path: str, keep_manifests: int = 1) -> int:
+def vacuum(
+    spark: SparkSession,
+    path: str,
+    keep_manifests: int = 1,
+    min_age_seconds: float = 3600.0,
+) -> int:
     """Drop data directories unreferenced by the ``keep_manifests`` most
     recent snapshots, plus older manifest files.  Returns the number of
     data dirs removed.  Run out-of-band (never required for correctness —
-    superseded dirs are invisible to readers)."""
+    superseded dirs are invisible to readers).
+
+    ``min_age_seconds`` is the ORPHAN RETENTION guard (the same reason
+    Iceberg's remove_orphan_files defaults to a 3-day cutoff): a
+    concurrent writer that has written its commit dir but not yet
+    published its manifest looks exactly like garbage to vacuum.  Data
+    dirs younger than the window (FS modification time vs the JVM clock)
+    are skipped, so any commit that completes within the window can
+    never have its fresh files deleted out from under its manifest.
+    Set it comfortably above the longest plausible commit duration; 0
+    restores delete-everything-unreferenced (safe only when no writer
+    can possibly be mid-commit)."""
     versions = sorted(
         int(n[1:-5])
         for n in fsio.list_names(spark, f"{path}/{_MANIFEST_DIR}")
@@ -408,11 +424,18 @@ def vacuum(spark: SparkSession, path: str, keep_manifests: int = 1) -> int:
         m = json.loads(fsio.read_text(spark, _manifest_path(path, v)))
         for d in m["buckets"].values():
             live_commits.add(d.split("/")[1])  # data/<commit>/_kb=N
+    cutoff = fsio.current_time_ms(spark) - int(min_age_seconds * 1000)
     removed = 0
     for name in fsio.list_names(spark, f"{path}/data"):
-        if name not in live_commits:
-            fsio.delete(spark, f"{path}/data/{name}")
-            removed += 1
+        if name in live_commits:
+            continue
+        mtime = fsio.modification_time_ms(spark, f"{path}/data/{name}")
+        if mtime is not None and mtime > cutoff:
+            continue  # possibly a concurrent writer's unpublished commit
+        fsio.delete(spark, f"{path}/data/{name}")
+        removed += 1
     for v in versions[:-keep_manifests]:
         fsio.delete(spark, _manifest_path(path, v), recursive=False)
+        # claim objects pair 1:1 with published manifests (fsio.rename_atomic)
+        fsio.delete(spark, _manifest_path(path, v) + ".claim", recursive=False)
     return removed

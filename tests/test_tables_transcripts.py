@@ -174,7 +174,7 @@ def test_vacuum_drops_only_unreferenced_commits(spark, tmp_path):
             ["doc_id", "segment_index"], n_buckets=4,
         )
     before = rows_of(spark, path)
-    removed = vacuum(spark, path)
+    removed = vacuum(spark, path, min_age_seconds=0)
     assert removed >= 1
     assert rows_of(spark, path) == before  # latest snapshot fully intact
 
@@ -326,7 +326,7 @@ def test_time_travel_reads_old_snapshots(spark, tmp_path):
     for v, val in ((1, "v1"), (2, "v2"), (3, "v3")):
         got = read_table(spark, path, version=v).collect()
         assert [(r["doc_id"], r["text"]) for r in got] == [("d1", val)]
-    vacuum(spark, path, keep_manifests=1)
+    vacuum(spark, path, keep_manifests=1, min_age_seconds=0)
     with pytest.raises(FileNotFoundError):
         read_table(spark, path, version=1)
     assert [r["text"] for r in read_table(spark, path).collect()] == ["v3"]
@@ -455,3 +455,105 @@ def test_upsert_collapses_in_batch_duplicate_keys(spark, tmp_path):
     upsert_by_key(spark, path, batch2, ["id"], n_buckets=4)
     got = {r["id"]: r["val"] for r in read_table(spark, path).collect()}
     assert got == {"k1": "v-a", "k2": "v-new", "k3": "v-c"}
+
+
+def test_vacuum_retention_protects_inflight_commit(spark, tmp_path):
+    """VERDICT/ADVICE r3: vacuum must not delete a concurrent writer's
+    fresh-but-unpublished commit dir.  Simulate a writer that has run
+    _write_buckets but not yet commit_manifest; vacuum with the default
+    retention window must skip the young dir, and the subsequent commit
+    must yield a fully readable snapshot."""
+    from srag_spark.sources.tables import (
+        BUCKET_COL,
+        _buckets_in_commit,
+        _key_bucket,
+        _write_buckets,
+        commit_manifest,
+        read_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    schema = "doc_id string, segment_index int, text string"
+    upsert_by_key(
+        spark, path,
+        spark.createDataFrame([("d1", 0, "v1")], schema),
+        ["doc_id", "segment_index"], n_buckets=4,
+    )
+
+    # concurrent writer: data written, manifest NOT yet published.  Use a
+    # doc id hashing to a DIFFERENT bucket than d1 — this simulated
+    # writer skips the merge a real same-bucket upsert would do
+    from pyspark.sql import functions as F
+
+    probe = spark.createDataFrame(
+        [(f"d{i}",) for i in range(2, 20)], "doc_id string"
+    ).withColumn(BUCKET_COL, _key_bucket("doc_id", 4))
+    d1_bucket = (
+        spark.createDataFrame([("d1",)], "doc_id string")
+        .withColumn(BUCKET_COL, _key_bucket("doc_id", 4))
+        .collect()[0][BUCKET_COL]
+    )
+    other = probe.filter(F.col(BUCKET_COL) != d1_bucket).collect()[0]["doc_id"]
+    inc = spark.createDataFrame([(other, 0, "v2")], schema).withColumn(
+        BUCKET_COL, _key_bucket("doc_id", 4)
+    )
+    commit_id = "cinflight"
+    _write_buckets(inc, path, commit_id)
+
+    # vacuum with the retention window: the young dir must survive
+    removed = vacuum(spark, path, keep_manifests=1)
+    m = read_manifest(spark, path)
+    buckets = dict(m["buckets"])
+    for b in _buckets_in_commit(spark, f"{path}/data/{commit_id}"):
+        buckets[str(b)] = f"data/{commit_id}/{BUCKET_COL}={b}"
+    commit_manifest(
+        spark, path,
+        {"n_buckets": 4, "bucket_col": "doc_id", "schema": m["schema"],
+         "buckets": buckets},
+        expected_prev=m["version"],
+    )
+    got = {r["doc_id"]: r["text"] for r in read_table(spark, path).collect()}
+    assert got == {"d1": "v1", other: "v2"}, f"snapshot corrupted: {got}, removed={removed}"
+
+    # and WITHOUT the guard the same young dir is deleted (the hazard
+    # the retention window exists for)
+    _write_buckets(inc, path, "cinflight2")
+    vacuum(spark, path, keep_manifests=1, min_age_seconds=0)
+    from srag_spark.sources import fsio
+
+    assert not fsio.exists(spark, f"{path}/data/cinflight2")
+
+
+def test_rename_atomic_excludes_racers_and_recovers_stale_claims(spark, tmp_path):
+    """ADVICE r3 (fsio TOCTOU): publishing is exclusive via an atomic
+    create-exclusive claim — the second writer to the same destination
+    loses even though POSIX rename would overwrite; a claim left by a
+    crashed writer (no destination) blocks only until it goes stale."""
+    from srag_spark.sources import fsio
+
+    base = str(tmp_path / "m")
+    fsio.mkdirs(spark, base)
+    fsio.write_text(spark, f"{base}/t1", "one")
+    fsio.write_text(spark, f"{base}/t2", "two")
+    dst = f"{base}/v1.json"
+    assert fsio.rename_atomic(spark, f"{base}/t1", dst) is True
+    # loser: destination exists
+    assert fsio.rename_atomic(spark, f"{base}/t2", dst) is False
+    assert fsio.read_text(spark, dst) == "one"  # not overwritten
+
+    # crashed writer: claim exists, destination never published
+    dst2 = f"{base}/v2.json"
+    fsio.write_text(spark, dst2 + ".claim", "")
+    # fresh claim blocks other writers
+    assert fsio.rename_atomic(spark, f"{base}/t2", dst2) is False
+    # stale claim (backdate mtime beyond the 60s threshold) is reclaimed
+    import time
+
+    jfs = fsio._fs(spark, dst2)
+    jfs.setTimes(
+        fsio._jpath(spark, dst2 + ".claim"),
+        int(time.time() * 1000) - 120_000,
+        -1,
+    )
+    assert fsio.rename_atomic(spark, f"{base}/t2", dst2) is True
+    assert fsio.read_text(spark, dst2) == "two"
