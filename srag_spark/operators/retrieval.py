@@ -172,10 +172,18 @@ def bm25_topk(
         .groupBy(*_KEY)
         .agg(F.sum("term_score").alias("score"))
     )
+    # top-k FIRST, then broadcast the ≤k winners back to fetch text: the
+    # score relation alone enters the sort-limit (per-partition top-k +
+    # driver merge), and the text join moves only k rows' keys instead of
+    # shuffling every chunk containing any query term (VERDICT r3 #5 —
+    # on a 100 TB chunks table with a common term that join was the
+    # dominant data motion)
+    topk = scored.orderBy(F.desc("score"), *_KEY).limit(k)
     return (
-        scored.join(docs.select(*_KEY, "text"), list(_KEY))
+        docs.select(*_KEY, "text")
+        .join(F.broadcast(topk), list(_KEY))
+        .select(*_KEY, "text", "score")
         .orderBy(F.desc("score"), *_KEY)
-        .limit(k)
     )
 
 
