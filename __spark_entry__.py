@@ -1508,6 +1508,20 @@ def q_dedup_lines(spark, sf_dir):
     )
 
 
+def q_dedup_lines_agg(spark, sf_dir):
+    """Skew-guarded twin of :func:`q_dedup_lines`: groupBy-min + join-back
+    (dedup.line_dedup_flags mode="agg") — selectable for boilerplate
+    lines with extreme copy counts.  Same oracle, hash-equal output."""
+    from srag_spark.operators.dedup import line_dedup_flags
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat("text", F.lit(_BOILER)).alias("text")
+    )
+    return line_dedup_flags(docs, mode="agg").select(
+        "doc_id", "pos", F.md5("line").alias("line_md5"), "keep"
+    )
+
+
 def _dedup_lines_sql() -> str:
     norm = "trim(regexp_replace(lower(line), '[^a-z0-9]+', ' ', 'g'))"
     return f"""
@@ -1716,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "curate_corpus_cc": q_curate_corpus_cc,
         "dedup_lines": q_dedup_lines,
+        "dedup_lines_agg": q_dedup_lines_agg,
         "repetition_stats": q_repetition_stats,
         "mm_decode_media": q_mm_decode_media,
         "mm_extract_features": q_mm_extract_features,
@@ -2056,6 +2071,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _curate_sql(),
         "curate_corpus_cc": _curate_sql(mode="cc"),
         "dedup_lines": _dedup_lines_sql(),
+        "dedup_lines_agg": _dedup_lines_sql(),
         "repetition_stats": _REPETITION_SQL,
         "mm_decode_media": _mm_decode_sql(),
         "mm_extract_features": _mm_features_sql(),

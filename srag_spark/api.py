@@ -240,6 +240,19 @@ class SragEngine:
                 delete_by_key(self.spark, path, keys, ["doc_id"])
 
     # -- maintenance -------------------------------------------------------
+    def health(self) -> list:
+        """J8/J9 parity (HealthCheckService.scala:62-75): aggregated
+        health over the three table roots — every latest snapshot
+        readable and complete, root writable.  Returns the check results;
+        raises RuntimeError listing every failure."""
+        from srag_spark.plans.preflight import health_check
+
+        return health_check(
+            self.spark,
+            [self.transcripts_path, self.chunks_path, self.embeddings_path],
+            self.root,
+        )
+
     def vacuum(
         self, keep_manifests: int = 1, min_age_seconds: float = 3600.0
     ) -> int:

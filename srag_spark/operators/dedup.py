@@ -384,6 +384,7 @@ def line_dedup_flags(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    mode: str = "window",
 ) -> DataFrame:
     """(doc_id, pos, line, keep) — corpus-wide line-level dedup verdicts,
     the C4 pipeline's "discard any duplicated line" rule (the classic
@@ -400,10 +401,22 @@ def line_dedup_flags(
         pos)) of its group — one occurrence of every line survives, so
         reassembling kept lines loses no unique content.
 
-    Plan shape at 100 TB: one explode + one window over the line-hash
-    (every copy of one line in one partition — the same skew boundary as
-    window-min exact dedup; astronomically-duplicated boilerplate wants
-    the groupBy + join-back form instead, same as curation's note).
+    Plan shape at 100 TB — two selectable forms, bit-identical output:
+
+    * ``mode="window"`` (default): one explode + one window over the
+      line-hash.  Every copy of one line lands in ONE partition's sort —
+      fine at normal duplication, a straggler when one boilerplate line
+      has astronomically many copies (exactly the case C4 line dedup
+      exists for), because WindowExec cannot split a partition key.
+    * ``mode="agg"`` (the skew guard, VERDICT r3 #6): ``groupBy(hash).
+      agg(min(struct(doc_id, pos)))`` + equi-join back.  The min is a
+      partial aggregate — each task pre-reduces its copies of the hot
+      hash to ONE row before the shuffle — and the join-back is an
+      AQE-splittable equi-join (skew-join splits the fat side and
+      replicates the 1-row-per-key firsts), neither of which the window
+      form allows.  Costs one extra shuffle at uniform duplication; wins
+      whenever a single line dominates.
+
     Reassembly is the caller's ``array_join(collect_list(...))``."""
     lines = (
         docs.select(
@@ -413,11 +426,31 @@ def line_dedup_flags(
         .select("doc_id", "pos", F.trim("raw").alias("line"))
         .filter(F.length("line") > 0)
     )
+    line_hash = F.md5(norm_text_col(F.col("line")))
+    if mode == "agg":
+        hashed = lines.withColumn("_lh", line_hash)
+        firsts = hashed.groupBy("_lh").agg(
+            # struct min = lexicographic (doc_id, pos) — the same global
+            # first the window's ORDER BY doc_id, pos selects
+            F.min(F.struct("doc_id", "pos")).alias("_first")
+        )
+        return (
+            hashed.join(firsts, "_lh")
+            .select(
+                "doc_id",
+                "pos",
+                "line",
+                (
+                    (F.col("doc_id") == F.col("_first.doc_id"))
+                    & (F.col("pos") == F.col("_first.pos"))
+                ).alias("keep"),
+            )
+        )
+    if mode != "window":
+        raise ValueError(f"unknown line-dedup mode {mode!r}")
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.md5(norm_text_col(F.col("line")))).orderBy(
-        "doc_id", "pos"
-    )
+    w = Window.partitionBy(line_hash).orderBy("doc_id", "pos")
     return lines.select(
         "doc_id",
         "pos",

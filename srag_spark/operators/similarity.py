@@ -126,13 +126,19 @@ def train_centroids_kmeans(
 
     cents = make_centroids(n_centroids, dim)
     v = F.col(vec_col)
+    # malformed embeddings (null vector, wrong dimension) would yield a
+    # null cell / null avg aggregates and crash the driver-side update —
+    # drop them once, before training (ADVICE r3)
+    emb = emb.filter(v.isNotNull() & (F.size(v) == dim))
     for _ in range(iters):
         assigned = emb.select(ivf_cell_col(vec_col, cents).alias("cell"), v.alias("v"))
         aggs = [F.avg(F.element_at("v", i + 1)).alias(f"d{i}") for i in range(dim)]
         rows = assigned.groupBy("cell").agg(*aggs).collect()
         new = [list(c) for c in cents]
         for r in rows:
-            vec = [float(r[f"d{i}"]) for i in range(dim)]
+            if r["cell"] is None:
+                continue  # belt-and-braces: nulls inside a valid-size vec
+            vec = [float(r[f"d{i}"]) if r[f"d{i}"] is not None else 0.0 for i in range(dim)]
             norm = math.sqrt(sum(x * x for x in vec)) or 1.0
             new[r["cell"] - 1] = [x / norm for x in vec]
         cents = new

@@ -52,6 +52,50 @@ def check_output_writable(spark: SparkSession, path: str) -> CheckResult:
         return CheckResult("output_writable", False, str(exc))
 
 
+def check_manifest_table(spark: SparkSession, path: str) -> CheckResult:
+    """A manifest-committed table (sources.tables) is healthy: latest
+    manifest parses and every bucket dir it references exists.  An
+    absent table is healthy-vacuously (first ingest will create it) —
+    the reference likewise reports per-dependency status rather than
+    failing on cold stores (HealthCheckService.scala:62-75)."""
+    from srag_spark.sources.tables import read_manifest
+
+    name = f"table:{path.rstrip('/').rsplit('/', 1)[-1]}"
+    try:
+        manifest = read_manifest(spark, path)
+    except Exception as exc:  # noqa: BLE001
+        return CheckResult(name, False, f"manifest unreadable: {exc}")
+    if manifest is None:
+        return CheckResult(name, True, "absent (no snapshot yet)")
+    missing = [
+        d
+        for d in manifest["buckets"].values()
+        if not fsio.exists(spark, f"{path}/{d}")
+    ]
+    if missing:
+        return CheckResult(
+            name, False, f"v{manifest['version']} references missing dirs: "
+            f"{missing[:3]}{'...' if len(missing) > 3 else ''}"
+        )
+    return CheckResult(name, True, f"v{manifest['version']}")
+
+
+def health_check(spark: SparkSession, table_paths: list[str], root: str) -> list[CheckResult]:
+    """J8 aggregated health over an engine root: every table's latest
+    snapshot is readable+complete and the root is writable.  Raises
+    RuntimeError listing ALL failures (the reference's aggregated
+    unhealthy-ports report)."""
+    results = [check_manifest_table(spark, p) for p in table_paths]
+    results.append(check_output_writable(spark, root))
+    failures = [r for r in results if not r.ok]
+    if failures:
+        raise RuntimeError(
+            "health check failed: "
+            + "; ".join(f"{r.name}: {r.detail}" for r in failures)
+        )
+    return results
+
+
 def preflight(spark: SparkSession, input_path: str, output_path: str) -> list[CheckResult]:
     """All checks; raises RuntimeError listing every failure (the
     reference aggregates unhealthy ports the same way)."""

@@ -427,3 +427,46 @@ def test_line_dedup_flags_keeps_global_first(spark):
     assert got[("2", 0)] == ("shared boilerplate line", False)  # dup (case/punct-insensitive)
     assert got[("2", 1)] == ("Unique gamma", True)
     assert got[("3", 0)] == ("Totally distinct text here", True)
+
+
+def test_line_dedup_agg_mode_equals_window_mode(spark):
+    """mode="agg" (skew-guarded groupBy-min + join-back) is bit-identical
+    to the window form, including on an extremely duplicated line."""
+    from srag_spark.operators.dedup import line_dedup_flags
+
+    rows = [(f"d{i:03d}", f"unique {i} content. Subscribe to our newsletter")
+            for i in range(60)]
+    rows.append(("d999", "Subscribe to our newsletter"))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    key = lambda df: sorted(
+        (r["doc_id"], r["pos"], r["line"], r["keep"]) for r in df.collect()
+    )
+    assert key(line_dedup_flags(docs, mode="agg")) == key(
+        line_dedup_flags(docs, mode="window")
+    )
+
+
+def test_kmeans_training_tolerates_malformed_embeddings(spark):
+    """ADVICE r3: null / wrong-dim vectors must not crash training, and
+    must not change the centroids trained from the valid rows."""
+    import random
+
+    from srag_spark.operators.similarity import train_centroids_kmeans
+
+    rnd = random.Random(7)
+    dim = 8
+
+    def unit(seed):
+        v = [rnd.gauss(0, 1) for _ in range(dim)]
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        return [x / n for x in v]
+
+    good = [(i, unit(i)) for i in range(40)]
+    schema = "vec_id int, embedding array<double>"
+    clean = spark.createDataFrame(good, schema)
+    dirty = spark.createDataFrame(
+        good + [(100, None), (101, [1.0, 0.0]), (102, [])], schema
+    )
+    c1 = train_centroids_kmeans(clean, n_centroids=4, dim=dim, iters=2)
+    c2 = train_centroids_kmeans(dirty, n_centroids=4, dim=dim, iters=2)
+    assert c1 == c2

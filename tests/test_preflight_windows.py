@@ -80,3 +80,36 @@ def test_windowed_counts_streaming_with_watermark(spark, tmp_path):
     # hour-0 window closed (watermark advanced by the 05:00 event);
     # hour-5's own window is still open → not emitted in append mode
     assert closed == {("2024-01-01 00:00:00", "click"): 2}
+
+
+def test_engine_health_facade(spark, tmp_path):
+    """VERDICT r3 #7: SragEngine.health() — healthy on a cold root,
+    healthy after ingest, failing with an aggregated report when a
+    snapshot references missing data."""
+    import pytest
+
+    from srag_spark.api import SragEngine
+    from srag_spark.schema import DOCUMENTS_SCHEMA
+    from srag_spark.sources import fsio
+    from srag_spark.sources.tables import read_manifest
+
+    eng = SragEngine(spark, str(tmp_path / "kb"), n_buckets=4)
+    # cold root: tables absent → vacuously healthy, root writable
+    results = eng.health()
+    assert all(r.ok for r in results)
+
+    docs = spark.createDataFrame(
+        [("a", [{"kind": "text", "text": "hello world doc", "media_ref": None,
+                 "offset": 0}])],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    eng.ingest(docs)
+    results = eng.health()
+    assert all(r.ok for r in results) and len(results) == 4
+
+    # break the transcripts snapshot: delete a referenced bucket dir
+    m = read_manifest(spark, eng.transcripts_path)
+    victim = next(iter(m["buckets"].values()))
+    fsio.delete(spark, f"{eng.transcripts_path}/{victim}")
+    with pytest.raises(RuntimeError, match="table:transcripts"):
+        eng.health()
