@@ -1691,6 +1691,92 @@ def _mm_features_sql() -> str:
     """
 
 
+PACK_BUDGET = 512
+MIX_RATES = {"en": 1.0, "zh": 0.25, "fr": 0.5}
+MIX_DEFAULT_RATE = 0.4
+MIX_SEED = 42
+
+
+def q_corpus_pack_sequences(spark, sf_dir):
+    """GPT-style contiguous sequence packing (corpus.pack_sequences):
+    concat all docs' tokens in doc_id order, cut into 512-token training
+    windows, emit each doc's [start,end) positions per window.  The
+    global running token sum is a distributed two-phase prefix sum
+    (range shuffle + per-partition window + P driver-side carries), NOT
+    a single-partition global window.  Oracle: plain window cumsum +
+    generate_series in DuckDB."""
+    from srag_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=PACK_BUDGET
+    ).select("doc_id", "n_tokens", "pack_id", "pack_start", "pack_end")
+
+
+def _pack_sequences_sql() -> str:
+    b = PACK_BUDGET
+    return f"""
+        WITH t AS (
+          SELECT doc_id, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+          FROM documents WHERE len({_WORDS_SQL}) > 0
+        ),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+          FROM t
+        ),
+        e AS (
+          SELECT doc_id, n_tokens, cum_end - n_tokens AS cum_start, cum_end FROM c
+        ),
+        x AS (
+          SELECT doc_id, n_tokens, cum_start, cum_end,
+                 unnest(generate_series(cum_start // {b}, (cum_end - 1) // {b})) AS pack_id
+          FROM e
+        )
+        SELECT doc_id, n_tokens, pack_id,
+               greatest(cum_start, pack_id * {b}) - pack_id * {b} AS pack_start,
+               least(cum_end, (pack_id + 1) * {b}) - pack_id * {b} AS pack_end
+        FROM x
+    """
+
+
+def q_corpus_sample_mixture(spark, sf_dir):
+    """Deterministic per-language mixture sampling
+    (corpus.sample_mixture): md5(doc_id:seed) hex-threshold verdicts —
+    engine-independent, parallelism-independent, no RNG state; survivors
+    carry weight = 1/rate."""
+    from srag_spark.operators.corpus import sample_mixture
+
+    return sample_mixture(
+        _t(spark, sf_dir, "documents"),
+        MIX_RATES,
+        group_col="lang",
+        seed=MIX_SEED,
+        default_rate=MIX_DEFAULT_RATE,
+    ).select("doc_id", "lang", F.round("weight", 6).alias("weight_r"))
+
+
+def _sample_mixture_sql() -> str:
+    from srag_spark.operators.corpus import _rate_threshold_hex
+
+    whens = " ".join(
+        f"WHEN lang = '{g}' THEN '{_rate_threshold_hex(r)}'"
+        for g, r in sorted(MIX_RATES.items())
+    )
+    wwhens = " ".join(
+        f"WHEN lang = '{g}' THEN {1.0 / r if r > 0 else 0.0!r}"
+        for g, r in sorted(MIX_RATES.items())
+    )
+    thr_default = _rate_threshold_hex(MIX_DEFAULT_RATE)
+    w_default = 1.0 / MIX_DEFAULT_RATE
+    return f"""
+        SELECT doc_id, lang,
+               round(CASE {wwhens} ELSE {w_default!r} END, 6) AS weight_r
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':{MIX_SEED}'), 1, 8)
+              < (CASE {whens} ELSE '{thr_default}' END)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s5_scan_sorted": q_s5_scan_sorted,
@@ -1734,6 +1820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "mm_decode_media": q_mm_decode_media,
         "mm_extract_features": q_mm_extract_features,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
+        "corpus_sample_mixture": q_corpus_sample_mixture,
     }
 
 
@@ -2072,6 +2160,8 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus_cc": _curate_sql(mode="cc"),
         "dedup_lines": _dedup_lines_sql(),
         "dedup_lines_agg": _dedup_lines_sql(),
+        "corpus_pack_sequences": _pack_sequences_sql(),
+        "corpus_sample_mixture": _sample_mixture_sql(),
         "repetition_stats": _REPETITION_SQL,
         "mm_decode_media": _mm_decode_sql(),
         "mm_extract_features": _mm_features_sql(),

@@ -61,6 +61,8 @@ HEADLINE_QUERY_NAMES = [
     "dedup_lines",
     # round 4 additions
     "dedup_lines_agg",
+    "corpus_pack_sequences",
+    "corpus_sample_mixture",
 ]
 
 

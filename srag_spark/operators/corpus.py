@@ -1,0 +1,179 @@
+"""Training-corpus composition operators: sequence packing + mixture
+sampling — the step between a curated corpus and a training run.
+
+Beyond the reference's own surface (its pipeline ends at indexed
+retrieval); these are the standard operations a 100 TB pretraining
+pipeline applies AFTER curation (SURVEY §8 training-data additions):
+
+* :func:`pack_sequences` — GPT-style contiguous packing: conceptually
+  concatenate every document's tokens in a fixed global order and cut
+  the stream into fixed-size training windows; emit which window(s) each
+  document lands in and at which positions.  The core is a GLOBAL
+  running token sum — the naive Spark form is a global window
+  (``Window.orderBy(...)`` with no partition key), which moves the whole
+  corpus into ONE task.  Implemented instead as the classic distributed
+  prefix-sum: range-repartition on the order key, per-partition window
+  cumsum, plus a per-partition offset computed from the P partition
+  totals (P numbers to the driver — never row data).
+
+* :func:`sample_mixture` — deterministic per-group hash sampling for
+  training mixtures ("keep 30% of web, 100% of books"): a doc survives
+  iff the first 8 hex chars of ``md5(doc_id:seed)`` fall below the
+  group's rate threshold.  Pure row-local native expressions — no
+  shuffle, no RNG state, identical verdicts at any parallelism and in
+  the DuckDB oracle (md5 is engine-independent; thresholds compare as
+  hex strings so no 64-bit hash algorithm needs to match).  Survivors
+  carry ``weight = 1/rate`` for unbiased loss/statistics reweighting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16 ** 8
+
+
+def _rate_threshold_hex(rate: float) -> str:
+    """8-hex-digit string threshold st. P[substr(md5,1,8) < thr] = rate.
+    'z' > 'f' lexicographically, so 'zzzzzzzz' means keep-all (a 9-digit
+    '100000000' would compare LOWER than most 8-digit hashes)."""
+    if rate >= 1.0:
+        return "zzzzzzzz"
+    return format(max(int(round(rate * _HEX_SPACE)), 0), "08x")
+
+
+def token_count_col(text_col) -> "F.Column":
+    """Whitespace token count, empties dropped — the P1 tokenizer's
+    cardinality (golden.tokenize_ws), as a native column."""
+    return F.size(F.array_remove(F.split(text_col, r"\s+"), ""))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-``budget`` training sequences.
+
+    Spec (frozen, deterministic): order docs by ``id_col`` ascending;
+    concatenate their whitespace tokens into one global stream; window w
+    covers token positions [w*budget, (w+1)*budget).  For every window a
+    doc overlaps, emit one row:
+
+        (doc_id, n_tokens, pack_id, pack_start, pack_end)
+
+    with pack_start/pack_end the doc's [start, end) token positions
+    WITHIN that window.  Docs longer than ``budget`` straddle several
+    windows (the concat-then-split pretraining semantics); zero-token
+    docs are dropped.
+
+    Scale shape: ONE range shuffle on the order key + per-partition
+    window cumsum; the cross-partition carry is P partition totals
+    collected to the driver and rebroadcast as a literal map — the
+    standard two-phase parallel prefix sum.  The result is independent
+    of the partition boundaries (the cumsum is defined by the global
+    order alone), so any partition count gives identical output.
+    """
+    spark = docs.sparkSession
+    P = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    # range partitioning puts partition i's ids strictly below partition
+    # i+1's, so per-partition cumsums + ordered offsets compose to the
+    # global cumsum.  Persist: the partition totals AND the main plan
+    # both consume this frame, and the sampled range boundaries must be
+    # the same in both executions.
+    ordered = (
+        toks.repartitionByRange(P, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        totals = {
+            r["_pid"]: r["t"]
+            for r in ordered.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += totals[pid]
+        off_map = F.create_map(
+            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        )
+        w = (
+            Window.partitionBy("_pid")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = ordered.select(
+            "doc_id",
+            "n_tokens",
+            (off_map[F.col("_pid")] + F.sum("n_tokens").over(w)).alias("cum_end"),
+        ).withColumn("cum_start", F.col("cum_end") - F.col("n_tokens"))
+        b = F.lit(int(budget)).cast("long")
+        packed = cum.select(
+            "doc_id",
+            "n_tokens",
+            "cum_start",
+            "cum_end",
+            F.explode(
+                F.sequence(
+                    F.expr(f"cum_start div {int(budget)}"),
+                    F.expr(f"(cum_end - 1) div {int(budget)}"),
+                )
+            ).alias("pack_id"),
+        ).select(
+            "doc_id",
+            "n_tokens",
+            "pack_id",
+            (F.greatest("cum_start", F.col("pack_id") * b) - F.col("pack_id") * b)
+            .alias("pack_start"),
+            (F.least("cum_end", (F.col("pack_id") + 1) * b) - F.col("pack_id") * b)
+            .alias("pack_end"),
+        )
+        # materialize before releasing the range-partitioned parent: the
+        # rows are tiny (5 numbers/doc-window) and callers may consume
+        # the frame after this function returns
+        return packed.localCheckpoint(eager=True)
+    finally:
+        ordered.unpersist(blocking=False)
+
+
+def sample_mixture(
+    docs: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    seed: int = 42,
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group mixture sampling.
+
+    A doc survives iff ``substr(md5(doc_id || ':' || seed), 1, 8)``
+    compares below its group's hex threshold — a pure function of
+    (doc_id, seed), so the sample is reproducible across runs, cluster
+    sizes, and engines, and re-sampling with a new seed is independent.
+    Groups absent from ``rates`` use ``default_rate``.  Adds
+    ``weight = 1/rate`` (inverse sampling probability).
+    """
+    hex8 = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{int(seed)}"))),
+        1,
+        8,
+    )
+    thr = F.lit(_rate_threshold_hex(default_rate))
+    wt = F.lit(1.0 / default_rate if default_rate > 0 else 0.0)
+    for g in sorted(rates):
+        r = rates[g]
+        thr = F.when(F.col(group_col) == F.lit(g), F.lit(_rate_threshold_hex(r))).otherwise(thr)
+        wt = F.when(
+            F.col(group_col) == F.lit(g), F.lit(1.0 / r if r > 0 else 0.0)
+        ).otherwise(wt)
+    return docs.filter(hex8 < thr).withColumn("weight", wt)

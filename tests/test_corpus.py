@@ -1,0 +1,122 @@
+"""Training-corpus composition operators (operators/corpus.py):
+sequence packing + mixture sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from srag_spark.operators.corpus import (
+    _rate_threshold_hex,
+    pack_sequences,
+    sample_mixture,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "f g"),
+            (3, ""),          # zero tokens → dropped
+            (4, "h i j k l m n o p q r s"),  # 12 tokens: straddles windows
+            (5, "t"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_pack_sequences_spec(spark):
+    """Frozen spec at budget=8: stream positions d1[0,5) d2[5,7)
+    d4[7,19) d5[19,20) → window assignments with within-pack offsets."""
+    out = sorted(
+        tuple(r)
+        for r in pack_sequences(_docs(spark), budget=8)
+        .select("doc_id", "n_tokens", "pack_id", "pack_start", "pack_end")
+        .collect()
+    )
+    assert out == [
+        (1, 5, 0, 0, 5),
+        (2, 2, 0, 5, 7),
+        (4, 12, 0, 7, 8),   # head of doc 4 fills window 0
+        (4, 12, 1, 0, 8),   # full middle window
+        (4, 12, 2, 0, 3),   # tail
+        (5, 1, 2, 3, 4),
+    ]
+
+
+def test_pack_sequences_invariants_and_partition_independence(spark):
+    """Per-doc pack slices sum to its token count; windows fill
+    contiguously; and the output is identical at any partition count
+    (the distributed prefix sum is defined by the global order alone)."""
+    import random
+
+    rnd = random.Random(3)
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(rnd.randint(0, 40))))
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    budget = 64
+    a = pack_sequences(docs, budget=budget, n_partitions=3)
+    b = pack_sequences(docs, budget=budget, n_partitions=11)
+    rows = sorted(tuple(r) for r in a.collect())
+    assert rows == sorted(tuple(r) for r in b.collect())
+
+    per_doc: dict[int, int] = {}
+    per_pack: dict[int, int] = {}
+    for doc_id, n_tokens, pack_id, s, e in rows:
+        assert 0 <= s < e <= budget
+        per_doc[doc_id] = per_doc.get(doc_id, 0) + (e - s)
+        per_pack[pack_id] = per_pack.get(pack_id, 0) + (e - s)
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(F.array_remove(F.split("text", r"\s+"), "")).alias("n"),
+        ).collect()
+        if r["n"] > 0
+    }
+    assert per_doc == toks
+    # every window except the last is exactly full
+    last = max(per_pack)
+    for pid, n in per_pack.items():
+        assert n == budget or pid == last
+
+
+def test_sample_mixture_deterministic_and_weighted(spark):
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 3 else "books") for i in range(3000)],
+        "doc_id long, source string",
+    )
+    rates = {"web": 0.3, "books": 1.0}
+    s1 = sample_mixture(docs, rates, group_col="source", seed=11)
+    s2 = sample_mixture(docs.repartition(17), rates, group_col="source", seed=11)
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in s2.collect())
+
+    by_group = {
+        r["source"]: (r["n"], r["w"])
+        for r in s1.groupBy("source")
+        .agg(F.count("*").alias("n"), F.first("weight").alias("w"))
+        .collect()
+    }
+    n_books_total = 3000 - 2000
+    assert by_group["books"] == (n_books_total, 1.0)  # rate 1.0 keeps all
+    n_web, w_web = by_group["web"]
+    assert abs(w_web - 1.0 / 0.3) < 1e-9
+    assert 0.2 * 2000 < n_web < 0.4 * 2000  # ~30% of the 2000 web docs
+
+    # a different seed draws an independent sample
+    ids3 = sorted(
+        r["doc_id"] for r in sample_mixture(
+            docs, rates, group_col="source", seed=12
+        ).collect()
+    )
+    assert ids3 != ids1
+
+
+def test_rate_threshold_hex_edges():
+    assert _rate_threshold_hex(0.0) == "00000000"
+    assert _rate_threshold_hex(1.0) == "zzzzzzzz"   # > every hex digit
+    assert _rate_threshold_hex(1.5) == "zzzzzzzz"
+    assert _rate_threshold_hex(0.5) == format(2 ** 31, "08x")
