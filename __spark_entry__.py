@@ -1777,6 +1777,47 @@ def _sample_mixture_sql() -> str:
     """
 
 
+DECONTAM_N = 8  # synth docs are short; real pipelines use 13
+
+
+def q_corpus_decontaminate(spark, sf_dir):
+    """Benchmark-decontamination scan (corpus.find_contamination): docs
+    whose doc_id % 50 == 0 act as the 'eval benchmark'; every doc is
+    checked for order-8 token-window overlap with that set (the planted
+    true positives are the eval docs themselves — full self-overlap).
+    Eval window hashes broadcast; train side explodes linearly."""
+    from srag_spark.operators.corpus import find_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return find_contamination(
+        docs, docs.filter(F.col("doc_id") % 50 == 0), n=DECONTAM_N
+    )
+
+
+def _decontaminate_sql() -> str:
+    n = DECONTAM_N
+    return f"""
+        WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS t FROM documents),
+        w AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_slice(t, i, i + {n - 1}), ' ')) AS h
+          FROM (
+            SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
+            FROM toks WHERE len(t) >= {n}
+          )
+        ),
+        eh AS (SELECT DISTINCT h FROM w WHERE doc_id % 50 = 0),
+        hits AS (
+          SELECT w.doc_id, count(*)::BIGINT AS ngram_hits
+          FROM w JOIN eh USING (h) GROUP BY w.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(h.ngram_hits, 0)::BIGINT AS ngram_hits,
+               COALESCE(h.ngram_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s5_scan_sorted": q_s5_scan_sorted,
@@ -1822,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_extract_features": q_mm_extract_features,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_sample_mixture": q_corpus_sample_mixture,
+        "corpus_decontaminate": q_corpus_decontaminate,
     }
 
 
@@ -2162,6 +2204,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines_agg": _dedup_lines_sql(),
         "corpus_pack_sequences": _pack_sequences_sql(),
         "corpus_sample_mixture": _sample_mixture_sql(),
+        "corpus_decontaminate": _decontaminate_sql(),
         "repetition_stats": _REPETITION_SQL,
         "mm_decode_media": _mm_decode_sql(),
         "mm_extract_features": _mm_features_sql(),

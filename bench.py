@@ -63,6 +63,7 @@ HEADLINE_QUERY_NAMES = [
     "dedup_lines_agg",
     "corpus_pack_sequences",
     "corpus_sample_mixture",
+    "corpus_decontaminate",
 ]
 
 

@@ -146,6 +146,69 @@ def pack_sequences(
         ordered.unpersist(blocking=False)
 
 
+def ngram_hash_col(text_col, n: int) -> "F.Column":
+    """All order-n token-window hashes of a text, as
+    ``array<string>`` of md5(space-joined window) — native
+    sequence/transform/slice, no UDF.  Empty/short texts give []."""
+    toks = F.array_remove(F.split(text_col, r"\s+"), "")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def find_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-decontamination scan: for every training doc, count how
+    many of its order-``n`` token windows appear ANYWHERE in the eval
+    set (the standard n-gram overlap test used to scrub benchmark leaks
+    from pretraining corpora; n=13 is the common choice).
+
+    Returns (doc_id, ngram_hits, contaminated) for EVERY train doc —
+    docs shorter than ``n`` tokens have 0 windows and are clean.
+
+    Scale shape: the eval set's distinct window hashes are a SMALL
+    relation (eval sets are benchmarks, not corpora) → broadcast; the
+    train side explodes to one row per token window (linear in corpus
+    tokens) and the broadcast hash join discards non-matches before any
+    shuffle — the only shuffle is the per-doc hit count over the
+    (rare) surviving matches, plus the final broadcast join-back of
+    the tiny hit relation onto the train ids.  Nothing quadratic,
+    nothing driver-side.
+    """
+    eval_hashes = (
+        eval_docs.select(
+            F.explode(ngram_hash_col(F.col(text_col), n)).alias("_h")
+        ).distinct()
+    )
+    train_ids = train.select(F.col(id_col).alias("doc_id"))
+    windows = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ngram_hash_col(F.col(text_col), n)).alias("_h"),
+    )
+    hits = (
+        windows.join(F.broadcast(eval_hashes), "_h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("ngram_hits"))
+    )
+    return (
+        train_ids.join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("ngram_hits", F.lit(0).cast("long")).alias("ngram_hits"),
+            (F.coalesce("ngram_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def sample_mixture(
     docs: DataFrame,
     rates: dict[str, float],

@@ -120,3 +120,39 @@ def test_rate_threshold_hex_edges():
     assert _rate_threshold_hex(1.0) == "zzzzzzzz"   # > every hex digit
     assert _rate_threshold_hex(1.5) == "zzzzzzzz"
     assert _rate_threshold_hex(0.5) == format(2 ** 31, "08x")
+
+
+def test_find_contamination_planted_overlap(spark):
+    """A train doc containing an eval doc's 5-gram flags with the right
+    hit count; clean and too-short docs stay clean."""
+    from srag_spark.operators.corpus import find_contamination
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the capital of france is paris obviously")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains "capital of france is paris" → 5-gram overlaps
+            (1, "we know the capital of france is paris from school"),
+            (2, "completely unrelated text about cooking pasta dishes here"),
+            (3, "too short"),
+            # exact eval text → every one of its 5-grams hits
+            (4, "the capital of france is paris obviously"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["ngram_hits"], r["contaminated"])
+        for r in find_contamination(train, eval_docs, n=5).collect()
+    }
+    # doc 1: windows of "the capital of france is paris" region —
+    # eval 5-grams present: "the capital of france is",
+    # "capital of france is paris" → 2 hits
+    assert out[1] == (2, True)
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    assert out[4][1] is True and out[4][0] == 3  # 7 tokens → 3 windows, all hit
+    # n larger than every doc → nothing flags
+    clean = find_contamination(train, eval_docs, n=50).collect()
+    assert all(not r["contaminated"] for r in clean)
