@@ -557,3 +557,51 @@ def test_rename_atomic_excludes_racers_and_recovers_stale_claims(spark, tmp_path
     )
     assert fsio.rename_atomic(spark, f"{base}/t2", dst2) is True
     assert fsio.read_text(spark, dst2) == "two"
+
+
+def test_jsonl_roundtrip_and_strictness(spark, tmp_path):
+    """JSONL interchange: fixed-schema round-trip (spans struct, metadata
+    map, language), strict rejection of malformed lines, lenient drop."""
+    import pytest
+
+    from srag_spark.sources.jsonl import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a", [("text", "hello world", None, 0)], {"k": "v"}, "en"),
+            ("b", [("audio", "Hi.", None, 100), ("media", None, "blob://x", 200)],
+             None, None),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>, metadata map<string,string>, "
+        "language string",
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, path)
+    back = read_documents_jsonl(spark, path)
+    got = {r["doc_id"]: r for r in back.collect()}
+    assert set(got) == {"a", "b"}
+    assert [tuple(s) for s in got["b"]["spans"]] == [
+        ("audio", "Hi.", None, 100), ("media", None, "blob://x", 200)
+    ]
+    assert dict(got["a"]["metadata"]) == {"k": "v"} and got["a"]["language"] == "en"
+    assert read_documents_jsonl(spark, path, with_attrs=False).columns == [
+        "doc_id", "spans"
+    ]
+
+    # malformed line: strict read raises, lenient read drops it
+    bad = str(tmp_path / "bad")
+    import os
+
+    os.makedirs(bad)
+    with open(f"{bad}/part-0.json", "w") as f:
+        f.write('{"doc_id": "ok", "spans": [{"kind": "text", "text": "x", '
+                '"media_ref": null, "offset": 0}]}\n')
+        f.write('{"spans_typo": 1}\n')
+    with pytest.raises(Exception, match="malformed JSONL"):
+        read_documents_jsonl(spark, bad).collect()
+    kept = read_documents_jsonl(spark, bad, strict=False).collect()
+    assert [r["doc_id"] for r in kept] == ["ok"]
