@@ -5,12 +5,14 @@ The reference exposes its capabilities as HTTP endpoints
 (MainHandlers.scala: POST /api/v1/ingest/{audio|text}, POST
 /api/v1/query, GET /api/v1/transcripts[/id], DELETE /api/v1/transcripts/
 id) backed by Postgres + Qdrant + OpenSearch.  A user switching to this
-engine gets the same verbs on one class, backed by three
+engine gets the same verbs on one class, backed by four
 manifest-committed tables under a single root:
 
     root/transcripts   (doc_id)                    — S4/S5/S6/Q9
     root/chunks        (doc_id, segment_index)     — S9 lexical corpus
     root/embeddings    (doc_id, segment_index)     — S7/S8 vector corpus
+    root/metrics       (doc_id)                    — extraction lineage
+                       (spans_out, blocks kept/dropped, parse failures)
 
 ``ingest`` is the whole worker pipeline (extract → transcript build →
 chunk → embed → upsert, IngestionWorker.scala:70-95 +
@@ -67,6 +69,7 @@ class SragEngine:
         self.transcripts_path = f"{self.root}/transcripts"
         self.chunks_path = f"{self.root}/chunks"
         self.embeddings_path = f"{self.root}/embeddings"
+        self.metrics_path = f"{self.root}/metrics"
 
     # -- ingest (POST /api/v1/ingest/* + the async worker pipeline) --------
     def _doc_meta(self, docs: DataFrame, extra: dict[str, str] | None):
@@ -175,6 +178,24 @@ class SragEngine:
                 self.spark, self.embeddings_path, embeddings, _CHUNK_KEY,
                 n_buckets=self.n_buckets,
             )
+            # per-doc extraction lineage metrics (north rule; the batch
+            # pipeline records the same per bucket, plans/pipeline.py) —
+            # a thin projection of the already-persisted extraction
+            upsert_by_key(
+                self.spark,
+                self.metrics_path,
+                extracted.select(
+                    "doc_id",
+                    F.size("spans").alias("spans_out"),
+                    "blocks_kept",
+                    "blocks_dropped",
+                    "parse_failures",
+                    F.current_timestamp().alias("ingested_at"),
+                ),
+                ["doc_id"],
+                n_buckets=self.n_buckets,
+                persist_incoming=False,  # cheap projection of a cached frame
+            )
             n_chunks = chunks.count()
             return {
                 "documents": doc_ids.count(),
@@ -194,6 +215,12 @@ class SragEngine:
 
     def embeddings(self) -> DataFrame:
         return read_table(self.spark, self.embeddings_path)
+
+    def metrics(self) -> DataFrame:
+        """Per-doc extraction lineage metrics (spans_out, blocks kept/
+        dropped, parse failures, ingest time) — one row per doc, updated
+        on re-ingest."""
+        return read_table(self.spark, self.metrics_path)
 
     # -- query (POST /api/v1/query) ----------------------------------------
     def query(
@@ -234,7 +261,8 @@ class SragEngine:
         chunks and embeddings."""
         keys = self.spark.createDataFrame([(doc_id,)], "doc_id string")
         for path in (
-            self.transcripts_path, self.chunks_path, self.embeddings_path
+            self.transcripts_path, self.chunks_path, self.embeddings_path,
+            self.metrics_path,
         ):
             if table_exists(self.spark, path):
                 delete_by_key(self.spark, path, keys, ["doc_id"])
@@ -249,7 +277,8 @@ class SragEngine:
 
         return health_check(
             self.spark,
-            [self.transcripts_path, self.chunks_path, self.embeddings_path],
+            [self.transcripts_path, self.chunks_path, self.embeddings_path,
+             self.metrics_path],
             self.root,
         )
 
@@ -268,7 +297,8 @@ class SragEngine:
                 min_age_seconds=min_age_seconds,
             )
             for path in (
-                self.transcripts_path, self.chunks_path, self.embeddings_path
+                self.transcripts_path, self.chunks_path, self.embeddings_path,
+                self.metrics_path,
             )
             if table_exists(self.spark, path)
         )

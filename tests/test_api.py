@@ -196,3 +196,27 @@ def test_engine_ingest_parse_kernel_runs_once(spark, tmp_path):
     acc2 = spark.sparkContext.accumulator(0)
     eng.ingest(docs, doc_counter=acc2)
     assert acc2.value == 3
+
+
+def test_engine_ingest_records_extraction_metrics(spark, tmp_path):
+    """North-rule lineage: every ingest upserts per-doc extraction
+    metrics (spans_out, blocks kept/dropped, parse failures); re-ingest
+    updates in place; delete removes the row."""
+    eng = SragEngine(spark, str(tmp_path / "kb"), n_buckets=4)
+    html = "<div>" + " ".join(["word"] * 20) + "</div><div>short nav</div>"
+    docs = spark.createDataFrame(
+        [
+            ("a", [{"kind": "html", "text": html, "media_ref": None, "offset": 0}]),
+            ("b", [{"kind": "junkkind", "text": "x", "media_ref": None, "offset": 0}]),
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    eng.ingest(docs)
+    m = {r["doc_id"]: r for r in eng.metrics().collect()}
+    assert m["a"]["blocks_kept"] == 1 and m["a"]["blocks_dropped"] == 1
+    assert m["a"]["spans_out"] == 1 and m["a"]["parse_failures"] == 0
+    assert m["b"]["parse_failures"] == 1 and m["b"]["spans_out"] == 0
+    eng.ingest(docs)  # replay converges, still one row per doc
+    assert eng.metrics().count() == 2
+    eng.delete_transcript("b")
+    assert [r["doc_id"] for r in eng.metrics().collect()] == ["a"]

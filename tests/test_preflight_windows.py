@@ -105,7 +105,7 @@ def test_engine_health_facade(spark, tmp_path):
     )
     eng.ingest(docs)
     results = eng.health()
-    assert all(r.ok for r in results) and len(results) == 4
+    assert all(r.ok for r in results) and len(results) == 5
 
     # break the transcripts snapshot: delete a referenced bucket dir
     m = read_manifest(spark, eng.transcripts_path)
