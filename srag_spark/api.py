@@ -123,6 +123,11 @@ class SragEngine:
         """
         from pyspark import StorageLevel
 
+        # the input batch feeds several subplans (both extraction
+        # branches, the metadata/language joins, audio timing, the
+        # doc-id deletes) — persist it so an expensive source (a JSONL
+        # parse, a remote scan) is read once per ingest
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
         extracted = extract_documents(
             docs.select("doc_id", "spans"), doc_counter=doc_counter
         )
@@ -204,6 +209,7 @@ class SragEngine:
             }
         finally:
             chunks.unpersist(blocking=False)
+            docs.unpersist(blocking=False)
             extracted.unpersist(blocking=False)
 
     # -- table accessors ---------------------------------------------------
