@@ -296,3 +296,75 @@ class ExtractionPipeline:
     # -- outputs ---------------------------------------------------------------
     def spans(self) -> DataFrame:
         return self.spark.read.parquet(self.spans_dir)
+
+
+class IngestionPipeline(ExtractionPipeline):
+    """Resumable, wave-checkpointed FULL ingest into a
+    :class:`srag_spark.api.SragEngine` — the 100 TB onboarding path: the
+    whole reference worker pipeline (extract → transcripts → chunks →
+    embeddings, all four manifest tables) driven bucket-by-bucket with
+    the same checkpoint/retry/dead-letter state machine as extraction
+    (J1-J7), so a corpus-scale initial load survives driver loss and
+    resumes by skipping Success buckets.
+
+    Composition details:
+
+    * ``n_buckets`` is pinned to the ENGINE's bucket count: the pipeline
+      wave hash and the manifest tables' key hash are the same
+      ``pmod(xxhash64(doc_id), n)``, so a wave's docs land in exactly
+      the wave's table buckets — per-wave metric aggregation reads ONLY
+      those buckets of the metrics table (manifest-level pruning, never
+      a full-table scan per wave);
+    * a crash mid-wave may leave the wave's buckets partially ingested
+      across the four tables; the wave stays non-Success and its retry
+      re-runs ``engine.ingest`` for the same docs, which converges (J7
+      replace-entity upserts) — the same replay window as the facade's
+      own crash contract;
+    * optional per-doc ``metadata``/``language`` columns on the input
+      flow through untouched (the wave filter only drops the internal
+      bucket column).
+    """
+
+    def __init__(
+        self,
+        engine,
+        checkpoint_root: str | None = None,
+        wave_size: int | None = None,
+        max_attempts: int = 3,
+        batch_metadata: dict[str, str] | None = None,
+    ) -> None:
+        super().__init__(
+            engine.spark,
+            (checkpoint_root or f"{engine.root}/_ingest_pipeline"),
+            n_buckets=engine.n_buckets,
+            wave_size=wave_size,
+            max_attempts=max_attempts,
+        )
+        self.engine = engine
+        self.batch_metadata = batch_metadata
+
+    def _process_wave(self, docs: DataFrame, wave: list[int]) -> dict:
+        from srag_spark.sources.tables import read_table
+
+        wave_docs = docs.filter(F.col("bucket").isin(wave)).drop("bucket")
+        self.engine.ingest(wave_docs, metadata=self.batch_metadata)
+        # per-bucket lineage metrics: the engine just upserted this
+        # wave's rows into root/metrics, whose buckets coincide with the
+        # wave ids (same key hash + modulus) — prune the read to them
+        m = read_table(
+            self.spark, self.engine.metrics_path, buckets=wave
+        ).withColumn("bucket", bucket_col(self.n_buckets))
+        agg = (
+            m.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("blocks_kept").alias("kept"),
+                F.sum("blocks_dropped").alias("dropped"),
+                F.sum("parse_failures").alias("failures"),
+            )
+            .collect()
+        )
+        return {
+            r["bucket"]: (r["docs"], r["kept"], r["dropped"], r["failures"])
+            for r in agg
+        }

@@ -166,3 +166,53 @@ def test_retry_backoff_delays_failed_buckets(spark, docs_df, tmp_path):
     assert pipe.pending_buckets(now=later) == [0, 1, 2, 3]
     s3 = pipe.run(docs_df, now=later)
     assert s3["succeeded"] == [0, 1, 2, 3]
+
+
+def test_ingestion_pipeline_resumes_full_engine_ingest(spark, tmp_path):
+    """IngestionPipeline: corpus-scale onboarding into all four engine
+    tables with wave checkpoints — a killed run resumes by skipping
+    Success buckets, the finished state matches a one-shot ingest, and
+    per-doc metadata survives the waves."""
+    from pyspark.sql import functions as F
+
+    from srag_spark.api import SragEngine
+    from srag_spark.plans.pipeline import IngestionPipeline
+
+    docs = spark.createDataFrame(
+        [
+            (f"d{i}",
+             [{"kind": "text", "text": f"doc {i} body words here", "media_ref": None,
+               "offset": 0}],
+             {"tenant": "t" + str(i % 2)})
+            for i in range(40)
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>, metadata map<string,string>",
+    )
+
+    eng = SragEngine(spark, str(tmp_path / "kb"), n_buckets=8)
+    pipe = IngestionPipeline(eng, wave_size=2, batch_metadata={"job": "load1"})
+
+    # crash after 2 waves (4 of 8 buckets)
+    s1 = pipe.run(docs, max_waves=2)
+    assert len(s1["succeeded"]) == 4
+    assert eng.transcripts().count() < 40
+
+    # resume: fresh pipeline instance over the same root skips Success
+    pipe2 = IngestionPipeline(eng, wave_size=2, batch_metadata={"job": "load1"})
+    s2 = pipe2.run(docs)
+    assert s2["skipped"] == 4 and len(s2["succeeded"]) == 4
+
+    assert eng.transcripts().count() == 40
+    assert eng.chunks().count() == 40 and eng.embeddings().count() == 40
+    assert eng.metrics().count() == 40
+    # metadata flowed through the waves; filters work
+    assert eng.list_transcripts(flt={"tenant": "t1", "job": "load1"}).count() == 20
+    # checkpoint lineage recorded real doc counts summing to the corpus
+    done = pipe2.latest_checkpoints().collect()
+    assert sum(r["docs_processed"] for r in done) == 40
+    assert all(r["status"] == "Success" for r in done)
+
+    # re-running the whole pipeline is a no-op (all buckets Success)
+    s3 = IngestionPipeline(eng, wave_size=2).run(docs)
+    assert s3["skipped"] == 8 and not s3["succeeded"]
