@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--input-snapshot", default="")
     ap.add_argument("--synth-docs", type=int, default=0,
                     help="synthesize N docs into --input first (demo/bench)")
+    ap.add_argument("--full-ingest", action="store_true",
+                    help="run the FULL engine ingest (transcripts + chunks "
+                         "+ embeddings + metrics manifest tables at "
+                         "--output) instead of extraction-only spans")
     args = ap.parse_args()
 
     # SparkSession comes from spark-submit's conf; fall back to local
@@ -52,9 +56,17 @@ def main() -> None:
     preflight(spark, args.input, args.output)
 
     docs = spark.read.parquet(args.input)
-    pipe = ExtractionPipeline(
-        spark, args.output, n_buckets=args.n_buckets, wave_size=args.wave_size
-    )
+    if args.full_ingest:
+        from srag_spark.api import SragEngine
+        from srag_spark.plans.pipeline import IngestionPipeline
+
+        engine = SragEngine(spark, args.output, n_buckets=args.n_buckets)
+        pipe = IngestionPipeline(engine, wave_size=args.wave_size)
+    else:
+        pipe = ExtractionPipeline(
+            spark, args.output, n_buckets=args.n_buckets,
+            wave_size=args.wave_size,
+        )
     summary = pipe.run(docs, input_snapshot=args.input_snapshot)
     print(json.dumps(summary))
     spark.stop()
