@@ -55,6 +55,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_partitions: int | None = None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-``budget`` training sequences.
 
@@ -76,6 +77,15 @@ def pack_sequences(
     standard two-phase parallel prefix sum.  The result is independent
     of the partition boundaries (the cumsum is defined by the global
     order alone), so any partition count gives identical output.
+
+    Persist lifecycle (same contract as operators/dedup.py): the
+    range-partitioned token table feeds both the totals collect and the
+    output plan, so it is persisted.  With ``persisted=None`` (the
+    interactive default) the result is materialized eagerly and the
+    parent released before returning — do NOT use that at corpus scale
+    (it pins every output row executor-side).  At scale pass
+    ``persisted=[]``, consume the returned LAZY frame, then
+    ``dedup.release(persisted)``.
     """
     spark = docs.sparkSession
     P = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -94,6 +104,8 @@ def pack_sequences(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    if persisted is not None:
+        persisted.append(ordered)
     try:
         totals = {
             r["_pid"]: r["t"]
@@ -138,12 +150,14 @@ def pack_sequences(
             (F.least("cum_end", (F.col("pack_id") + 1) * b) - F.col("pack_id") * b)
             .alias("pack_end"),
         )
-        # materialize before releasing the range-partitioned parent: the
-        # rows are tiny (5 numbers/doc-window) and callers may consume
-        # the frame after this function returns
+        if persisted is not None:
+            return packed  # lazy; caller releases via dedup.release()
+        # interactive mode: materialize before releasing the parent —
+        # the rows are tiny (5 numbers/doc-window) at test/driver scale
         return packed.localCheckpoint(eager=True)
     finally:
-        ordered.unpersist(blocking=False)
+        if persisted is None:
+            ordered.unpersist(blocking=False)
 
 
 def ngram_hash_col(text_col, n: int) -> "F.Column":

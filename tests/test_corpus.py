@@ -156,3 +156,22 @@ def test_find_contamination_planted_overlap(spark):
     # n larger than every doc → nothing flags
     clean = find_contamination(train, eval_docs, n=50).collect()
     assert all(not r["contaminated"] for r in clean)
+
+
+def test_pack_sequences_lazy_mode_with_release_handle(spark):
+    """persisted=[] returns a LAZY frame (corpus-scale path); output
+    equals the materialized mode; release() frees the parent."""
+    from srag_spark.operators.dedup import release
+    from srag_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i % 17))) for i in range(100)],
+        "doc_id long, text string",
+    )
+    handle: list = []
+    lazy = pack_sequences(docs, budget=32, persisted=handle)
+    eager = pack_sequences(docs, budget=32)
+    assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, eager.collect()))
+    assert len(handle) == 1
+    release(handle)
+    assert handle == []
