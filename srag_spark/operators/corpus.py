@@ -193,10 +193,11 @@ def find_contamination(
     relation (eval sets are benchmarks, not corpora) → broadcast; the
     train side explodes to one row per token window (linear in corpus
     tokens) and the broadcast hash join discards non-matches before any
-    shuffle — the only shuffle is the per-doc hit count over the
-    (rare) surviving matches, plus the final broadcast join-back of
-    the tiny hit relation onto the train ids.  Nothing quadratic,
-    nothing driver-side.
+    shuffle — the only shuffles are the per-doc hit count over the
+    (rare) surviving matches and the join-back of the hit relation onto
+    the train ids (AQE-broadcast when small; not forced, since a fully
+    contaminated corpus makes it large).  Nothing quadratic, nothing
+    driver-side.
     """
     eval_hashes = (
         eval_docs.select(
@@ -213,8 +214,11 @@ def find_contamination(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("ngram_hits"))
     )
+    # NOT force-broadcast: hits is bounded by contaminated docs, which is
+    # usually tiny but unbounded in pathological full-contamination runs;
+    # AQE broadcasts it when it is actually small
     return (
-        train_ids.join(F.broadcast(hits), "doc_id", "left")
+        train_ids.join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("ngram_hits", F.lit(0).cast("long")).alias("ngram_hits"),
