@@ -37,10 +37,15 @@ _HEX_SPACE = 16 ** 8
 def _rate_threshold_hex(rate: float) -> str:
     """8-hex-digit string threshold st. P[substr(md5,1,8) < thr] = rate.
     'z' > 'f' lexicographically, so 'zzzzzzzz' means keep-all (a 9-digit
-    '100000000' would compare LOWER than most 8-digit hashes)."""
+    '100000000' would compare LOWER than most 8-digit hashes).  Rates
+    within float rounding of 1.0 (< 1.0 but round(rate*16^8) == 16^8)
+    are clamped to 16^8 − 1 for the same reason — without the clamp the
+    formatted value is the 9-char '100000000' and the keep rate would
+    COLLAPSE to ~6% instead of ~100% (ADVICE r4)."""
     if rate >= 1.0:
         return "zzzzzzzz"
-    return format(max(int(round(rate * _HEX_SPACE)), 0), "08x")
+    v = min(max(int(round(rate * _HEX_SPACE)), 0), _HEX_SPACE - 1)
+    return format(v, "08x")
 
 
 def token_count_col(text_col) -> "F.Column":
@@ -180,6 +185,7 @@ def find_contamination(
     n: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
+    positions: bool = False,
 ) -> DataFrame:
     """Benchmark-decontamination scan: for every training doc, count how
     many of its order-``n`` token windows appear ANYWHERE in the eval
@@ -188,6 +194,20 @@ def find_contamination(
 
     Returns (doc_id, ngram_hits, contaminated) for EVERY train doc —
     docs shorter than ``n`` tokens have 0 windows and are clean.
+
+    Hit-count semantics (frozen): ``ngram_hits`` counts every TRAIN-side
+    window occurrence matching the deduplicated eval hash set — "windows
+    in this doc that leak", not "distinct leaked n-grams".  A doc that
+    repeats one leaked n-gram k times counts k.  The boolean
+    ``contaminated`` verdict (what the scrub consumes) is identical
+    under either convention.
+
+    ``positions=True`` adds ``hit_positions`` — the sorted 0-based token
+    start index of every matching window — for SPAN-LEVEL scrubbing
+    (cut the leaked region, keep the rest of the doc) rather than
+    whole-doc drops: what production decontamination actually does.  The
+    positions row stays bounded by the doc's own token count, and the
+    plan differs only in carrying one int per exploded window.
 
     Scale shape: the eval set's distinct window hashes are a SMALL
     relation (eval sets are benchmarks, not corpora) → broadcast; the
@@ -207,24 +227,30 @@ def find_contamination(
     train_ids = train.select(F.col(id_col).alias("doc_id"))
     windows = train.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(ngram_hash_col(F.col(text_col), n)).alias("_h"),
+        F.posexplode(ngram_hash_col(F.col(text_col), n)).alias("_pos", "_h"),
     )
-    hits = (
-        windows.join(F.broadcast(eval_hashes), "_h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("ngram_hits"))
-    )
+    matched = windows.join(F.broadcast(eval_hashes), "_h")
+    aggs = [F.count(F.lit(1)).cast("long").alias("ngram_hits")]
+    if positions:
+        aggs.append(
+            F.sort_array(F.collect_list("_pos")).alias("hit_positions")
+        )
+    hits = matched.groupBy("doc_id").agg(*aggs)
     # NOT force-broadcast: hits is bounded by contaminated docs, which is
     # usually tiny but unbounded in pathological full-contamination runs;
     # AQE broadcasts it when it is actually small
-    return (
-        train_ids.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("ngram_hits", F.lit(0).cast("long")).alias("ngram_hits"),
-            (F.coalesce("ngram_hits", F.lit(0)) > 0).alias("contaminated"),
+    cols = [
+        "doc_id",
+        F.coalesce("ngram_hits", F.lit(0).cast("long")).alias("ngram_hits"),
+        (F.coalesce("ngram_hits", F.lit(0)) > 0).alias("contaminated"),
+    ]
+    if positions:
+        cols.append(
+            F.coalesce(
+                "hit_positions", F.array().cast("array<int>")
+            ).alias("hit_positions")
         )
-    )
+    return train_ids.join(hits, "doc_id", "left").select(*cols)
 
 
 def sample_mixture(

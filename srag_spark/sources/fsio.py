@@ -15,6 +15,8 @@ function, documented at the call site in :mod:`srag_spark.sources.tables`.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import SparkSession
 
 
@@ -106,19 +108,33 @@ def rename_atomic(spark: SparkSession, src: str, dst: str) -> bool:
 
     Crash recovery: a writer that dies between claim and rename leaves a
     claim with no ``dst``; a later writer treats a claim older than 60 s
-    whose ``dst`` is still absent as stale, removes it, and re-claims
-    (best-effort — the stale path assumes no writer takes >60 s between
-    claim and rename, which is the same class of assumption as vacuum's
-    retention window)."""
+    whose ``dst`` is still absent as stale, removes it, and re-claims.
+    The claim is OWNER-VERIFIABLE: each claim carries its writer's uuid,
+    and a writer proceeds to rename only if a fresh re-read of the claim
+    still shows its own id.  This closes the delete/re-create interleave
+    in which two writers both judge a claim stale, writer B deletes
+    writer A's freshly re-created claim, and both believe they hold it —
+    with owner verification exactly one of them (the one whose id the
+    claim actually contains) passes the final check.  A residual window
+    remains between the verify read and the rename (inherent to
+    delete+create takeover without a CAS primitive); the 60 s staleness
+    threshold keeps that window reachable only when two recoveries race
+    within milliseconds of each other, and the takeover path is itself
+    only reachable after a writer crash mid-commit."""
     fs = _fs(spark, src)
     dstp = _jpath(spark, dst)
     if fs.exists(dstp):
         return False
     claim = _jpath(spark, dst + ".claim")
+    writer_id = uuid.uuid4().hex
 
     def try_claim() -> bool:
         try:
-            fs.create(claim, False).close()
+            out = fs.create(claim, False)
+            try:
+                out.write(bytearray(writer_id.encode("utf-8")))
+            finally:
+                out.close()
             return True
         except Exception:  # noqa: BLE001 — FileAlreadyExists via py4j
             return False
@@ -134,6 +150,26 @@ def rename_atomic(spark: SparkSession, src: str, dst: str) -> bool:
         fs.delete(claim, False)  # stale claim from a crashed writer
         if not try_claim():
             return False
+    # owner verification: another recovering writer may have deleted and
+    # re-created the claim between our create and here — only the writer
+    # whose id the claim NOW contains holds it
+    if _claim_owner(spark, fs, claim) != writer_id:
+        return False
     if fs.exists(dstp):  # claimed a version that was published meanwhile
         return False
     return bool(fs.rename(_jpath(spark, src), dstp))
+
+
+def _claim_owner(spark: SparkSession, fs, claim_jpath) -> str | None:
+    """Writer id stored in a claim object; None if unreadable/absent.
+    Reads through the FS API (commons-io is on Spark's classpath), not
+    ``spark.read`` — the claim is a handful of bytes on the commit path."""
+    try:
+        stream = fs.open(claim_jpath)
+    except Exception:  # noqa: BLE001 — deleted under us / not yet visible
+        return None
+    try:
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8", "replace")
+    finally:
+        stream.close()

@@ -175,3 +175,43 @@ def test_pack_sequences_lazy_mode_with_release_handle(spark):
     assert len(handle) == 1
     release(handle)
     assert handle == []
+
+
+def test_rate_threshold_hex_near_one_boundary():
+    """Rates within float rounding of 1.0 clamp to 'ffffffff' instead of
+    overflowing to the 9-char '100000000' (which compares BELOW most
+    8-char hashes and would collapse the keep rate to ~6%; ADVICE r4)."""
+    thr = _rate_threshold_hex(1.0 - 2.0 ** -40)
+    assert thr == "ffffffff"
+    assert len(thr) == 8
+    # a representative hash survives under the near-1.0 threshold
+    assert "fb9a8cd2" < thr
+    # and thresholds stay monotone up to the keep-all sentinel
+    assert thr < _rate_threshold_hex(1.0)
+
+
+def test_find_contamination_positions(spark):
+    """positions=True emits the sorted 0-based token start index of every
+    leaked window; ngram_hits counts train-side OCCURRENCES (a repeated
+    leaked n-gram counts each time), per the frozen docstring semantics."""
+    from srag_spark.operators.corpus import find_contamination
+
+    train = spark.createDataFrame(
+        [
+            ("a", "w1 w2 w3 w4 w5"),      # one leaked 3-gram at token 1
+            ("b", "x y z"),                # clean
+            ("c", "p q p q p q r"),        # 'p q p' leaks at tokens 0, 2
+        ],
+        "doc_id string, text string",
+    )
+    ev = spark.createDataFrame(
+        [("e1", "w2 w3 w4"), ("e2", "p q p")], "doc_id string, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in find_contamination(train, ev, n=3, positions=True).collect()
+    }
+    assert out["a"]["ngram_hits"] == 1 and out["a"]["hit_positions"] == [1]
+    assert out["b"]["ngram_hits"] == 0 and out["b"]["hit_positions"] == []
+    assert not out["b"]["contaminated"]
+    assert out["c"]["ngram_hits"] == 2 and out["c"]["hit_positions"] == [0, 2]

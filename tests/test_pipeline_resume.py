@@ -216,3 +216,39 @@ def test_ingestion_pipeline_resumes_full_engine_ingest(spark, tmp_path):
     # re-running the whole pipeline is a no-op (all buckets Success)
     s3 = IngestionPipeline(eng, wave_size=2).run(docs)
     assert s3["skipped"] == 8 and not s3["succeeded"]
+
+
+def test_ingestion_pipeline_topup_metrics_count_wave_docs_only(spark, tmp_path):
+    """Incremental top-up into a POPULATED engine: per-wave checkpoint
+    metrics count the wave's OWN documents, not everything previously
+    ingested into the same metrics buckets (VERDICT r4 #2 — bucket
+    contents are cumulative across batches, so the wave's metrics read
+    is semi-joined on the wave's doc ids)."""
+    from srag_spark.api import SragEngine
+    from srag_spark.plans.pipeline import IngestionPipeline
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [
+                (f"d{i}",
+                 [{"kind": "text", "text": f"doc {i} body words",
+                   "media_ref": None, "offset": 0}])
+                for i in range(lo, hi)
+            ],
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+
+    eng = SragEngine(spark, str(tmp_path / "kb"), n_buckets=4)
+    eng.ingest(batch(0, 30))  # pre-populate via the facade
+
+    pipe = IngestionPipeline(eng, wave_size=2)
+    s = pipe.run(batch(100, 120))  # disjoint 20-doc top-up
+    assert len(s["succeeded"]) == 4 and not s["failed"]
+
+    done = pipe.latest_checkpoints().collect()
+    # every checkpoint row counts only its wave's docs: totals are the
+    # top-up batch, NOT the 50 docs now living in those buckets
+    assert sum(r["docs_processed"] for r in done) == 20
+    assert all(r["status"] == STATUS_SUCCESS for r in done)
+    assert eng.transcripts().count() == 50

@@ -605,3 +605,38 @@ def test_jsonl_roundtrip_and_strictness(spark, tmp_path):
         read_documents_jsonl(spark, bad).collect()
     kept = read_documents_jsonl(spark, bad, strict=False).collect()
     assert [r["doc_id"] for r in kept] == ["ok"]
+
+
+def test_rename_atomic_claim_is_owner_verified(spark, tmp_path, monkeypatch):
+    """ADVICE r4 (stale-claim takeover race): claims carry their writer's
+    uuid and the final owner check gates the rename — a writer whose
+    claim was deleted and replaced by a racing recoverer backs off
+    instead of renaming over the racer's publish."""
+    from srag_spark.sources import fsio
+
+    base = str(tmp_path / "m")
+    fsio.mkdirs(spark, base)
+    fsio.write_text(spark, f"{base}/t1", "one")
+    dst = f"{base}/v1.json"
+
+    # happy path writes the claim with this writer's id (32-hex uuid)
+    assert fsio.rename_atomic(spark, f"{base}/t1", dst) is True
+    jfs = fsio._fs(spark, dst)
+    owner = fsio._claim_owner(spark, jfs, fsio._jpath(spark, dst + ".claim"))
+    assert owner is not None and len(owner) == 32
+
+    # simulate the interleave: between this writer's claim create and its
+    # owner check, a racing recoverer replaced the claim with its own id
+    fsio.write_text(spark, f"{base}/t2", "two")
+    dst2 = f"{base}/v2.json"
+    real_owner = fsio._claim_owner
+
+    def stolen(spark_, fs_, claim_):
+        return "0" * 32  # someone else's id
+
+    monkeypatch.setattr(fsio, "_claim_owner", stolen)
+    assert fsio.rename_atomic(spark, f"{base}/t2", dst2) is False
+    monkeypatch.setattr(fsio, "_claim_owner", real_owner)
+    # nothing was published and the source survived for a retry
+    assert not fsio.exists(spark, dst2)
+    assert fsio.exists(spark, f"{base}/t2")
