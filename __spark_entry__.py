@@ -1818,6 +1818,115 @@ def _decontaminate_sql() -> str:
     """
 
 
+def q_corpus_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination (find_contamination(positions=True)):
+    same scan as corpus_decontaminate but also emitting the sorted
+    0-based token start index of every leaked window, serialized to CSV
+    for cross-engine hashing — the output a span-level scrub (cut the
+    leaked region, keep the doc) consumes instead of whole-doc drops."""
+    from srag_spark.operators.corpus import find_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return find_contamination(
+        docs, docs.filter(F.col("doc_id") % 50 == 0), n=DECONTAM_N,
+        positions=True,
+    ).select(
+        "doc_id",
+        "ngram_hits",
+        "contaminated",
+        F.array_join(
+            F.col("hit_positions").cast("array<string>"), ","
+        ).alias("pos_csv"),
+    )
+
+
+def _decontaminate_spans_sql() -> str:
+    n = DECONTAM_N
+    return f"""
+        WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS t FROM documents),
+        w AS (
+          SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(list_slice(t, i, i + {n - 1}), ' ')) AS h
+          FROM (
+            SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
+            FROM toks WHERE len(t) >= {n}
+          )
+        ),
+        eh AS (SELECT DISTINCT h FROM w WHERE doc_id % 50 = 0),
+        hits AS (
+          SELECT w.doc_id, count(*)::BIGINT AS ngram_hits,
+                 array_to_string(list_sort(list(w.pos)), ',') AS pos_csv
+          FROM w JOIN eh USING (h) GROUP BY w.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(h.ngram_hits, 0)::BIGINT AS ngram_hits,
+               COALESCE(h.ngram_hits, 0) > 0 AS contaminated,
+               COALESCE(h.pos_csv, '') AS pos_csv
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def q_q3_bm25_filtered(spark, sf_dir):
+    """Q3 with a metadata filter, THROUGH the engine operator
+    (retrieval.bm25_topk): scoring statistics (N, avgdl, df) are
+    index-wide while the filter restricts only the result set — the
+    OpenSearch semantics (match clause scored with index stats, metadata
+    terms in non-scoring filter context, OpenSearchAdapter.scala:
+    205-235).  Pins the filtered-scoring choice cross-engine (VERDICT
+    r4 #3): the oracle computes idf over ALL docs and keeps lang='en'
+    candidates only."""
+    from srag_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.lit(0).alias("segment_index"),
+        "text",
+        F.create_map(F.lit("lang"), F.col("lang")).alias("metadata"),
+    )
+    return bm25_topk(chunks, BM25_QUERY, k=20, flt={"lang": "en"}).select(
+        "doc_id", F.round("score", 4).alias("score_r")
+    )
+
+
+def _bm25_filtered_sql() -> str:
+    bm25_terms = "('filter','join','spark','table')"
+    return f"""
+        WITH d AS (
+          SELECT doc_id, lang, {_LEX_SQL} AS toks, len({_LEX_SQL}) AS dl
+          FROM documents
+        ),
+        stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+        tf_full AS (
+          SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+          WHERE term IN {bm25_terms}
+          GROUP BY doc_id, dl, term
+        ),
+        idf AS (
+          SELECT term,
+                 ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf,
+                 s.avgdl
+          FROM (SELECT term, count(*)::DOUBLE AS df FROM tf_full GROUP BY term),
+               stats s
+        ),
+        tf AS (
+          SELECT tf_full.doc_id, tf_full.dl, tf_full.term, tf_full.tf
+          FROM tf_full JOIN d ON tf_full.doc_id = d.doc_id
+          WHERE d.lang = 'en'
+        ),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(idf.idf * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / idf.avgdl))) AS score
+          FROM tf JOIN idf USING (term)
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score_r FROM scored
+        ORDER BY score DESC, doc_id LIMIT 20
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s5_scan_sorted": q_s5_scan_sorted,
@@ -1864,6 +1973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_sample_mixture": q_corpus_sample_mixture,
         "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_decontaminate_spans": q_corpus_decontaminate_spans,
+        "q3_bm25_filtered": q_q3_bm25_filtered,
     }
 
 
@@ -2205,6 +2316,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pack_sequences": _pack_sequences_sql(),
         "corpus_sample_mixture": _sample_mixture_sql(),
         "corpus_decontaminate": _decontaminate_sql(),
+        "corpus_decontaminate_spans": _decontaminate_spans_sql(),
+        "q3_bm25_filtered": _bm25_filtered_sql(),
         "repetition_stats": _REPETITION_SQL,
         "mm_decode_media": _mm_decode_sql(),
         "mm_extract_features": _mm_features_sql(),

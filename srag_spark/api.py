@@ -23,13 +23,22 @@ OpenSearchAdapter.scala:147-181); replaying converges (J7).  ``query``
 is QueryService.retrieveContext (vector ∥ BM25 → RRF → rerank gates).
 
 Every write commits through the snapshot-atomic manifest protocol
-(sources/tables): each table is individually consistent at all times (a
-crash between a table's commits leaves it on a committed snapshot), and
-CROSS-table consistency is eventual — a crash between the entity
-deletes and the upserts leaves the batch's chunk/embedding rows absent
-until the ingest is replayed, which converges (J7).  This matches the
-reference, whose delete-then-index against OpenSearch/Qdrant has the
-same replay-to-converge window (IndexingPipeline.scala:93-103).
+(sources/tables), and the facade adds CROSS-TABLE snapshot isolation on
+top: after a batch's four table commits, ``ingest`` publishes one
+ENGINE manifest (``root/_engine``) pinning the (transcripts, chunks,
+embeddings, metrics) version quadruple, and every reader
+(``transcripts()``, ``chunks()``, ``query()``, ...) resolves tables
+through the latest engine manifest.  A reader interleaved anywhere
+between a batch's table commits therefore sees the OLD complete state;
+the new state becomes visible atomically at the engine-manifest
+publish.  This is STRONGER than the reference, whose delete-then-index
+against OpenSearch/Qdrant exposes a window in which chunks are deleted
+but embeddings not yet indexed (IndexingPipeline.scala:93-103); the
+write-side crash contract is unchanged — a crash between table commits
+leaves readers on the old quadruple until the ingest is replayed,
+which converges (J7) and publishes.  Engine manifests are ordinary
+manifest versions, so TIME TRAVEL works across whole-engine snapshots
+(pass ``version=`` to the table accessors).
 """
 
 from __future__ import annotations
@@ -47,7 +56,11 @@ from srag_spark.operators.transcripts import (
 from srag_spark.plans.indexing import build_chunks, build_embeddings
 from srag_spark.schema import TRANSCRIPTS_SCHEMA
 from srag_spark.sources.tables import (
+    ManifestCommitRace,
+    commit_manifest,
     delete_by_key,
+    latest_manifest_version,
+    read_manifest,
     read_table,
     table_exists,
     upsert_by_key,
@@ -61,15 +74,106 @@ class SragEngine:
     existing tables (all state lives in the manifests)."""
 
     def __init__(
-        self, spark: SparkSession, root: str, n_buckets: int = 64
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 64,
+        embed_fn=None,
+        rerank_fn=None,
     ) -> None:
+        """``embed_fn`` / ``rerank_fn`` inject real models into every
+        embedding/rerank site (chunk embeddings at ingest, query
+        embedding + cross-encoder at query) — batch-callable contract in
+        :mod:`srag_spark.functions.embedding`; defaults are the
+        deterministic stubs the reference's external model services map
+        to (HuggingFaceAdapter.scala:29-60,
+        TransformersRerankerAdapter.scala:37-82)."""
         self.spark = spark
         self.root = root.rstrip("/")
         self.n_buckets = n_buckets
+        self.embed_fn = embed_fn
+        self.rerank_fn = rerank_fn
         self.transcripts_path = f"{self.root}/transcripts"
         self.chunks_path = f"{self.root}/chunks"
         self.embeddings_path = f"{self.root}/embeddings"
         self.metrics_path = f"{self.root}/metrics"
+        # engine-level manifest pinning the four-table version quadruple
+        # (cross-table snapshot isolation; VERDICT r4 next-round #3)
+        self.engine_meta_path = f"{self.root}/_engine"
+        self._table_paths = {
+            "transcripts": self.transcripts_path,
+            "chunks": self.chunks_path,
+            "embeddings": self.embeddings_path,
+            "metrics": self.metrics_path,
+        }
+
+    # -- engine snapshot (cross-table isolation) ---------------------------
+    def _publish_engine_snapshot(self, max_retries: int = 3) -> None:
+        """Publish one engine manifest pinning every existing table's
+        CURRENT manifest version — the atomic visibility point for a
+        whole ingest/delete batch.  Concurrent publishers race on the
+        engine-manifest rename exactly like table commits; a loser
+        re-derives the (monotone) latest versions and retries, so the
+        surviving manifest always pins a state at least as new."""
+        for attempt in range(max_retries + 1):
+            pins = {
+                name: latest_manifest_version(self.spark, path)
+                for name, path in self._table_paths.items()
+            }
+            try:
+                commit_manifest(
+                    self.spark,
+                    self.engine_meta_path,
+                    {"tables": {k: v for k, v in pins.items() if v is not None}},
+                )
+                return
+            except ManifestCommitRace:
+                if attempt == max_retries:
+                    raise
+
+    def snapshot_versions(self) -> list[int]:
+        """Engine snapshot versions available for time travel (oldest
+        surviving → latest); [] before the first publish."""
+        latest = latest_manifest_version(self.spark, self.engine_meta_path)
+        if latest is None:
+            return []
+        out = []
+        for v in range(1, latest + 1):
+            try:
+                read_manifest(self.spark, self.engine_meta_path, version=v)
+                out.append(v)
+            except FileNotFoundError:
+                continue  # vacuumed
+        return out
+
+    def _pinned(self, version: int | None = None) -> dict[str, int] | None:
+        """The table-version quadruple of an engine snapshot (latest by
+        default); None when no engine manifest exists (tables written by
+        pre-engine-manifest code, or mid-first-ingest) — readers then
+        fall back to each table's latest snapshot."""
+        if version is None:
+            m = read_manifest(self.spark, self.engine_meta_path)
+            return m["tables"] if m is not None else None
+        return read_manifest(
+            self.spark, self.engine_meta_path, version=version
+        )["tables"]
+
+    def _read(
+        self,
+        name: str,
+        version: int | None = None,
+        pins: dict[str, int] | None = None,
+    ) -> DataFrame:
+        """Read one table at the engine-pinned version.  ``pins`` lets a
+        multi-table reader (query) resolve the engine manifest ONCE so
+        all its tables come from the same snapshot even if a concurrent
+        ingest publishes between the per-table reads."""
+        if pins is None:
+            pins = self._pinned(version)
+        pinned_v = pins.get(name) if pins is not None else None
+        return read_table(
+            self.spark, self._table_paths[name], version=pinned_v
+        )
 
     # -- ingest (POST /api/v1/ingest/* + the async worker pipeline) --------
     def _doc_meta(self, docs: DataFrame, extra: dict[str, str] | None):
@@ -162,7 +266,7 @@ class SragEngine:
         # chunks feed their own upsert, the embeddings build, and the
         # returned count — persist so the chunk UDF runs once
         chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
-        embeddings = build_embeddings(chunks)
+        embeddings = build_embeddings(chunks, embed_fn=self.embed_fn)
 
         try:
             doc_ids = docs.select("doc_id").distinct()
@@ -201,6 +305,9 @@ class SragEngine:
                 n_buckets=self.n_buckets,
                 persist_incoming=False,  # cheap projection of a cached frame
             )
+            # atomic visibility point: readers switch from the old to the
+            # new four-table state HERE, never between the commits above
+            self._publish_engine_snapshot()
             n_chunks = chunks.count()
             return {
                 "documents": doc_ids.count(),
@@ -213,20 +320,25 @@ class SragEngine:
             extracted.unpersist(blocking=False)
 
     # -- table accessors ---------------------------------------------------
-    def transcripts(self) -> DataFrame:
-        return read_table(self.spark, self.transcripts_path)
+    # All accessors resolve through the engine manifest (the pinned
+    # version quadruple), so any multi-table read — query()'s chunks +
+    # embeddings join, a transcripts/metrics reconciliation — observes
+    # ONE consistent engine snapshot even while an ingest is committing
+    # tables.  ``version`` time-travels to an older engine snapshot.
+    def transcripts(self, version: int | None = None) -> DataFrame:
+        return self._read("transcripts", version)
 
-    def chunks(self) -> DataFrame:
-        return read_table(self.spark, self.chunks_path)
+    def chunks(self, version: int | None = None) -> DataFrame:
+        return self._read("chunks", version)
 
-    def embeddings(self) -> DataFrame:
-        return read_table(self.spark, self.embeddings_path)
+    def embeddings(self, version: int | None = None) -> DataFrame:
+        return self._read("embeddings", version)
 
-    def metrics(self) -> DataFrame:
+    def metrics(self, version: int | None = None) -> DataFrame:
         """Per-doc extraction lineage metrics (spans_out, blocks kept/
         dropped, parse failures, ingest time) — one row per doc, updated
         on re-ingest."""
-        return read_table(self.spark, self.metrics_path)
+        return self._read("metrics", version)
 
     # -- query (POST /api/v1/query) ----------------------------------------
     def query(
@@ -237,10 +349,18 @@ class SragEngine:
         rerank_col=None,
     ) -> DataFrame:
         """Hybrid retrieval (Q1): vector top-200 ∥ BM25 top-200 → RRF →
-        rerank gates.  Returns (doc_id, segment_index, text, score)."""
+        rerank gates.  Returns (doc_id, segment_index, text, score).
+        Chunks and embeddings come from ONE engine snapshot (pins
+        resolved once), so the two sides of the hybrid join can never
+        straddle a concurrent ingest's publish."""
+        pins = self._pinned()
         return retrieve_context(
-            self.chunks(), self.embeddings(), text, limit=limit, flt=flt,
+            self._read("chunks", pins=pins),
+            self._read("embeddings", pins=pins),
+            text, limit=limit, flt=flt,
             rerank_col=rerank_col,
+            embed_fn=self.embed_fn,
+            rerank_fn=self.rerank_fn,
         )
 
     # -- transcripts endpoints (GET/DELETE /api/v1/transcripts*) -----------
@@ -272,6 +392,7 @@ class SragEngine:
         ):
             if table_exists(self.spark, path):
                 delete_by_key(self.spark, path, keys, ["doc_id"])
+        self._publish_engine_snapshot()
 
     # -- maintenance -------------------------------------------------------
     def health(self) -> list:
@@ -292,19 +413,37 @@ class SragEngine:
         self, keep_manifests: int = 1, min_age_seconds: float = 3600.0
     ) -> int:
         """Reclaim data dirs unreferenced by recent snapshots across all
-        three tables (run out-of-band; never needed for correctness).
+        four tables (run out-of-band; never needed for correctness).
         ``min_age_seconds`` is the orphan-retention guard protecting
-        concurrent writers' unpublished commits (sources.tables.vacuum)."""
+        concurrent writers' unpublished commits (sources.tables.vacuum).
+
+        Pinned-snapshot safety: each table's retention is widened so the
+        table version pinned by the LATEST engine manifest always
+        survives — after a crash between table commits and the engine
+        publish, the pinned (older) versions are what readers are
+        actively on, and vacuuming them out would break every reader.
+        Older engine snapshots are retained per ``keep_manifests`` like
+        any table's manifests (time travel ages out together)."""
         from srag_spark.sources.tables import vacuum
 
-        return sum(
-            vacuum(
-                self.spark, path, keep_manifests=keep_manifests,
+        pins = self._pinned() or {}
+        total = 0
+        for name, path in self._table_paths.items():
+            if not table_exists(self.spark, path):
+                continue
+            keep = keep_manifests
+            pv = pins.get(name)
+            if pv is not None:
+                latest = latest_manifest_version(self.spark, path) or pv
+                keep = max(keep, latest - pv + 1)
+            total += vacuum(
+                self.spark, path, keep_manifests=keep,
                 min_age_seconds=min_age_seconds,
             )
-            for path in (
-                self.transcripts_path, self.chunks_path, self.embeddings_path,
-                self.metrics_path,
+        if table_exists(self.spark, self.engine_meta_path):
+            vacuum(
+                self.spark, self.engine_meta_path,
+                keep_manifests=keep_manifests,
+                min_age_seconds=min_age_seconds,
             )
-            if table_exists(self.spark, path)
-        )
+        return total

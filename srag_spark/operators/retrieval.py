@@ -34,7 +34,7 @@ import re
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from srag_spark.functions.embedding import hash_embed, make_rerank_udf
+from srag_spark.functions.embedding import embed_query, make_rerank_udf
 
 FUSION_POOL_SIZE = 200   # QueryService.scala:65
 RERANKER_POOL_SIZE = 200
@@ -125,30 +125,51 @@ def bm25_topk(
     idf uses the Lucene/OpenSearch form ln(1 + (N-df+0.5)/(df+0.5)).
     Empty query → all chunks at score 0.0 (zero_terms_query: all,
     OpenSearchAdapter.scala:205-235), deterministic order.
+
+    Filtered-scoring semantics (frozen, = OpenSearch): a metadata filter
+    restricts the RESULT set but never the SCORING statistics.  N, avgdl
+    and per-term df are computed over the WHOLE corpus — OpenSearch
+    scores the ``match`` clause with index-wide stats and puts the
+    metadata terms in non-scoring filter context
+    (OpenSearchAdapter.scala:205-235 bool.must(match)+bool.filter), so a
+    chunk's score is identical with or without a filter.  The plan pays
+    one exploded-token pass over the full corpus either way (that IS the
+    index-wide df); the filter drops non-matching chunks from the tf
+    relation via a co-keyed semi-join before scoring, so the sort-limit
+    still sees only candidate rows.  Pinned by the ``q3_bm25_filtered``
+    oracle entry (VERDICT r4 #3).
     """
     terms = sorted(set(tokenize_lex(query_text)))
-    base = apply_metadata_filter(chunks, flt).select(
-        *_KEY, "text", _tokens_col(F.col("text")).alias("tokens")
-    )
     if not terms:
+        base = apply_metadata_filter(chunks, flt).select(*_KEY, "text")
         return (
             base.select(*_KEY, "text", F.lit(0.0).alias("score"))
             .orderBy(*_KEY)
             .limit(k)
         )
 
-    docs = base.withColumn("dl", F.size("tokens"))
+    docs = chunks.select(
+        *_KEY, "text", _tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("dl", F.size("tokens"))
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
 
-    tf = (
+    tf_full = (
         docs.select(*_KEY, "dl", F.explode("tokens").alias("term"))
         .filter(F.col("term").isin(terms))
         .groupBy(*_KEY, "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    # index-wide df — from the UNfiltered tf relation
+    df_t = tf_full.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    if flt:
+        cand_keys = apply_metadata_filter(chunks, flt).select(*_KEY)
+        tf = tf_full.join(cand_keys, list(_KEY), "left_semi")
+    else:
+        tf = tf_full
     idf = df_t.crossJoin(F.broadcast(stats)).select(
         "term",
         F.log(
@@ -290,6 +311,8 @@ def retrieve_context(
     flt: dict[str, str] | None = None,
     query_vec=None,
     rerank_col=None,
+    embed_fn=None,
+    rerank_fn=None,
 ) -> DataFrame:
     """embed query → vector top-200 ∥ BM25 top-200 → RRF → resolve text →
     rerank gate (≥5 candidates) → gated filter.
@@ -305,13 +328,19 @@ def retrieve_context(
     result is EMPTY — low-confidence queries are suppressed, not padded
     with fusion scores.
 
-    ``query_vec`` overrides the query embedding (default: hash_embed of
-    the query text); ``rerank_col`` overrides the reranker with a Column
-    scoring expression over the candidate rows (doc_id, segment_index,
-    text) — a deterministic rerank_col makes the whole path
-    oracle-checkable cross-engine.
+    ``query_vec`` overrides the query embedding (default: the engine's
+    embed function applied to the query text); ``rerank_col`` overrides
+    the reranker with a Column scoring expression over the candidate
+    rows (doc_id, segment_index, text) — a deterministic rerank_col
+    makes the whole path oracle-checkable cross-engine.
+
+    ``embed_fn`` / ``rerank_fn`` inject REAL models (batch-callable
+    contract in functions.embedding): the query is embedded through the
+    same ``embed_fn`` that produced the chunk vectors, and the rerank
+    stage batches candidate texts through ``rerank_fn``.  Defaults are
+    the deterministic stubs, so injection changes no oracle entry.
     """
-    qvec = query_vec if query_vec is not None else hash_embed(query_text)
+    qvec = query_vec if query_vec is not None else embed_query(query_text, embed_fn)
     semantic = cosine_topk(embeddings, qvec, FUSION_POOL_SIZE, flt)
     lexical = bm25_topk(chunks, query_text, FUSION_POOL_SIZE, flt=flt)
     fused = rrf_fuse(semantic, lexical)
@@ -334,7 +363,7 @@ def retrieve_context(
             score = (
                 rerank_col
                 if rerank_col is not None
-                else make_rerank_udf(query_text)(F.col("text"))
+                else make_rerank_udf(query_text, rerank_fn)(F.col("text"))
             )
             scored = candidates.select(*_KEY, "text", score.alias("score"))
             # eager checkpoint forces the rerank UDF NOW, inside the try —

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from srag_spark.functions.embedding import embed_udf
+from srag_spark.functions.embedding import make_embed_udf
 from srag_spark.operators.chunk import chunk_documents, reconstruct_text
 
 
@@ -42,16 +42,18 @@ def build_chunks(
     return chunk_documents(text_df, max_chars=max_chars, overlap=overlap)
 
 
-def build_embeddings(chunks: DataFrame) -> DataFrame:
+def build_embeddings(chunks: DataFrame, embed_fn=None) -> DataFrame:
     """chunks → embeddings table (E1 over every chunk, Arrow-batched).
 
     Parallelism is partition-level (the reference fans out per-chunk HTTP
     calls with foreachPar, HuggingFaceAdapter.scala:37 — here every
-    partition embeds its chunks in one vectorized pass)."""
+    partition embeds its chunks in one vectorized pass).  ``embed_fn``
+    injects a real model (functions.embedding module docstring contract);
+    default is the deterministic stub."""
     return chunks.select(
         "doc_id",
         "segment_index",
-        embed_udf(F.col("text")).alias("vector"),
+        make_embed_udf(embed_fn)(F.col("text")).alias("vector"),
         "metadata",
     )
 

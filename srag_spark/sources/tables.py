@@ -422,7 +422,9 @@ def vacuum(
     live_commits: set[str] = set()
     for v in keep:
         m = json.loads(fsio.read_text(spark, _manifest_path(path, v)))
-        for d in m["buckets"].values():
+        # engine-level manifests (api.SragEngine) reuse this protocol but
+        # carry no data dirs — only their manifest files age out
+        for d in m.get("buckets", {}).values():
             live_commits.add(d.split("/")[1])  # data/<commit>/_kb=N
     cutoff = fsio.current_time_ms(spark) - int(min_age_seconds * 1000)
     removed = 0

@@ -271,3 +271,37 @@ def test_rerank_stub_deterministic():
     assert a == stable_unit_score("q", "some text")
     assert 0.0 <= a <= 1.0
     assert a != stable_unit_score("q2", "some text")
+
+
+def test_bm25_filter_restricts_results_without_changing_scores(spark):
+    """OpenSearch filtered-scoring semantics (VERDICT r4 #3): a metadata
+    filter restricts the RESULT set but idf/avgdl/N stay index-wide, so
+    each surviving chunk's score is identical with and without the
+    filter — and differs from what a filtered-subset idf would give."""
+    corpus = {
+        ("d1", 0): ("quick fox runs", "a"),
+        ("d2", 0): ("quick quick dog", "a"),
+        ("d3", 0): ("quick fox fox jumps high", "b"),
+        ("d4", 0): ("lorem ipsum dolor", "b"),
+    }
+    chunks = spark.createDataFrame(
+        [(d, s, t, {"grp": g}) for (d, s), (t, g) in corpus.items()],
+        CHUNK_SCHEMA,
+    )
+    unfiltered = {
+        (r["doc_id"], r["segment_index"]): r["score"]
+        for r in bm25_topk(chunks, "quick fox", k=10).collect()
+    }
+    filtered = {
+        (r["doc_id"], r["segment_index"]): r["score"]
+        for r in bm25_topk(chunks, "quick fox", k=10, flt={"grp": "a"}).collect()
+    }
+    # only group-a chunks survive, with their UNfiltered scores
+    assert set(filtered) == {("d1", 0), ("d2", 0)}
+    for k, v in filtered.items():
+        assert v == pytest.approx(unfiltered[k])
+    # sanity: scoring over the filtered 2-doc subcorpus (the rejected
+    # semantics) would give different numbers
+    sub = {k: v[0] for k, v in corpus.items() if v[1] == "a"}
+    subset_scores = bm25_py(sub, "quick fox")
+    assert filtered[("d1", 0)] != pytest.approx(subset_scores[("d1", 0)])
