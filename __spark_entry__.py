@@ -1866,6 +1866,132 @@ def _decontaminate_spans_sql() -> str:
     """
 
 
+BUILD_RATES = {"en": 0.8, "und": 0.5}
+
+
+def _planted_corpus(spark, sf_dir):
+    """documents ∪ near-dup copies (+100000, last word dropped) ∪ exact
+    copies (+200000) — the curate_corpus test corpus, reused by the
+    composed corpus_build entry."""
+    from srag_spark.operators.dedup import words_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = words_col(F.col("text"))
+    near = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 50) & (F.size(words_col(F.col("text"))) > 1))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(F.slice(w, 1, F.size(w) - 1), " ").alias("text"),
+        )
+    )
+    exact = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+def q_corpus_build(spark, sf_dir):
+    """The COMPOSED training-corpus build (plans.corpus_build.
+    build_training_corpus): curation → 8-gram benchmark decontamination
+    (eval = documents with doc_id%50==0) → per-language mixture sampling
+    → 512-token sequence packing, end-to-end over the planted curation
+    corpus.  Every stage is individually oracle-verified; this entry
+    pins the COMPOSITION (stage ordering, survivor flow, attribute
+    join-back) against one DuckDB CTE chain."""
+    from srag_spark.plans.corpus_build import build_training_corpus
+
+    ev = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    out = build_training_corpus(
+        _planted_corpus(spark, sf_dir),
+        ev,
+        BUILD_RATES,
+        budget=PACK_BUDGET,
+        lang_whitelist=("en", "und"),
+        min_quality=0.45,
+        n_hashes=16,
+        bands=4,
+        jaccard_tau=0.5,
+        decontam_n=DECONTAM_N,
+        seed=MIX_SEED,
+    )
+    return out.select(
+        "doc_id",
+        "pred_lang",
+        F.round("quality_r", 6).alias("quality_r6"),
+        F.round("weight", 6).alias("weight_r"),
+        "n_tokens",
+        "pack_id",
+        "pack_start",
+        "pack_end",
+    )
+
+
+def _corpus_build_sql() -> str:
+    from srag_spark.operators.corpus import _rate_threshold_hex
+
+    n, b = DECONTAM_N, PACK_BUDGET
+    whens = " ".join(
+        f"WHEN pred_lang = '{g}' THEN '{_rate_threshold_hex(r)}'"
+        for g, r in sorted(BUILD_RATES.items())
+    )
+    wwhens = " ".join(
+        f"WHEN pred_lang = '{g}' THEN {1.0 / r!r}"
+        for g, r in sorted(BUILD_RATES.items())
+    )
+    thr_default = _rate_threshold_hex(0.0)
+    win = f"md5(array_to_string(list_slice(t, i, i + {n - 1}), ' '))"
+    return f"""
+        WITH curated AS (SELECT * FROM ({_curate_sql()}) AS _c),
+        ctoks AS (SELECT doc_id, {_WORDS_SQL} AS t FROM curated),
+        w AS (
+          SELECT doc_id, {win} AS h
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
+                FROM ctoks WHERE len(t) >= {n})
+        ),
+        etoks AS (SELECT {_WORDS_SQL} AS t FROM documents WHERE doc_id % 50 = 0),
+        eh AS (
+          SELECT DISTINCT {win} AS h
+          FROM (SELECT t, unnest(generate_series(1, len(t) - {n - 1})) AS i
+                FROM etoks WHERE len(t) >= {n})
+        ),
+        cont AS (SELECT DISTINCT w.doc_id FROM w JOIN eh USING (h)),
+        clean AS (
+          SELECT * FROM curated
+          WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        ),
+        sampled AS (
+          SELECT *, CASE {wwhens} ELSE 0.0 END AS weight
+          FROM clean
+          WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':{MIX_SEED}'), 1, 8)
+                < (CASE {whens} ELSE '{thr_default}' END)
+        ),
+        t AS (
+          SELECT doc_id, pred_lang, quality_r, weight,
+                 CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+          FROM sampled WHERE len({_WORDS_SQL}) > 0
+        ),
+        c AS (
+          SELECT *, CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+          FROM t
+        ),
+        e AS (SELECT *, cum_end - n_tokens AS cum_start FROM c),
+        x AS (
+          SELECT *, unnest(generate_series(cum_start // {b},
+                 (cum_end - 1) // {b})) AS pack_id
+          FROM e
+        )
+        SELECT doc_id, pred_lang,
+               round(quality_r, 6) AS quality_r6,
+               round(weight, 6) AS weight_r,
+               n_tokens, pack_id,
+               greatest(cum_start, pack_id * {b}) - pack_id * {b} AS pack_start,
+               least(cum_end, (pack_id + 1) * {b}) - pack_id * {b} AS pack_end
+        FROM x
+    """
+
+
 def q_q3_bm25_filtered(spark, sf_dir):
     """Q3 with a metadata filter, THROUGH the engine operator
     (retrieval.bm25_topk): scoring statistics (N, avgdl, df) are
@@ -1975,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_decontaminate_spans": q_corpus_decontaminate_spans,
         "q3_bm25_filtered": q_q3_bm25_filtered,
+        "corpus_build": q_corpus_build,
     }
 
 
@@ -2318,6 +2445,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_decontaminate": _decontaminate_sql(),
         "corpus_decontaminate_spans": _decontaminate_spans_sql(),
         "q3_bm25_filtered": _bm25_filtered_sql(),
+        "corpus_build": _corpus_build_sql(),
         "repetition_stats": _REPETITION_SQL,
         "mm_decode_media": _mm_decode_sql(),
         "mm_extract_features": _mm_features_sql(),

@@ -64,6 +64,9 @@ HEADLINE_QUERY_NAMES = [
     "corpus_pack_sequences",
     "corpus_sample_mixture",
     "corpus_decontaminate",
+    # round 5 additions
+    "corpus_build",
+    "q3_bm25_filtered",
 ]
 
 

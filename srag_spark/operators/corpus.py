@@ -121,9 +121,15 @@ def pack_sequences(
         for pid in sorted(totals):
             offsets[pid] = acc
             acc += totals[pid]
-        off_map = F.create_map(
-            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
-        )
+        if offsets:
+            off_map = F.create_map(
+                *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+            )
+        else:
+            # empty input: an argless create_map() is map<void,void> and
+            # cannot be indexed by the int partition id — give it the
+            # real type (no rows will look anything up)
+            off_map = F.create_map().cast("map<int,bigint>")
         w = (
             Window.partitionBy("_pid")
             .orderBy("doc_id")

@@ -1,0 +1,141 @@
+"""Composed training-corpus build (plans/corpus_build.py): curation →
+decontamination → mixture → packing as one plan, plus the durable
+stage-resumable form."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from srag_spark.operators.corpus import pack_sequences
+from srag_spark.plans.corpus_build import (
+    BUILD_COLUMNS,
+    build_training_corpus,
+    build_training_corpus_durable,
+)
+
+DOC_A = (
+    "the quick brown fox jumps over the lazy dog and runs to the hills "
+    "in the morning light for a long time with many friends of the forest"
+)
+DOC_B = (
+    "a completely different document about cooking pasta with tomato "
+    "sauce and fresh basil leaves from the garden in the summer of that "
+    "year when the harvest was plentiful in the warm kitchen"
+)
+DOC_C = (
+    "the harvest festival brought the whole village to the square where "
+    "the children played and the elders told stories of the old days in "
+    "the light of the great bonfire near the river"
+)
+# eval doc sharing a 5-gram with DOC_B only
+EVAL_DOC = "notes about cooking pasta with tomato sauce for the benchmark"
+
+RATES = {"en": 1.0, "und": 1.0}
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _build(spark, docs, **kw):
+    ev = _df(spark, [(900, EVAL_DOC)])
+    args = dict(
+        rates=RATES,
+        budget=16,
+        lang_whitelist=("en", "und"),
+        min_quality=0.0,
+        decontam_n=5,
+    )
+    args.update(kw)
+    return build_training_corpus(docs, ev, **args)
+
+
+def test_build_training_corpus_composition(spark):
+    """Each stage demonstrably acts in the composition: the exact dup is
+    deduped, the eval-overlapping doc is scrubbed, survivors carry
+    mixture weights, and the packing equals pack_sequences run on the
+    surviving set alone."""
+    docs = _df(
+        spark,
+        [(1, DOC_A), (2, DOC_B), (3, DOC_C), (4, DOC_A)],  # 4 exact-dups 1
+    )
+    out = _build(spark, docs)
+    assert list(out.columns) == list(BUILD_COLUMNS)
+    rows = out.collect()
+    ids = {r["doc_id"] for r in rows}
+    assert ids == {1, 3}  # 4 deduped, 2 contaminated
+    assert all(r["weight"] == pytest.approx(1.0) for r in rows)
+    assert all(r["pred_lang"] == "en" for r in rows)
+
+    # packing of the composition == pack_sequences over the survivors
+    survivors = _df(spark, [(1, DOC_A), (3, DOC_C)])
+    exp = {
+        (r["doc_id"], r["pack_id"]): (r["pack_start"], r["pack_end"])
+        for r in pack_sequences(survivors, budget=16).collect()
+    }
+    got = {
+        (r["doc_id"], r["pack_id"]): (r["pack_start"], r["pack_end"])
+        for r in rows
+    }
+    assert got == exp
+    # window coverage: each doc's packed segments sum to its token count
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], [0, r["n_tokens"]])
+        per_doc[r["doc_id"]][0] += r["pack_end"] - r["pack_start"]
+    for covered, n_tokens in per_doc.values():
+        assert covered == n_tokens
+
+
+def test_build_training_corpus_mixture_rate_drops_group(spark):
+    """rate 0 for a group removes it; surviving group keeps weight 1/rate."""
+    docs = _df(spark, [(1, DOC_A), (2, DOC_C)])
+    out = _build(spark, docs, rates={"en": 0.0}, default_rate=0.0)
+    assert out.count() == 0
+    out2 = _build(spark, docs, rates={"en": 0.5})
+    for r in out2.collect():
+        assert r["weight"] == pytest.approx(2.0)
+
+
+def test_build_training_corpus_durable_stage_resume(spark, tmp_path):
+    """Crash after the 'clean' stage (stop_after), then resume with a
+    POISONED input whose evaluation would raise — the restart skips the
+    finished curation/decontamination stages (markers + tables) and the
+    final packed table equals the one-shot in-memory build."""
+    from pyspark.sql.functions import pandas_udf
+
+    work = str(tmp_path / "build")
+    docs = _df(spark, [(1, DOC_A), (2, DOC_B), (3, DOC_C), (4, DOC_A)])
+    ev = _df(spark, [(900, EVAL_DOC)])
+    common = dict(
+        rates=RATES, budget=16, lang_whitelist=("en", "und"),
+        min_quality=0.0, decontam_n=5, n_buckets=4,
+    )
+
+    partial = build_training_corpus_durable(
+        spark, docs, ev, work, stop_after="clean", **common
+    )
+    assert {r["doc_id"] for r in partial.collect()} == {1, 3}
+
+    def _poison_fn(s):
+        raise RuntimeError("stage 1/2 recomputed")
+
+    poison = pandas_udf(_poison_fn, "string")
+    poisoned = docs.withColumn("text", poison(F.col("text")))
+    out = build_training_corpus_durable(
+        spark, poisoned, ev, work, **common
+    )
+    got = {
+        (r["doc_id"], r["pack_id"]): (r["pack_start"], r["pack_end"], r["weight"])
+        for r in out.collect()
+    }
+    exp = {
+        (r["doc_id"], r["pack_id"]): (r["pack_start"], r["pack_end"], r["weight"])
+        for r in _build(spark, docs).collect()
+    }
+    assert got == exp
+
+    # re-running the finished pipeline is a pure table read (idempotent)
+    again = build_training_corpus_durable(spark, poisoned, ev, work, **common)
+    assert again.count() == len(exp)
