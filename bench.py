@@ -284,6 +284,62 @@ SCALING_LEVELS = (2, 4, 8, 16, 32)
 SCALING_PAIRS = ((2, 8), (4, 16), (8, 32))
 
 
+def bench_focused_pair(n: int, m: int) -> dict:
+    """Focused criterion-pair run (VERDICT r4 #6): the full-matrix
+    protocol interleaves five levels per cycle, so each cycle's pair
+    comparison integrates ~25 min of shared-VM window noise.  This mode
+    runs ONLY the two levels of one pair back-to-back per cycle (minutes
+    apart, not tens of minutes), plus the in-cycle machine baseline —
+    the tightest pair measurement the box allows.  Prints JSON; does NOT
+    rewrite BENCH/BASELINE.md (append the verdict there by hand so the
+    full-matrix tables stay intact)."""
+    import statistics
+
+    n_cycles = int(os.environ.get("SPARK_GRAFT_SCALING_CYCLES", "5"))
+    cycles: list[dict] = []
+    for _ in range(n_cycles):
+        cyc = {"spark": {}, "machine": {}}
+        for cpus in (n, m):
+            out = subprocess.run(
+                [sys.executable, __file__, "--scaling-child", str(cpus)],
+                capture_output=True,
+                text=True,
+                check=True,
+                env={
+                    **os.environ,
+                    "PYTHONPATH": str(Path(__file__).resolve().parent),
+                    "SPARK_GRAFT_SCALING_RUNS": os.environ.get(
+                        "SPARK_GRAFT_SCALING_RUNS", "2"
+                    ),
+                    "SPARK_GRAFT_DRIVER_MEM": f"{max(8, (cpus * 3) // 4)}g",
+                },
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            cyc["spark"][cpus] = json.loads(line)
+        base = machine_baseline(levels=(n, m))
+        cyc["machine"] = {c: base[c] for c in (n, m)}
+        eff = cyc["spark"][m]["tput"] / (cyc["spark"][n]["tput"] * (m / n))
+        meff = cyc["machine"][m]["tput"] / (cyc["machine"][n]["tput"] * (m / n))
+        cyc["spark_eff"] = round(eff, 4)
+        cyc["machine_eff"] = round(meff, 4)
+        cyc["normalized"] = round(eff / meff, 4) if meff > 0 else None
+        cycles.append(cyc)
+
+    effs = [c["spark_eff"] for c in cycles]
+    meffs = [c["machine_eff"] for c in cycles]
+    norms = [c["normalized"] for c in cycles]
+    return {
+        "pair": [n, m],
+        "cycles": cycles,
+        "spark_eff_per_cycle": effs,
+        "spark_eff_median": round(statistics.median(effs), 4),
+        "machine_eff_per_cycle": meffs,
+        "machine_eff_median": round(statistics.median(meffs), 4),
+        "normalized_per_cycle": norms,
+        "normalized_median": round(statistics.median(norms), 4),
+    }
+
+
 def bench_scaling(levels=SCALING_LEVELS, pairs=SCALING_PAIRS) -> dict:
     """Scaling evidence, noise-robust: this shared VM's throughput swings
     ~1.5-2× over minutes, so comparing levels measured in different time
@@ -466,6 +522,10 @@ if __name__ == "__main__":
             for c in saved["cycles"]
         ]
         print(json.dumps(write_baseline_md(cycles)["pairs"]))
+    elif "--focused" in sys.argv:
+        i = sys.argv.index("--focused")
+        print(json.dumps(bench_focused_pair(int(sys.argv[i + 1]),
+                                            int(sys.argv[i + 2]))))
     elif "--scaling-child" in sys.argv:
         _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
     elif "--scaling" in sys.argv:
