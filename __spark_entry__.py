@@ -1866,6 +1866,98 @@ def _decontaminate_spans_sql() -> str:
     """
 
 
+def _pii_planted(spark, sf_dir):
+    """documents with deterministic PII planted by doc_id residue — the
+    synth corpus contains no digits or '@' at all (checked at sf0.01),
+    so the plants are the ONLY matches and the oracle is exact:
+    doc_id%7==0 gets an email, %11 an IPv4, %13 a formatted phone."""
+    d = F.col("doc_id")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    d.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(
+                    F.lit(" host 10."),
+                    (d % 200).cast("string"),
+                    F.lit(".0."),
+                    (d % 250).cast("string"),
+                    F.lit(" up"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 13 == 0,
+                F.concat(
+                    F.lit(" call +1 (555) 01"),
+                    (d % 90 + 10).cast("string"),
+                    F.lit(" end"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction scan (pii.scrub_pii): email → IPv4 → phone regex
+    stages, each counting + redacting on the previous stage's output
+    (digits inside an already-redacted email never double-count as a
+    phone).  Pure native regexp_count/regexp_replace column work —
+    row-local, zero shuffles, the ideal 100 TB scrub plan."""
+    from srag_spark.operators.pii import scrub_pii
+
+    return scrub_pii(_pii_planted(spark, sf_dir))
+
+
+def _pii_scrub_sql() -> str:
+    from srag_spark.operators.pii import PII_PATTERNS
+
+    (_, em_pat, em_tok), (_, ip_pat, ip_tok), (_, ph_pat, ph_tok) = PII_PATTERNS
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 7 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                    THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
+                         || '.0.' || CAST(doc_id % 250 AS VARCHAR) || ' up'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0
+                    THEN ' call +1 (555) 01' || CAST(doc_id % 90 + 10 AS VARCHAR) || ' end'
+                    ELSE '' END AS text
+          FROM documents
+        ),
+        s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{em_pat}'))::INT AS n_email,
+                 regexp_replace(text, '{em_pat}', '{em_tok}', 'g') AS t1
+          FROM planted
+        ),
+        s2 AS (
+          SELECT doc_id, n_email,
+                 len(regexp_extract_all(t1, '{ip_pat}'))::INT AS n_ipv4,
+                 regexp_replace(t1, '{ip_pat}', '{ip_tok}', 'g') AS t2
+          FROM s1
+        )
+        SELECT doc_id, n_email, n_ipv4,
+               len(regexp_extract_all(t2, '{ph_pat}'))::INT AS n_phone,
+               regexp_replace(t2, '{ph_pat}', '{ph_tok}', 'g') AS text_redacted,
+               (n_email + n_ipv4
+                + len(regexp_extract_all(t2, '{ph_pat}'))) > 0 AS has_pii
+        FROM s2
+    """
+
+
 BUILD_RATES = {"en": 0.8, "und": 0.5}
 
 
@@ -2102,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate_spans": q_corpus_decontaminate_spans,
         "q3_bm25_filtered": q_q3_bm25_filtered,
         "corpus_build": q_corpus_build,
+        "text_pii_scrub": q_text_pii_scrub,
     }
 
 
@@ -2446,6 +2539,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_decontaminate_spans": _decontaminate_spans_sql(),
         "q3_bm25_filtered": _bm25_filtered_sql(),
         "corpus_build": _corpus_build_sql(),
+        "text_pii_scrub": _pii_scrub_sql(),
         "repetition_stats": _REPETITION_SQL,
         "mm_decode_media": _mm_decode_sql(),
         "mm_extract_features": _mm_features_sql(),

@@ -67,6 +67,7 @@ HEADLINE_QUERY_NAMES = [
     # round 5 additions
     "corpus_build",
     "q3_bm25_filtered",
+    "text_pii_scrub",
 ]
 
 
