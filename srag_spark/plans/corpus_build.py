@@ -8,6 +8,9 @@ composes the individually oracle-verified stages into one dataflow:
     suppression, plans.curation)
       → benchmark decontamination (13-gram eval-overlap scrub,
         operators.corpus.find_contamination)
+      → optional PII redaction (``pii_scrub=True``: operators.pii
+        email/IPv4/phone scrub — after gates/dedup/decontam judge the
+        original text, before token counts see the redacted text)
       → mixture sampling (deterministic per-group hash rates,
         operators.corpus.sample_mixture)
       → sequence packing (distributed prefix-sum token windows,
@@ -48,6 +51,7 @@ from srag_spark.operators.corpus import (
     sample_mixture,
 )
 from srag_spark.operators.dedup import _persist, release
+from srag_spark.operators.pii import pii_cols
 from srag_spark.plans.curation import curate_corpus
 from srag_spark.sources import fsio
 from srag_spark.sources.tables import read_table, upsert_by_key
@@ -75,6 +79,7 @@ def build_training_corpus(
     group_col: str = "pred_lang",
     seed: int = 42,
     default_rate: float = 0.0,
+    pii_scrub: bool = False,
     persisted: list | None = None,
 ) -> DataFrame:
     """(doc_id, pred_lang, quality_r, weight, n_tokens, pack_id,
@@ -110,6 +115,8 @@ def build_training_corpus(
         )
         curated = _persist(curated, ledger)
         clean = _decontaminate(curated, eval_docs, decontam_n)
+        if pii_scrub:
+            clean = _scrub_text(clean)
         sampled = sample_mixture(
             clean, rates, group_col=group_col, seed=seed,
             default_rate=default_rate,
@@ -125,6 +132,19 @@ def build_training_corpus(
     finally:
         if own:
             release(ledger)
+
+
+def _scrub_text(clean: DataFrame) -> DataFrame:
+    """Replace ``text`` with its PII-redacted form (operators.pii) —
+    row-local column work on the flowing frame, zero shuffles, no join.
+
+    Stage placement (the RefinedWeb/CCNet order): AFTER curation and
+    decontamination — gates, dedup signatures and eval n-gram overlap
+    are judged on the original text — and BEFORE packing, so token
+    counts and window boundaries reflect what a trainer actually sees
+    (``"call +1 (555) 0123"`` is 4 whitespace tokens raw but 1 token
+    — ``<PHONE>`` — redacted)."""
+    return clean.withColumn("text", pii_cols(F.col("text"))["text_redacted"])
 
 
 def _decontaminate(curated: DataFrame, eval_docs: DataFrame, n: int) -> DataFrame:
@@ -173,6 +193,7 @@ def build_training_corpus_durable(
     group_col: str = "pred_lang",
     seed: int = 42,
     default_rate: float = 0.0,
+    pii_scrub: bool = False,
     n_buckets: int = 64,
     stop_after: str | None = None,
 ) -> DataFrame:
@@ -233,6 +254,11 @@ def build_training_corpus_durable(
     if not done("clean"):
         curated = read_table(spark, path("curated"))
         clean = _decontaminate(curated, eval_docs, decontam_n)
+        if pii_scrub:
+            # scrub inside the stage so the committed artifact is the
+            # redacted text — a resumed run (or any downstream consumer
+            # of the clean table) never sees raw PII
+            clean = _scrub_text(clean)
         upsert_by_key(spark, path("clean"), clean, ["doc_id"], n_buckets=n_buckets)
         finish("clean")
     if stop_after == "clean":

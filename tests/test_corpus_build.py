@@ -139,3 +139,67 @@ def test_build_training_corpus_durable_stage_resume(spark, tmp_path):
     # re-running the finished pipeline is a pure table read (idempotent)
     again = build_training_corpus_durable(spark, poisoned, ev, work, **common)
     assert again.count() == len(exp)
+
+
+DOC_PII = (
+    "the committee report was sent to alice@example.org from host "
+    "10.1.2.3 with a callback at +1 (555) 010-4477 about the village "
+    "harvest records and the festival plans for the coming season"
+)
+
+
+def test_build_pii_scrub_changes_token_counts(spark):
+    """pii_scrub=True redacts between decontamination and packing:
+    the PII doc's n_tokens shrinks (multi-token phone/email collapse to
+    single class tokens) while PII-free docs are byte-identical."""
+    docs = _df(spark, [(1, DOC_A), (5, DOC_PII)])
+    raw = {r["doc_id"]: r["n_tokens"] for r in _build(spark, docs).collect()}
+    red = {
+        r["doc_id"]: r["n_tokens"]
+        for r in _build(spark, docs, pii_scrub=True).collect()
+    }
+    assert red[1] == raw[1]  # untouched doc: identical token count
+    # "+1 (555) 010-4477" (3 tokens) -> "<PHONE>" (1): counts shrink
+    assert red[5] < raw[5]
+
+
+def test_build_pii_scrub_matches_manual_composition(spark):
+    """The flag is exactly scrub-then-sample-then-pack: the output
+    equals curating+cleaning manually, scrubbing, and packing."""
+    from srag_spark.operators.pii import scrub_pii
+    from srag_spark.operators.corpus import pack_sequences
+
+    docs = _df(spark, [(1, DOC_A), (3, DOC_C), (5, DOC_PII)])
+    out = _build(spark, docs, pii_scrub=True)
+
+    scrubbed = scrub_pii(docs).select(
+        "doc_id", F.col("text_redacted").alias("text")
+    )
+    exp = {
+        (r["doc_id"], r["pack_id"]): (r["pack_start"], r["pack_end"])
+        for r in pack_sequences(scrubbed, budget=16).collect()
+    }
+    got = {
+        (r["doc_id"], r["pack_id"]): (r["pack_start"], r["pack_end"])
+        for r in out.collect()
+    }
+    assert got == exp
+
+
+def test_build_durable_pii_clean_table_is_redacted(spark, tmp_path):
+    """With pii_scrub=True the committed 'clean' stage artifact holds
+    redacted text — a resumed run or downstream consumer of the durable
+    table never sees raw PII."""
+    work = str(tmp_path / "build_pii")
+    docs = _df(spark, [(1, DOC_A), (5, DOC_PII)])
+    ev = _df(spark, [(900, EVAL_DOC)])
+    clean = build_training_corpus_durable(
+        spark, docs, ev, work, rates=RATES, budget=16,
+        lang_whitelist=("en", "und"), min_quality=0.0, decontam_n=5,
+        n_buckets=4, pii_scrub=True, stop_after="clean",
+    )
+    texts = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert "<EMAIL>" in texts[5] and "<IP>" in texts[5] and "<PHONE>" in texts[5]
+    assert "alice@example.org" not in texts[5]
+    assert "10.1.2.3" not in texts[5]
+    assert texts[1] == DOC_A
