@@ -1958,6 +1958,133 @@ def _pii_scrub_sql() -> str:
     """
 
 
+#: planted lines for the C4 line-rule entry (the synth corpus is
+#: single-line and punctuation-free, so page structure is planted by
+#: doc_id residue — identically in Spark and the DuckDB oracle).
+#: A and D/G pass the rules; B (<5 words), C (blocklist) and the raw doc
+#: text (no terminal punctuation) fail; a page keeps >=3 lines iff
+#: doc_id % 10 == 0 (A + the %5 and %2 plants).
+C4_LINE_A = "the quick brown fox runs to the river every single morning."
+C4_LINE_B = "too short line."
+C4_LINE_C = "this page uses javascript for dynamic menu rendering today."
+C4_LINE_D = "a perfectly fine second sentence appears right here today!"
+C4_LINE_G = 'she said "hello there my good friend"'
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4 line-level cleaning (textstats.c4_line_filter): drop lines
+    without terminal punctuation / under 5 words / carrying blocklist
+    markers; keep the page iff >=3 lines survive.  Native split +
+    higher-order filter + array_join — row-local, zero shuffles."""
+    from srag_spark.operators.textstats import c4_line_filter
+
+    d = F.col("doc_id")
+    planted = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(  # concat_ws skips NULLs in Spark and DuckDB alike
+            "\n",
+            F.lit(C4_LINE_A),
+            F.when(d % 3 == 0, F.lit(C4_LINE_B)),
+            F.when(d % 4 == 0, F.lit(C4_LINE_C)),
+            F.when(d % 5 == 0, F.lit(C4_LINE_D)),
+            F.col("text"),
+            F.when(d % 2 == 0, F.lit(C4_LINE_G)),
+        ).alias("text"),
+    )
+    return c4_line_filter(planted)
+
+
+def _c4_line_sql() -> str:
+    from srag_spark.operators.textstats import (
+        C4_BLOCKLIST,
+        C4_MIN_KEPT_LINES,
+        C4_MIN_LINE_WORDS,
+    )
+
+    blocked = " OR ".join(
+        f"contains(lower(trim(l)), '{m}')" for m in C4_BLOCKLIST
+    )
+    keep = (
+        "regexp_matches(trim(l), '[.!?\"]$') "
+        "AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'), "
+        f"x -> x <> '')) >= {C4_MIN_LINE_WORDS} "
+        f"AND NOT ({blocked})"
+    )
+    g_sql = C4_LINE_G.replace("'", "''")
+    return f"""
+        WITH planted AS (
+          SELECT doc_id, concat_ws(chr(10),
+            '{C4_LINE_A}',
+            CASE WHEN doc_id % 3 = 0 THEN '{C4_LINE_B}' END,
+            CASE WHEN doc_id % 4 = 0 THEN '{C4_LINE_C}' END,
+            CASE WHEN doc_id % 5 = 0 THEN '{C4_LINE_D}' END,
+            text,
+            CASE WHEN doc_id % 2 = 0 THEN '{g_sql}' END
+          ) AS text FROM documents
+        ),
+        split AS (
+          SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted
+        ),
+        k AS (
+          SELECT doc_id, len(ls) AS n_lines,
+                 list_filter(ls, l -> {keep}) AS kl
+          FROM split
+        )
+        SELECT doc_id,
+               array_to_string(kl, chr(10)) AS text_kept,
+               n_lines::INT AS n_lines,
+               len(kl)::INT AS n_kept,
+               len(kl) >= {C4_MIN_KEPT_LINES} AS page_kept
+        FROM k
+    """
+
+
+LM_VOCAB_K = 16  # small enough that the synth corpus has OOV tokens
+LM_ALPHA = 0.5
+
+
+def q_lm_ppl(spark, sf_dir):
+    """CCNet-class unigram-LM perplexity scoring
+    (textstats.lm_perplexity): per-doc cross-entropy/perplexity under an
+    add-alpha unigram model over the corpus's own top-K token vocab.
+    Two linear passes + a broadcast vocab join; vocab_k=16 keeps real
+    OOV tokens in play at sf0.01."""
+    from srag_spark.operators.textstats import lm_perplexity
+
+    return lm_perplexity(
+        _t(spark, sf_dir, "documents"), vocab_k=LM_VOCAB_K, alpha=LM_ALPHA
+    )
+
+
+def _lm_ppl_sql() -> str:
+    k, a = LM_VOCAB_K, LM_ALPHA
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_LEX_SQL}) AS tok FROM documents
+        ),
+        counts AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
+        tot AS (
+          SELECT sum(c)::DOUBLE AS n,
+                 least({k}, count(*))::DOUBLE AS v
+          FROM counts
+        ),
+        vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT {k}),
+        agg AS (
+          SELECT t.doc_id,
+                 count(*)::BIGINT AS n_tokens,
+                 avg(-log2((COALESCE(vb.c, 0) + {a})
+                           / (tot.n + {a} * (tot.v + 1)))) AS h
+          FROM toks t LEFT JOIN vocab vb USING (tok), tot
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(agg.n_tokens, 0)::BIGINT AS n_tokens,
+               round(agg.h, 4) AS cross_entropy_r,
+               round(pow(2, agg.h), 3) AS ppl_r
+        FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+
 BUILD_RATES = {"en": 0.8, "und": 0.5}
 
 
@@ -2195,6 +2322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_bm25_filtered": q_q3_bm25_filtered,
         "corpus_build": q_corpus_build,
         "text_pii_scrub": q_text_pii_scrub,
+        "lm_ppl": q_lm_ppl,
+        "c4_line_filter": q_c4_line_filter,
     }
 
 
@@ -2540,6 +2669,8 @@ def oracle_sql() -> dict[str, str]:
         "q3_bm25_filtered": _bm25_filtered_sql(),
         "corpus_build": _corpus_build_sql(),
         "text_pii_scrub": _pii_scrub_sql(),
+        "lm_ppl": _lm_ppl_sql(),
+        "c4_line_filter": _c4_line_sql(),
         "repetition_stats": _REPETITION_SQL,
         "mm_decode_media": _mm_decode_sql(),
         "mm_extract_features": _mm_features_sql(),

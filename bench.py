@@ -68,6 +68,7 @@ HEADLINE_QUERY_NAMES = [
     "corpus_build",
     "q3_bm25_filtered",
     "text_pii_scrub",
+    "lm_ppl",
 ]
 
 

@@ -1,11 +1,13 @@
 """Text-analysis operators for training-data pipelines: language ID,
 quality scoring, token counting, document fingerprinting.
 
-All pure native column expressions (codegen, pushdown, no Python), each
-with an exact DuckDB oracle.  The language-ID heuristic is a frozen
-marker-word profile scorer — deliberately simple and deterministic; a
-real fastText-class model would slot in as a pandas UDF with the same
-output contract.
+All native column expressions (codegen, pushdown, no Python), each
+with an exact DuckDB oracle.  The row-local operators are join-free;
+:func:`lm_perplexity` is the one corpus-statistic operator here (two
+linear passes + a bounded broadcast, like BM25's df pass).  The
+language-ID heuristic is a frozen marker-word profile scorer —
+deliberately simple and deterministic; a real fastText-class model
+would slot in as a pandas UDF with the same output contract.
 """
 
 from __future__ import annotations
@@ -177,4 +179,127 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"),
         F.md5(norm_text_col(F.col(text_col))).alias("full_md5"),
         F.array_join(F.slice(hashed, 1, n_mins), "|").alias("sketch"),
+    )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    vocab_k: int = 65536,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, cross_entropy_r, ppl_r): CCNet-class unigram
+    language-model quality signal — per-doc cross-entropy (bits/token)
+    and perplexity under an add-``alpha`` smoothed unigram LM whose
+    vocabulary is the corpus's own ``vocab_k`` most frequent lexical
+    tokens (count desc, token asc tie-break — the deterministic cutoff
+    the DuckDB oracle reproduces).  CCNet ranks documents by LM
+    perplexity and keeps the low-perplexity head; this is the same
+    signal with the (public) 5-gram KenLM swapped for the corpus-trained
+    unigram model this container can build — a real KenLM scorer would
+    slot in as a pandas UDF with the same output contract.
+
+    Probabilities: p(tok) = (c_tok + alpha) / (N + alpha*(V+1)) with
+    c_tok = 0 for out-of-vocabulary tokens (the +1 virtual OOV type);
+    H(doc) = mean(-log2 p) over the doc's tokens; ppl = 2^H.
+    Zero-token docs emit n_tokens=0 with NULL entropy/perplexity.
+
+    Scale shape (the canonical two-pass corpus statistic, like BM25's
+    df pass): pass 1 is a map-side-combinable token groupBy whose
+    result is bounded by VOCABULARY size (not corpus size) and a
+    driver top-k (TakeOrdered, never a full sort); pass 2 re-explodes
+    the scan and broadcast-joins the ≤``vocab_k``-row vocab — the
+    exploded token stream is deliberately recomputed, not persisted
+    (at 100 TB the token table dwarfs the input; two linear scans beat
+    one materialization).  Only three scalars and the bounded vocab
+    ever reach the driver."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words_col(F.col(text_col))).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = counts.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_k)
+
+    totals = counts.agg(
+        F.sum("c").alias("n"), F.count("*").alias("_distinct")
+    ).collect()[0]
+    n_corpus = totals["n"] or 0
+    v_size = min(vocab_k, totals["_distinct"])
+    denom = float(n_corpus) + alpha * (v_size + 1)
+
+    from pyspark.sql.functions import broadcast
+
+    nll = -F.log2((F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha)) / F.lit(denom))
+    scored = (
+        toks.join(broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(nll).alias("h"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.round(F.col("h"), 4).alias("cross_entropy_r"),
+            F.round(F.pow(F.lit(2.0), F.col("h")), 3).alias("ppl_r"),
+        )
+    )
+
+
+#: C4 line rules (Raffel et al. 2020, "Exploring the Limits of Transfer
+#: Learning" §2.2 — public spec): a line survives iff it ends in terminal
+#: punctuation, has >= C4_MIN_LINE_WORDS words, and contains none of the
+#: C4 blocklist markers; a PAGE survives iff >= C4_MIN_KEPT_LINES lines
+#: survive.  Frozen here so the Spark plan and the DuckDB oracle share
+#: one spec.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+C4_BLOCKLIST = ("javascript", "lorem ipsum", "{")
+
+
+def c4_line_keep_col(line: "F.Column") -> "F.Column":
+    """Boolean: does one line survive the C4 line rules?  Pure per-line
+    expression, usable inside F.filter over a split-lines array."""
+    t = F.trim(line)
+    ends_ok = None
+    for p in C4_TERMINAL_PUNCT:
+        e = t.endswith(p)
+        ends_ok = e if ends_ok is None else (ends_ok | e)
+    n_words = F.size(F.array_remove(F.split(t, r"\s+"), ""))
+    low = F.lower(t)
+    blocked = None
+    for m in C4_BLOCKLIST:
+        b = low.contains(m)
+        blocked = b if blocked is None else (blocked | b)
+    return ends_ok & (n_words >= C4_MIN_LINE_WORDS) & ~blocked
+
+
+def c4_line_filter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, text_kept, n_lines, n_kept, page_kept): C4's line-level
+    cleaning — drop lines that don't end in terminal punctuation, are
+    shorter than 5 words, or carry boilerplate markers; keep the page
+    only if >= 3 lines survive.
+
+    Complements dedup.line_dedup_flags (the CORPUS-wide three-line-span
+    dedup): these rules are row-local — native split + higher-order
+    filter + array_join, zero shuffles, zero Python — so they compose
+    inline into any scan (the ideal 100 TB shape, like pii.scrub_pii)."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, c4_line_keep_col)
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(kept, "\n").alias("text_kept"),
+        n_lines.cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_kept"),
+        (n_kept >= C4_MIN_KEPT_LINES).alias("page_kept"),
     )
