@@ -2085,6 +2085,232 @@ def _lm_ppl_sql() -> str:
     """
 
 
+#: Gopher entry thresholds: the paper's 50-word floor would drop the
+#: whole short-doc synth corpus, so the entry lowers it (documented
+#: kwarg) while planting bullet/ellipsis/symbol structure by doc_id
+#: residue so every rule fires both ways at sf0.01.
+GOPHER_MIN_WORDS = 10
+GOPHER_MIN_STOP = 1  # the synth lexicon rarely carries two distinct Gopher stopwords
+GOPHER_BULLET_PLANT = "- alpha beta gamma\n- delta epsilon zeta\n- eta theta"
+GOPHER_ELL_PLANT = "the story continues..."
+GOPHER_SYM_PLANT = "## ## ## ## ##"
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher document-shape quality rules (textstats.gopher_rules):
+    word count / mean word length / symbol ratio / bullet + ellipsis
+    line fractions / alphabetic-word fraction / stopword presence.
+    Row-local native expressions, zero shuffles."""
+    from srag_spark.operators.textstats import gopher_rules
+
+    d = F.col("doc_id")
+    planted = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(d % 3 == 0, F.lit(GOPHER_BULLET_PLANT)),
+            F.col("text"),
+            F.when(d % 5 == 0, F.lit(GOPHER_ELL_PLANT)),
+            F.when(d % 7 == 0, F.lit(GOPHER_SYM_PLANT)),
+        ).alias("text"),
+    )
+    return gopher_rules(
+        planted, min_words=GOPHER_MIN_WORDS, min_stopwords=GOPHER_MIN_STOP
+    )
+
+
+def _gopher_sql() -> str:
+    from srag_spark.operators.textstats import (
+        GOPHER_BULLETS,
+        GOPHER_STOPWORDS,
+    )
+
+    w = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    stop = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+    bullet = " OR ".join(
+        f"starts_with(trim(l), '{b}')" for b in GOPHER_BULLETS
+    )
+    return f"""
+        WITH planted AS (
+          SELECT doc_id, concat_ws(chr(10),
+            CASE WHEN doc_id % 3 = 0
+                 THEN '{GOPHER_BULLET_PLANT.replace(chr(10), "' || chr(10) || '")}' END,
+            text,
+            CASE WHEN doc_id % 5 = 0 THEN '{GOPHER_ELL_PLANT}' END,
+            CASE WHEN doc_id % 7 = 0 THEN '{GOPHER_SYM_PLANT}' END
+          ) AS text FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 {w} AS w,
+                 string_split(text, chr(10)) AS ls,
+                 len(text) - len(replace(text, '#', '')) AS hash_cnt,
+                 (len(text) - len(replace(text, '...', ''))) / 3 AS ell_cnt
+          FROM planted
+        ),
+        r AS (
+          SELECT doc_id,
+                 len(w) AS n_words,
+                 list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w)
+                   AS mean_len,
+                 (hash_cnt + ell_cnt)::DOUBLE / len(w) AS symbol_ratio,
+                 len(list_filter(ls, l -> {bullet}))::DOUBLE / len(ls)
+                   AS bullet_frac,
+                 len(list_filter(ls, l -> ends_with(trim(l), '...')))::DOUBLE
+                   / len(ls) AS ellipsis_frac,
+                 len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                   / len(w) AS alpha_frac,
+                 len(list_intersect(list_transform(w, x -> lower(x)), {stop}))
+                   AS n_stop
+          FROM m
+        )
+        SELECT doc_id,
+               n_words::INT AS n_words,
+               round(mean_len, 4) AS mean_word_len_r,
+               round(symbol_ratio, 4) AS symbol_ratio_r,
+               round(bullet_frac, 4) AS bullet_frac_r,
+               round(ellipsis_frac, 4) AS ellipsis_frac_r,
+               round(alpha_frac, 4) AS alpha_frac_r,
+               n_stop::INT AS n_stopwords,
+               COALESCE(
+                 n_words >= {GOPHER_MIN_WORDS} AND n_words <= 100000
+                 AND mean_len >= 3.0 AND mean_len <= 10.0
+                 AND symbol_ratio <= 0.1
+                 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+                 AND alpha_frac >= 0.8 AND n_stop >= {GOPHER_MIN_STOP}, FALSE) AS keep
+        FROM r
+    """
+
+
+DSIR_HASH_CHARS = 2  # 256 buckets: dense at sf0.01, still collision-real
+DSIR_ALPHA = 1.0
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (selection.dsir_weights): hashed
+    unigram+bigram log-likelihood ratio of an English target
+    distribution vs the whole-corpus raw distribution.  Two bounded
+    bucket-count passes + a broadcast log-ratio join."""
+    from srag_spark.operators.selection import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+        hash_chars=DSIR_HASH_CHARS,
+        alpha=DSIR_ALPHA,
+    )
+
+
+def _dsir_sql() -> str:
+    hc, a = DSIR_HASH_CHARS, DSIR_ALPHA
+    b = 16 ** hc
+    return f"""
+        WITH lx AS (
+          SELECT doc_id, lang, {_LEX_SQL} AS w FROM documents
+        ),
+        feats AS (
+          SELECT doc_id, lang,
+                 unnest(w || CASE WHEN len(w) >= 2
+                   THEN list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i+1])
+                   ELSE [] END) AS feat
+          FROM lx
+        ),
+        fb AS (SELECT doc_id, lang, substr(md5(feat), 1, {hc}) AS bucket
+               FROM feats),
+        tc AS (SELECT bucket, count(*)::BIGINT AS ct FROM fb
+               WHERE lang = 'en' GROUP BY bucket),
+        rc AS (SELECT bucket, count(*)::BIGINT AS cr FROM fb GROUP BY bucket),
+        tot AS (
+          SELECT (SELECT COALESCE(sum(ct), 0) FROM tc)::DOUBLE
+                   + {a} * {b} AS td,
+                 (SELECT COALESCE(sum(cr), 0) FROM rc)::DOUBLE
+                   + {a} * {b} AS rd
+        ),
+        lam AS (
+          SELECT bucket,
+                 ln((COALESCE(ct, 0) + {a}) / tot.td)
+                   - ln((COALESCE(cr, 0) + {a}) / tot.rd) AS lam
+          FROM tc FULL OUTER JOIN rc USING (bucket), tot
+        ),
+        agg AS (
+          SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
+                 sum(COALESCE(lam.lam,
+                              ln({a} / tot.td) - ln({a} / tot.rd))) AS logw
+          FROM fb LEFT JOIN lam USING (bucket), tot
+          GROUP BY fb.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(agg.n_feats, 0)::BIGINT AS n_feats,
+               round(COALESCE(agg.logw, 0.0), 4) AS logw_r
+        FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+
+SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+SPLIT_SEED = 42
+SHARD_N = 8
+SHARD_SEED = 42
+
+
+def q_corpus_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment (corpus.assign_splits):
+    hash-range membership, a pure function of (doc_id, seed) — stable
+    under corpus growth.  Row-local, zero shuffles."""
+    from srag_spark.operators.corpus import assign_splits
+
+    return assign_splits(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        SPLITS,
+        seed=SPLIT_SEED,
+    )
+
+
+def _splits_sql() -> str:
+    from srag_spark.operators.corpus import _rate_threshold_hex
+
+    names = list(SPLITS)
+    h = f"substr(md5('split:{SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    cases, cum = [], 0.0
+    for name in names[:-1]:
+        cum += SPLITS[name]
+        cases.append(f"WHEN {h} < '{_rate_threshold_hex(cum)}' THEN '{name}'")
+    return f"""
+        SELECT doc_id,
+               CASE {' '.join(cases)} ELSE '{names[-1]}' END AS split
+        FROM documents
+    """
+
+
+def q_corpus_shards(spark, sf_dir):
+    """Deterministic global shuffle + sharding (corpus.assign_shards):
+    hash-derived shard + in-shard position for dataloader serving.  One
+    hash shuffle + per-shard windows — never a global sort."""
+    from srag_spark.operators.corpus import assign_shards
+
+    return assign_shards(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        n_shards=SHARD_N,
+        seed=SHARD_SEED,
+    )
+
+
+def _shards_sql() -> str:
+    h = f"md5('shard:{SHARD_SEED}:' || CAST(doc_id AS VARCHAR))"
+    return f"""
+        WITH h AS (
+          SELECT doc_id, {h} AS hh,
+                 ('0x' || substr({h}, 1, 8))::BIGINT % {SHARD_N} AS s
+          FROM documents
+        )
+        SELECT doc_id, s::INT AS shard_id,
+               (row_number() OVER (PARTITION BY s ORDER BY hh, doc_id))::INT
+                 AS shard_pos
+        FROM h
+    """
+
+
 BUILD_RATES = {"en": 0.8, "und": 0.5}
 
 
@@ -2324,6 +2550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "lm_ppl": q_lm_ppl,
         "c4_line_filter": q_c4_line_filter,
+        "gopher_rules": q_gopher_rules,
+        "dsir_weights": q_dsir_weights,
+        "corpus_splits": q_corpus_splits,
+        "corpus_shards": q_corpus_shards,
     }
 
 
@@ -2671,6 +2901,10 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": _pii_scrub_sql(),
         "lm_ppl": _lm_ppl_sql(),
         "c4_line_filter": _c4_line_sql(),
+        "gopher_rules": _gopher_sql(),
+        "dsir_weights": _dsir_sql(),
+        "corpus_splits": _splits_sql(),
+        "corpus_shards": _shards_sql(),
         "repetition_stats": _REPETITION_SQL,
         "mm_decode_media": _mm_decode_sql(),
         "mm_extract_features": _mm_features_sql(),

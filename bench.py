@@ -69,6 +69,7 @@ HEADLINE_QUERY_NAMES = [
     "q3_bm25_filtered",
     "text_pii_scrub",
     "lm_ppl",
+    "dsir_weights",
 ]
 
 

@@ -290,3 +290,90 @@ def sample_mixture(
             F.col(group_col) == F.lit(g), F.lit(1.0 / r if r > 0 else 0.0)
         ).otherwise(wt)
     return docs.filter(hex8 < thr).withColumn("weight", wt)
+
+
+def assign_splits(
+    docs: DataFrame,
+    splits: dict[str, float],
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: adds a ``split``
+    column partitioning the corpus by hash ranges of
+    ``md5('split:' || seed || ':' || doc_id)``.
+
+    ``splits`` maps split name -> fraction, in INSERTION ORDER; the
+    fractions must sum to 1 (the last split absorbs the hash-space
+    remainder, so float rounding never drops a row).  Like
+    :func:`sample_mixture`, membership is a pure function of
+    (doc_id, seed): reproducible across runs, cluster sizes, and
+    engines; independent of row order and partitioning; and stable
+    under corpus growth (a doc never migrates between splits when new
+    docs arrive — the property that keeps eval sets uncontaminated
+    across corpus refreshes).  Row-local, zero shuffles."""
+    fracs = list(splits.items())
+    if not fracs:
+        raise ValueError("splits must name at least one split")
+    total = sum(f for _, f in fracs)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    hex8 = F.substring(
+        F.md5(F.concat(F.lit(f"split:{int(seed)}:"),
+                       F.col(id_col).cast("string"))),
+        1,
+        8,
+    )
+    # cumulative hash-range thresholds; chained whens evaluate
+    # first-match, so wrap outward from the LAST (largest) threshold to
+    # keep smallest-threshold-wins order
+    expr = F.lit(fracs[-1][0])  # last split takes the remainder
+    cums = []
+    cum = 0.0
+    for name, frac in fracs[:-1]:
+        cum += frac
+        cums.append((name, _rate_threshold_hex(cum)))
+    for name, thr in reversed(cums):
+        expr = F.when(hex8 < F.lit(thr), F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)
+
+
+def assign_shards(
+    docs: DataFrame,
+    n_shards: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, shard_id, shard_pos): deterministic global shuffle +
+    sharding for training-order serving — every doc lands in shard
+    ``md5_prefix(doc) % n_shards`` at the position its hash sorts to
+    within the shard.  The standard "shuffle once, write N shard files,
+    readers stream shards in order" layout for dataloader consumption.
+
+    Scale shape: the permutation is HASH-DERIVED, so there is no global
+    sort — one hash shuffle on ``shard_id`` plus a per-shard window
+    (Spark sorts (shard_id, hash) within each partition only; with
+    n_shards >> partitions each task orders its own shards
+    independently).  Shard sizes concentrate at corpus_size/n_shards
+    (uniform hash), so the per-shard windows stay balanced at any
+    scale.  Position ties (identical 8-hex prefixes) break by doc_id,
+    keeping the output a pure function of (doc_id, seed) — identical
+    across engines, runs, and partition counts."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.md5(
+        F.concat(F.lit(f"shard:{int(seed)}:"), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shard.alias("shard_id"),
+        h.alias("_h"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("_h", "doc_id")
+    return out.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).cast("int").alias("shard_pos"),
+    )

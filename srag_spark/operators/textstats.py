@@ -303,3 +303,116 @@ def c4_line_filter(
         n_kept.cast("int").alias("n_kept"),
         (n_kept >= C4_MIN_KEPT_LINES).alias("page_kept"),
     )
+
+
+#: Gopher document-level quality rules (Rae et al. 2021, appendix A —
+#: public spec).  Defaults are the paper's published thresholds; every
+#: bound is a kwarg because real pipelines tune them per corpus.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLETS = ("•", "-", "*")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """(doc_id, n_words, mean_word_len_r, symbol_ratio_r, bullet_frac_r,
+    ellipsis_frac_r, alpha_frac_r, n_stopwords, keep): the Gopher
+    document-level quality heuristics — word count in [50, 100k], mean
+    word length in [3, 10], '#'/ellipsis symbol-to-word ratio <= 0.1,
+    <= 90% of lines starting with a bullet, <= 30% of lines ending in
+    an ellipsis, >= 80% of words containing an alphabetic character,
+    and >= 2 distinct stopwords present.
+
+    Words here are RAW whitespace tokens (punctuation intact — the
+    symbol and word-length rules are about surface form, unlike the
+    normalized lexer the dedup family uses).  Zero-word docs emit NULL
+    ratios and keep=false.  All native split / higher-order-function /
+    replace expressions — row-local, zero shuffles, zero Python, exact
+    DuckDB twin.  Complements the r2 `quality_score`/`repetition_stats`
+    signals (Gopher's REPETITION rules) with the paper's document-shape
+    rules."""
+    words = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    n_words = F.size(words)
+    txt = F.col(text_col)
+    # NULL-when-zero denominator: ANSI mode (Spark 4 default) raises on
+    # x/0, while x/NULL propagates NULL — zero-word docs fall through to
+    # NULL metrics and coalesce(keep, false)
+    nz_words = F.when(n_words > 0, n_words)
+
+    sum_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = sum_len.cast("double") / nz_words
+
+    hash_cnt = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    ell_cnt = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (hash_cnt + ell_cnt).cast("double") / nz_words
+
+    lines = F.split(txt, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: _starts_with_bullet(l))).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda l: F.trim(l).endswith("..."))
+        ).cast("double")
+        / n_lines
+    )
+
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / nz_words
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (n_stop >= min_stopwords)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("int").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len_r"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio_r"),
+        F.round(bullet_frac, 4).alias("bullet_frac_r"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_frac_r"),
+        F.round(alpha_frac, 4).alias("alpha_frac_r"),
+        n_stop.cast("int").alias("n_stopwords"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
+def _starts_with_bullet(line: "F.Column") -> "F.Column":
+    t = F.trim(line)
+    out = None
+    for b in GOPHER_BULLETS:
+        e = t.startswith(b)
+        out = e if out is None else (out | e)
+    return out
