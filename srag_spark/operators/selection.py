@@ -12,16 +12,23 @@ the DuckDB oracle reproduces every bucket and every weight exactly.
 Bucket distributions use add-``alpha`` smoothing over the full bucket
 space.
 
-Scale shape (the lm_perplexity/BM25-df pattern): the two bucket-count
-passes are map-side-combinable groupBys whose results are bounded by
-the BUCKET SPACE (16^hash_chars rows, never corpus size); the
-log-ratio table is a bounded full-outer join broadcast to the scoring
-pass; the scoring pass is one linear explode + broadcast join + per-doc
-groupBy.  Nothing quadratic, nothing driver-side beyond two scalar
-totals, and the exploded feature stream is recomputed, never persisted.
+Scale shape (the lm_perplexity/BM25-df pattern): one bounded
+bucket-count pass per corpus (map-side-combinable groupBy whose output
+is bounded by the BUCKET SPACE, 16^hash_chars rows, never corpus
+size), the bounded counts pulled to the driver once to build the
+log-ratio table (<= 16^hash_chars rows — the same driver transfer BM25
+makes for its df table), and one linear scoring pass joining the
+broadcast table.  Three linear corpus scans total, nothing quadratic.
+The words array is PROJECTED to a physical column before any
+higher-order function touches it — referencing ``words_col(text)``
+inside a lambda would re-run the regexp lexer once per array index
+(measured 10-40x on the bigram build), the classic expression-reuse
+trap with Spark HOFs.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -29,22 +36,22 @@ from pyspark.sql import functions as F
 from srag_spark.operators.dedup import words_col
 
 
-def dsir_features_col(text_col) -> "F.Column":
-    """Unigram + bigram features of a text, as ``array<string>``
-    (native HOFs, no UDF).  Bigrams are space-joined adjacent word
-    pairs of the frozen lexer; texts under 2 words contribute only
-    their unigrams."""
-    w = words_col(text_col)
+def dsir_features_col(words: "F.Column") -> "F.Column":
+    """Unigram + bigram features over a MATERIALIZED words-array column
+    (project ``words_col(text)`` to a real column first — see module
+    docstring), as ``array<string>``.  Bigrams via zip_with over two
+    shifted slices: O(n) per doc, no per-index array re-evaluation.
+    Texts under 2 words contribute only their unigrams."""
+    n = F.size(words)
     bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i), F.element_at(w, i + 1)
-            ),
+        n >= 2,
+        F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.concat(w, bigrams)
+    return F.concat(words, bigrams)
 
 
 def dsir_bucket_col(feat_col, hash_chars: int) -> "F.Column":
@@ -58,9 +65,8 @@ def _bucket_counts(docs: DataFrame, text_col: str, hash_chars: int) -> DataFrame
     explode + one map-side-combinable groupBy, output bounded by the
     bucket space."""
     return (
-        docs.select(
-            F.explode(dsir_features_col(F.col(text_col))).alias("feat")
-        )
+        docs.select(words_col(F.col(text_col)).alias("_w"))
+        .select(F.explode(dsir_features_col(F.col("_w"))).alias("feat"))
         .select(dsir_bucket_col(F.col("feat"), hash_chars).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("c"))
@@ -93,36 +99,38 @@ def dsir_weights(
     implementation of the public DSIR recipe (hashed bag-of-ngrams
     importance weights), added for the training-data pipeline family.
     """
-    t_counts = _bucket_counts(target, text_col, hash_chars)
-    r_counts = _bucket_counts(docs, text_col, hash_chars)
+    # bounded: <= 16^hash_chars rows each — driver-safe by construction
+    t_counts = {
+        r["bucket"]: r["c"]
+        for r in _bucket_counts(target, text_col, hash_chars).collect()
+    }
+    r_counts = {
+        r["bucket"]: r["c"]
+        for r in _bucket_counts(docs, text_col, hash_chars).collect()
+    }
 
     b_space = float(16 ** hash_chars)
-    n_t = t_counts.agg(F.sum("c")).collect()[0][0] or 0
-    n_r = r_counts.agg(F.sum("c")).collect()[0][0] or 0
-    t_denom = float(n_t) + alpha * b_space
-    r_denom = float(n_r) + alpha * b_space
-
-    lam = (
-        t_counts.withColumnRenamed("c", "ct")
-        .join(r_counts.withColumnRenamed("c", "cr"), "bucket", "full")
-        .select(
-            "bucket",
-            (
-                F.log((F.coalesce("ct", F.lit(0)) + alpha) / F.lit(t_denom))
-                - F.log((F.coalesce("cr", F.lit(0)) + alpha) / F.lit(r_denom))
-            ).alias("lam"),
-        )
-    )
-    # buckets untouched by either corpus (possible when scoring a frame
-    # that is not the raw-distribution frame)
-    import math
-
+    t_denom = float(sum(t_counts.values())) + alpha * b_space
+    r_denom = float(sum(r_counts.values())) + alpha * b_space
     lam0 = math.log(alpha / t_denom) - math.log(alpha / r_denom)
+
+    spark = docs.sparkSession
+    lam_rows = [
+        (b,
+         math.log((t_counts.get(b, 0) + alpha) / t_denom)
+         - math.log((r_counts.get(b, 0) + alpha) / r_denom))
+        for b in set(t_counts) | set(r_counts)
+    ]
+    lam = spark.createDataFrame(lam_rows, "bucket string, lam double")
 
     scored = (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.explode_outer(dsir_features_col(F.col(text_col))).alias("feat"),
+            words_col(F.col(text_col)).alias("_w"),
+        )
+        .select(
+            "doc_id",
+            F.explode_outer(dsir_features_col(F.col("_w"))).alias("feat"),
         )
         .withColumn("bucket", dsir_bucket_col(F.col("feat"), hash_chars))
         .join(F.broadcast(lam), "bucket", "left")
