@@ -1866,6 +1866,107 @@ def _decontaminate_spans_sql() -> str:
     """
 
 
+def q_dedup_exact_substr(spark, sf_dir):
+    """Exact-substring duplication census (Lee et al. ExactSubstr at
+    window resolution): for every doc, how many of its order-n token
+    windows repeat corpus-wide, and the token mass inside duplicated
+    regions.  operators/substrings.duplicate_window_flags."""
+    from srag_spark.operators.substrings import duplicate_window_flags
+
+    return duplicate_window_flags(
+        _t(spark, sf_dir, "documents"), n=DECONTAM_N
+    )
+
+
+def _exact_substr_sql() -> str:
+    n = DECONTAM_N
+    return f"""
+        WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS t FROM documents),
+        w AS (
+          SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(list_slice(t, i, i + {n - 1}), ' ')) AS h
+          FROM (
+            SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
+            FROM toks WHERE len(t) >= {n}
+          )
+        ),
+        dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+        m AS (
+          SELECT doc_id, pos,
+                 LEAST({n}, pos - lag(pos) OVER
+                       (PARTITION BY doc_id ORDER BY pos)) AS gap
+          FROM w JOIN dup USING (h)
+        ),
+        hits AS (
+          SELECT doc_id, count(*)::BIGINT AS dup_windows,
+                 sum(COALESCE(gap, {n}))::BIGINT AS dup_tokens
+          FROM m GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               GREATEST(0, len(t.t) - {n - 1})::BIGINT AS n_windows,
+               COALESCE(h.dup_windows, 0)::BIGINT AS dup_windows,
+               COALESCE(h.dup_tokens, 0)::BIGINT AS dup_tokens
+        FROM toks t LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def q_dedup_strip_substr(spark, sf_dir):
+    """Exact-substring strip: cut every corpus-duplicated window
+    occurrence except the (doc_id, pos)-first and rebuild each doc from
+    its surviving tokens.  operators/substrings.strip_duplicate_spans."""
+    from srag_spark.operators.substrings import strip_duplicate_spans
+
+    return strip_duplicate_spans(_t(spark, sf_dir, "documents"), n=DECONTAM_N)
+
+
+def _strip_substr_sql() -> str:
+    n = DECONTAM_N
+    return f"""
+        WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS t FROM documents),
+        w AS (
+          SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(list_slice(t, i, i + {n - 1}), ' ')) AS h
+          FROM (
+            SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
+            FROM toks WHERE len(t) >= {n}
+          )
+        ),
+        r AS (
+          SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY h) AS c,
+                 row_number() OVER
+                   (PARTITION BY h ORDER BY doc_id, pos) AS rn
+          FROM w
+        ),
+        cut AS (SELECT doc_id, pos FROM r WHERE c >= 2 AND rn > 1),
+        tp AS (
+          SELECT doc_id, i - 1 AS ti, t[i] AS tok
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+                FROM toks)
+        ),
+        rem AS (
+          SELECT DISTINCT tp.doc_id, tp.ti
+          FROM tp JOIN cut c
+            ON tp.doc_id = c.doc_id
+           AND tp.ti >= c.pos AND tp.ti < c.pos + {n}
+        ),
+        kept AS (
+          SELECT tp.doc_id,
+                 string_agg(tp.tok, ' ' ORDER BY tp.ti)
+                   FILTER (WHERE rem.ti IS NULL) AS text,
+                 count(*) FILTER (WHERE rem.ti IS NOT NULL) AS n_removed
+          FROM tp LEFT JOIN rem
+            ON tp.doc_id = rem.doc_id AND tp.ti = rem.ti
+          GROUP BY tp.doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(k.text, '') AS text,
+               len(t.t)::BIGINT AS n_tokens,
+               COALESCE(k.n_removed, 0)::BIGINT AS n_removed
+        FROM toks t LEFT JOIN kept k USING (doc_id)
+    """
+
+
 def _pii_planted(spark, sf_dir):
     """documents with deterministic PII planted by doc_id residue — the
     synth corpus contains no digits or '@' at all (checked at sf0.01),
@@ -2545,6 +2646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_mixture": q_corpus_sample_mixture,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_decontaminate_spans": q_corpus_decontaminate_spans,
+        "dedup_exact_substr": q_dedup_exact_substr,
+        "dedup_strip_substr": q_dedup_strip_substr,
         "q3_bm25_filtered": q_q3_bm25_filtered,
         "corpus_build": q_corpus_build,
         "text_pii_scrub": q_text_pii_scrub,
@@ -2896,6 +2999,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample_mixture": _sample_mixture_sql(),
         "corpus_decontaminate": _decontaminate_sql(),
         "corpus_decontaminate_spans": _decontaminate_spans_sql(),
+        "dedup_exact_substr": _exact_substr_sql(),
+        "dedup_strip_substr": _strip_substr_sql(),
         "q3_bm25_filtered": _bm25_filtered_sql(),
         "corpus_build": _corpus_build_sql(),
         "text_pii_scrub": _pii_scrub_sql(),

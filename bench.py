@@ -70,6 +70,7 @@ HEADLINE_QUERY_NAMES = [
     "text_pii_scrub",
     "lm_ppl",
     "dsir_weights",
+    "dedup_strip_substr",
 ]
 
 
