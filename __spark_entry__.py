@@ -1967,6 +1967,105 @@ def _strip_substr_sql() -> str:
     """
 
 
+MIX_BUDGET = 50000.0  # temperature entry: token budget over sf0.01
+UNIMAX_BUDGET = 20000.0  # below min-capacity·G so the water level binds
+
+
+def q_corpus_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled mixture rates (T=2): per-language token
+    share flattened toward uniform, token allocation and implied
+    epochs under a fixed budget.  corpus.temperature_mixture_rates."""
+    from srag_spark.operators.corpus import temperature_mixture_rates
+
+    return temperature_mixture_rates(
+        _t(spark, sf_dir, "documents"),
+        budget_tokens=MIX_BUDGET,
+        temperature=2.0,
+        group_col="lang",
+    )
+
+
+def _mixture_temperature_sql() -> str:
+    b, p = repr(MIX_BUDGET), "pow(n_tokens::DOUBLE, 0.5)"
+    return f"""
+        WITH s AS (
+          SELECT lang, count(*)::BIGINT AS n_docs,
+                 sum(len({_WORDS_SQL}))::BIGINT AS n_tokens
+          FROM documents GROUP BY lang
+        ),
+        t AS (
+          SELECT sum(n_tokens)::DOUBLE AS _N, sum({p}) AS _S FROM s
+        )
+        SELECT s.lang, s.n_docs, s.n_tokens,
+          round(CASE WHEN _N > 0 THEN s.n_tokens / _N ELSE 0.0 END,
+                7) AS p_raw,
+          round(CASE WHEN _S > 0 THEN {p} / _S ELSE 0.0 END,
+                7) AS q_target,
+          round(CASE WHEN _S > 0 THEN {p} / _S * {b} ELSE 0.0 END,
+                4) AS alloc_tokens,
+          round(CASE WHEN s.n_tokens > 0 AND _S > 0
+                     THEN {p} / _S * {b} / s.n_tokens ELSE 0.0 END,
+                7) AS epochs
+        FROM s, t
+    """
+
+
+def q_corpus_mixture_unimax(spark, sf_dir):
+    """UniMax mixture rates (epoch cap 2): water-filled near-uniform
+    token allocation per language.  corpus.unimax_mixture_rates."""
+    from srag_spark.operators.corpus import unimax_mixture_rates
+
+    return unimax_mixture_rates(
+        _t(spark, sf_dir, "documents"),
+        budget_tokens=UNIMAX_BUDGET,
+        epoch_cap=2.0,
+        group_col="lang",
+    )
+
+
+def _mixture_unimax_sql() -> str:
+    b = repr(UNIMAX_BUDGET)
+    lam = f"({b} - capped_sum) / (g - n_capped)"
+    alloc = (
+        f"CASE WHEN capped OR g <= n_capped THEN capacity "
+        f"ELSE LEAST(capacity, {lam}) END"
+    )
+    return f"""
+        WITH s AS (
+          SELECT lang, count(*)::BIGINT AS n_docs,
+                 sum(len({_WORDS_SQL}))::BIGINT AS n_tokens
+          FROM documents GROUP BY lang
+        ),
+        c AS (SELECT *, 2.0 * n_tokens AS capacity FROM s),
+        r AS (
+          SELECT *,
+            row_number() OVER (ORDER BY capacity, lang) AS k,
+            COALESCE(sum(capacity) OVER (ORDER BY capacity, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0.0) AS cum_prev,
+            count(*) OVER () AS g
+          FROM c
+        ),
+        f AS (
+          SELECT *,
+            capacity * (g - k + 1) <= ({b} - cum_prev) AS capped
+          FROM r
+        ),
+        a AS (
+          SELECT *,
+            sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS n_capped,
+            sum(CASE WHEN capped THEN capacity ELSE 0.0 END)
+              OVER () AS capped_sum
+          FROM f
+        )
+        SELECT lang, n_docs, n_tokens, capacity,
+          round({alloc}, 4) AS alloc_tokens,
+          round(CASE WHEN n_tokens > 0 THEN ({alloc}) / n_tokens
+                     ELSE 0.0 END, 7) AS epochs
+        FROM a
+    """
+
+
 def _pii_planted(spark, sf_dir):
     """documents with deterministic PII planted by doc_id residue — the
     synth corpus contains no digits or '@' at all (checked at sf0.01),
@@ -2648,6 +2747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate_spans": q_corpus_decontaminate_spans,
         "dedup_exact_substr": q_dedup_exact_substr,
         "dedup_strip_substr": q_dedup_strip_substr,
+        "corpus_mixture_temperature": q_corpus_mixture_temperature,
+        "corpus_mixture_unimax": q_corpus_mixture_unimax,
         "q3_bm25_filtered": q_q3_bm25_filtered,
         "corpus_build": q_corpus_build,
         "text_pii_scrub": q_text_pii_scrub,
@@ -3001,6 +3102,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_decontaminate_spans": _decontaminate_spans_sql(),
         "dedup_exact_substr": _exact_substr_sql(),
         "dedup_strip_substr": _strip_substr_sql(),
+        "corpus_mixture_temperature": _mixture_temperature_sql(),
+        "corpus_mixture_unimax": _mixture_unimax_sql(),
         "q3_bm25_filtered": _bm25_filtered_sql(),
         "corpus_build": _corpus_build_sql(),
         "text_pii_scrub": _pii_scrub_sql(),

@@ -292,6 +292,163 @@ def sample_mixture(
     return docs.filter(hex8 < thr).withColumn("weight", wt)
 
 
+def mixture_group_stats(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus statistics feeding rate derivation:
+    ``(group, n_docs, n_tokens)``.  One map-side-combinable groupBy;
+    the group relation is bounded (languages / domains / sources), so
+    everything downstream of this operates on a tiny frame."""
+    return docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+
+
+def temperature_mixture_rates(
+    docs: DataFrame,
+    budget_tokens: float,
+    temperature: float = 2.0,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture rates — the multilingual-LM standard
+    (mT5/XLM-R style): target share ``q_g ∝ p_g^(1/T)`` flattens the
+    raw token distribution toward uniform as ``T`` grows (``T=1`` is
+    proportional sampling, ``T→∞`` uniform).  ``N^(1/T)`` cancels in
+    the normalization, so ``q_g = n_g^(1/T) / Σ_h n_h^(1/T)``.
+
+    Returns one row per group::
+
+        (group, n_docs, n_tokens, p_raw, q_target, alloc_tokens, epochs)
+
+    ``alloc_tokens = q_g · budget_tokens``; ``epochs`` is the implied
+    pass count over the group (``>1`` means upsampling — feed
+    :func:`mixture_rates_dict` / :func:`sample_mixture` to realise the
+    downsampling part deterministically).  Float outputs are rounded to
+    7 decimals so the cross-engine hash is insensitive to
+    summation-order ulps in ``Σ n^(1/T)``.
+
+    Scale shape: one groupBy over the corpus + a broadcast single-row
+    totals join; nothing further touches row data.
+    """
+    stats = mixture_group_stats(docs, group_col, text_col)
+    inv_t = 1.0 / float(temperature)
+    pw = F.pow(F.col("n_tokens").cast("double"), F.lit(inv_t))
+    tot = stats.agg(
+        F.sum("n_tokens").cast("double").alias("_N"),
+        F.sum(pw).alias("_S"),
+    )
+    b = F.lit(float(budget_tokens))
+    q = F.when(F.col("_S") > 0, pw / F.col("_S")).otherwise(F.lit(0.0))
+    return (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.when(
+                    F.col("_N") > 0, F.col("n_tokens") / F.col("_N")
+                ).otherwise(F.lit(0.0)),
+                7,
+            ).alias("p_raw"),
+            F.round(q, 7).alias("q_target"),
+            F.round(q * b, 4).alias("alloc_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0, q * b / F.col("n_tokens")
+                ).otherwise(F.lit(0.0)),
+                7,
+            ).alias("epochs"),
+        )
+    )
+
+
+def unimax_mixture_rates(
+    docs: DataFrame,
+    budget_tokens: float,
+    epoch_cap: float = 2.0,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax mixture rates (Chung et al. 2023): spread the token
+    budget as uniformly as possible across groups, but never take more
+    than ``epoch_cap`` passes over any group's data — the repeated-
+    epoch overfitting guard temperature sampling lacks.
+
+    Water-filling: with groups sorted by capacity
+    ``c_g = epoch_cap · n_g`` ascending, a prefix of small groups caps
+    out at ``c_g`` and the rest split the remaining budget evenly at
+    the water level ``λ``; ``alloc_g = min(c_g, λ)``.  The capped
+    prefix is found without iteration: group ``k`` (1-based, ties
+    broken by group name) caps out iff
+    ``c_k · (G − k + 1) ≤ B − Σ_{i<k} c_i`` — the classic sorted
+    water-filling characterization, exact in window functions.  If the
+    budget exceeds total capacity every group caps at ``c_g`` (the
+    budget is then unreachable by construction).
+
+    Returns ``(group, n_docs, n_tokens, capacity, alloc_tokens,
+    epochs)``.  All arithmetic is exact integer-valued doubles except
+    the single ``λ`` division, so the cross-engine hash is stable
+    without rounding games (outputs still rounded to 7 for uniformity).
+
+    Scale shape: one corpus groupBy; the sort/window/aggregate run on
+    the bounded group relation (single-partition window over G rows —
+    G is languages/domains, not data).
+    """
+    stats = mixture_group_stats(docs, group_col, text_col)
+    cap = (F.lit(float(epoch_cap)) * F.col("n_tokens")).alias("capacity")
+    s = stats.select("*", cap)
+    w = Window.orderBy("capacity", group_col)
+    b = F.lit(float(budget_tokens))
+    g_total = Window.partitionBy()
+    k = F.row_number().over(w)
+    cum_prev = F.coalesce(
+        F.sum("capacity").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0.0),
+    )
+    n_groups = F.count(F.lit(1)).over(g_total)
+    capped = F.col("capacity") * (n_groups - k + 1) <= (b - cum_prev)
+    t = s.select("*", capped.alias("_capped"), n_groups.alias("_g"))
+    n_capped = F.sum(F.when(F.col("_capped"), 1).otherwise(0)).over(g_total)
+    capped_sum = F.sum(
+        F.when(F.col("_capped"), F.col("capacity")).otherwise(F.lit(0.0))
+    ).over(g_total)
+    lam = F.when(
+        F.col("_g") > n_capped, (b - capped_sum) / (F.col("_g") - n_capped)
+    )
+    alloc = F.when(
+        F.col("_capped") | lam.isNull(), F.col("capacity")
+    ).otherwise(F.least(F.col("capacity"), lam))
+    return t.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        "capacity",
+        F.round(alloc, 4).alias("alloc_tokens"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0, alloc / F.col("n_tokens")
+            ).otherwise(F.lit(0.0)),
+            7,
+        ).alias("epochs"),
+    )
+
+
+def mixture_rates_dict(rates: DataFrame, group_col: str = "source") -> dict:
+    """Collect a derived-rates frame (bounded: one row per group) into
+    the ``{group: keep_rate}`` dict :func:`sample_mixture` consumes.
+    ``epochs`` above 1 clamp to 1 — hash-threshold sampling realises
+    downsampling; upsampling (extra epochs) belongs to the dataloader."""
+    return {
+        r[group_col]: min(1.0, float(r["epochs"]))
+        for r in rates.select(group_col, "epochs").collect()
+    }
+
+
 def assign_splits(
     docs: DataFrame,
     splits: dict[str, float],
