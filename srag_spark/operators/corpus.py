@@ -449,6 +449,38 @@ def mixture_rates_dict(rates: DataFrame, group_col: str = "source") -> dict:
     }
 
 
+def derive_mixture_rates(
+    docs: DataFrame,
+    spec: tuple,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> dict[str, float]:
+    """Resolve a mixture SPEC into the ``{group: keep_rate}`` dict
+    :func:`sample_mixture` consumes::
+
+        ("temperature", budget_tokens, T)
+        ("unimax", budget_tokens, epoch_cap)
+
+    Rates are derived from ``docs`` itself (group token counts), so
+    pass the population that will actually be sampled."""
+    kind, budget, param = spec
+    if kind == "temperature":
+        rates = temperature_mixture_rates(
+            docs, budget, temperature=param,
+            group_col=group_col, text_col=text_col,
+        )
+    elif kind == "unimax":
+        rates = unimax_mixture_rates(
+            docs, budget, epoch_cap=param,
+            group_col=group_col, text_col=text_col,
+        )
+    else:
+        raise ValueError(
+            f"mixture spec kind must be 'temperature' or 'unimax', got {kind!r}"
+        )
+    return mixture_rates_dict(rates, group_col)
+
+
 def assign_splits(
     docs: DataFrame,
     splits: dict[str, float],

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from srag_spark.operators.corpus import (
+    derive_mixture_rates,
     find_contamination,
     pack_sequences,
     sample_mixture,
@@ -67,7 +68,7 @@ BUILD_COLUMNS = (
 def build_training_corpus(
     docs: DataFrame,
     eval_docs: DataFrame,
-    rates: dict[str, float],
+    rates: dict[str, float] | tuple,
     budget: int,
     lang_whitelist: tuple[str, ...] = ("en",),
     min_quality: float = 0.45,
@@ -94,6 +95,13 @@ def build_training_corpus(
     1/rate).  Survivors are packed into fixed-``budget`` token windows
     in doc_id order (pack_sequences' frozen spec).
 
+    ``rates`` may instead be a mixture SPEC — ``("temperature",
+    budget_tokens, T)`` or ``("unimax", budget_tokens, epoch_cap)`` —
+    in which case per-group keep rates are derived from the clean
+    survivor set itself (:func:`srag_spark.operators.corpus.
+    derive_mixture_rates`): deriving on the raw input would allocate
+    budget to docs curation already dropped.
+
     Persist lifecycle: the curated survivor set feeds the contamination
     windows, the anti-join, and the downstream chain, so it is persisted
     (appended to ``persisted`` when given, else released before return
@@ -117,6 +125,13 @@ def build_training_corpus(
         clean = _decontaminate(curated, eval_docs, decontam_n)
         if pii_scrub:
             clean = _scrub_text(clean)
+        if isinstance(rates, tuple):
+            # mixture spec, not explicit rates: derive on the clean
+            # (post-curation, post-decontam, post-scrub) survivor set —
+            # the population the sampler actually draws from, with the
+            # token accounting the trainer will see
+            clean = _persist(clean, ledger)
+            rates = derive_mixture_rates(clean, rates, group_col=group_col)
         sampled = sample_mixture(
             clean, rates, group_col=group_col, seed=seed,
             default_rate=default_rate,
@@ -181,7 +196,7 @@ def build_training_corpus_durable(
     docs: DataFrame,
     eval_docs: DataFrame,
     work_dir: str,
-    rates: dict[str, float],
+    rates: dict[str, float] | tuple,
     budget: int,
     lang_whitelist: tuple[str, ...] = ("en",),
     min_quality: float = 0.45,
@@ -266,6 +281,11 @@ def build_training_corpus_durable(
 
     if not done("packed"):
         clean = read_table(spark, path("clean"))
+        if isinstance(rates, tuple):
+            # derived on the committed clean table: a resumed run reads
+            # the identical population, so the rates (and the sample)
+            # reproduce exactly
+            rates = derive_mixture_rates(clean, rates, group_col=group_col)
         sampled = sample_mixture(
             clean, rates, group_col=group_col, seed=seed,
             default_rate=default_rate,

@@ -203,3 +203,53 @@ def test_build_durable_pii_clean_table_is_redacted(spark, tmp_path):
     assert "alice@example.org" not in texts[5]
     assert "10.1.2.3" not in texts[5]
     assert texts[1] == DOC_A
+
+
+def test_build_mixture_spec_matches_manual_rates(spark):
+    """rates=("unimax", B, cap) equals deriving the dict on the clean
+    survivor set by hand and passing it explicitly."""
+    from srag_spark.operators.corpus import derive_mixture_rates
+
+    docs = _df(spark, [(1, DOC_A), (2, DOC_B), (3, DOC_C), (4, DOC_A)])
+    spec = ("unimax", 25.0, 1.0)
+    # clean survivor set is {1, 3} (4 deduped, 2 contaminated), all 'en'
+    survivors = spark.createDataFrame(
+        [(1, DOC_A, "en"), (3, DOC_C, "en")],
+        "doc_id long, text string, pred_lang string",
+    )
+    d = derive_mixture_rates(survivors, spec, group_col="pred_lang")
+    assert 0.0 < d["en"] < 1.0  # budget below group capacity
+
+    def key(rows):
+        return {
+            (r["doc_id"], r["pack_id"]): (
+                r["pack_start"], r["pack_end"], r["weight"])
+            for r in rows
+        }
+
+    got = key(_build(spark, docs, rates=spec).collect())
+    exp = key(_build(spark, docs, rates=d).collect())
+    assert got == exp
+
+
+def test_build_durable_mixture_spec_matches_inmemory(spark, tmp_path):
+    """The durable form derives spec rates on the committed clean table
+    and reproduces the in-memory spec build exactly."""
+    work = str(tmp_path / "build_spec")
+    docs = _df(spark, [(1, DOC_A), (2, DOC_B), (3, DOC_C), (4, DOC_A)])
+    ev = _df(spark, [(900, EVAL_DOC)])
+    spec = ("temperature", 40.0, 2.0)
+    out = build_training_corpus_durable(
+        spark, docs, ev, work, rates=spec, budget=16,
+        lang_whitelist=("en", "und"), min_quality=0.0, decontam_n=5,
+        n_buckets=4,
+    )
+    got = {
+        (r["doc_id"], r["pack_id"]): (r["pack_start"], r["pack_end"], r["weight"])
+        for r in out.collect()
+    }
+    exp = {
+        (r["doc_id"], r["pack_id"]): (r["pack_start"], r["pack_end"], r["weight"])
+        for r in _build(spark, docs, rates=spec).collect()
+    }
+    assert got == exp
