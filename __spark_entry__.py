@@ -1967,6 +1967,145 @@ def _strip_substr_sql() -> str:
     """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup: a new batch (fresh docs + planted exact/near
+    copies of base docs) annotated against the signed base corpus
+    (dedup.build_dedup_index / incremental_dedup) — the daily-crawl
+    top-up path that never re-reads base text."""
+    from srag_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+        words_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    w = words_col(F.col("text"))
+    near = (
+        base.filter((F.col("doc_id") < 60) & (F.size(w) > 1))
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.array_join(F.slice(w, 1, F.size(w) - 1), " ").alias("text"),
+        )
+    )
+    exact = base.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .unionByName(near)
+        .unionByName(exact)
+    )
+    return incremental_dedup(
+        new, build_dedup_index(base), jaccard_tau=0.5
+    ).select(
+        "doc_id", "text_hash", "dup_exact", "dup_near", "dup_in_batch", "keep"
+    )
+
+
+def _incremental_sql(n_hashes: int = 16, bands: int = 4, tau: float = 0.5) -> str:
+    sig_cols = ",\n           ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(n_hashes)
+    )
+    rpb = n_hashes // bands
+
+    def band_sel(sig_src):
+        return "\n    UNION ALL ".join(
+            "SELECT doc_id, {b} AS band_id, {expr} AS band_val FROM {s}".format(
+                b=b,
+                s=sig_src,
+                expr=" || '|' || ".join(f"h{b * rpb + j}" for j in range(rpb)),
+            )
+            for b in range(bands)
+        )
+
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(n_hashes)
+    )
+    est = f"round(({matches})::DOUBLE / {n_hashes}.0, 6) >= {tau}"
+    hash_expr = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+    shingle = """
+        SELECT doc_id, unnest(
+          CASE WHEN len(w) >= 3 THEN list_distinct(
+                 list_transform(range(len(w) - 2),
+                                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+               WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+               ELSE [] END) AS shingle
+        FROM (SELECT doc_id, {norm} AS w FROM {src})
+    """
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        ),
+        newb AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id,
+                 array_to_string(w[1:len(w)-1], ' ') AS text
+          FROM (SELECT doc_id, {_NORM_W_SQL} AS w FROM documents
+                WHERE doc_id % 3 <> 0)
+          WHERE doc_id < 60 AND len(w) > 1
+          UNION ALL
+          SELECT doc_id + 300000 AS doc_id, text FROM documents
+          WHERE doc_id % 3 <> 0 AND doc_id < 30
+        ),
+        bh AS (SELECT doc_id, {hash_expr} AS text_hash FROM base),
+        nh AS (SELECT doc_id, {hash_expr} AS text_hash FROM newb),
+        bsh AS ({shingle.format(norm=_NORM_W_SQL, src="base")}),
+        nsh AS ({shingle.format(norm=_NORM_W_SQL, src="newb")}),
+        bsig AS (SELECT doc_id, {sig_cols} FROM bsh GROUP BY doc_id),
+        nsig AS (SELECT doc_id, {sig_cols} FROM nsh GROUP BY doc_id),
+        bbands AS ({band_sel("bsig")}),
+        nbands AS ({band_sel("nsig")}),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS doc_id, b.doc_id AS base_id
+          FROM nbands n JOIN bbands b
+            ON n.band_id = b.band_id AND n.band_val = b.band_val
+        ),
+        near_base AS (
+          SELECT DISTINCT c.doc_id FROM cand c
+          JOIN nsig sa ON sa.doc_id = c.doc_id
+          JOIN bsig sb ON sb.doc_id = c.base_id
+          WHERE {est}
+        ),
+        npairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM nbands a JOIN nbands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+        ),
+        near_batch AS (
+          SELECT DISTINCT p.doc_b AS doc_id FROM npairs p
+          JOIN nsig sa ON sa.doc_id = p.doc_a
+          JOIN nsig sb ON sb.doc_id = p.doc_b
+          WHERE {est}
+        ),
+        exact_base AS (
+          SELECT DISTINCT n.doc_id FROM nh n
+          JOIN (SELECT DISTINCT text_hash FROM bh) b USING (text_hash)
+        ),
+        ex AS (
+          SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY text_hash) AS first_id
+          FROM nh
+        )
+        SELECT nh.doc_id, nh.text_hash,
+               (eb.doc_id IS NOT NULL) AS dup_exact,
+               (nb.doc_id IS NOT NULL) AS dup_near,
+               (ex.first_id < nh.doc_id
+                OR nbp.doc_id IS NOT NULL) AS dup_in_batch,
+               NOT ((eb.doc_id IS NOT NULL) OR (nb.doc_id IS NOT NULL)
+                    OR ex.first_id < nh.doc_id
+                    OR nbp.doc_id IS NOT NULL) AS keep
+        FROM nh
+        JOIN ex ON ex.doc_id = nh.doc_id
+        LEFT JOIN exact_base eb ON eb.doc_id = nh.doc_id
+        LEFT JOIN near_base nb ON nb.doc_id = nh.doc_id
+        LEFT JOIN near_batch nbp ON nbp.doc_id = nh.doc_id
+    """
+
+
 MIX_BUDGET = 50000.0  # temperature entry: token budget over sf0.01
 UNIMAX_BUDGET = 20000.0  # below min-capacity·G so the water level binds
 
@@ -2749,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_strip_substr": q_dedup_strip_substr,
         "corpus_mixture_temperature": q_corpus_mixture_temperature,
         "corpus_mixture_unimax": q_corpus_mixture_unimax,
+        "dedup_incremental": q_dedup_incremental,
         "q3_bm25_filtered": q_q3_bm25_filtered,
         "corpus_build": q_corpus_build,
         "text_pii_scrub": q_text_pii_scrub,
@@ -3104,6 +3244,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_strip_substr": _strip_substr_sql(),
         "corpus_mixture_temperature": _mixture_temperature_sql(),
         "corpus_mixture_unimax": _mixture_unimax_sql(),
+        "dedup_incremental": _incremental_sql(),
         "q3_bm25_filtered": _bm25_filtered_sql(),
         "corpus_build": _corpus_build_sql(),
         "text_pii_scrub": _pii_scrub_sql(),

@@ -71,6 +71,7 @@ HEADLINE_QUERY_NAMES = [
     "lm_ppl",
     "dsir_weights",
     "dedup_strip_substr",
+    "dedup_incremental",
 ]
 
 

@@ -23,7 +23,7 @@ Scale notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -679,4 +679,172 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_r") >= threshold)
         .select("id_a", "id_b", "cos_r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup — new batch vs an already-signed base corpus
+# ---------------------------------------------------------------------------
+def build_dedup_index(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, text_hash, sig) — one index row per doc: the exact-dup
+    key (``md5(norm text)``, :func:`exact_dedup`'s key) plus the MinHash
+    signature (:func:`minhash_signatures`).  Commit it once with
+    ``sources.tables.upsert_by_key`` and every future batch dedups
+    against the corpus WITHOUT re-reading base text — the daily-crawl
+    top-up path (reference parity: none; public incremental-dedup
+    practice, e.g. CCNet's per-snapshot hash sets).
+
+    Docs whose text yields no shingles (empty after normalization) keep
+    a null ``sig`` — they still participate in exact dedup by hash.
+    One explode + one groupBy + one co-keyed join; signatures are never
+    recomputed for docs already in the index."""
+    keys = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm_text_col(F.col(text_col))).alias("text_hash"),
+    )
+    sigs = minhash_signatures(docs, n_hashes, shingle_n, text_col, id_col)
+    return keys.join(sigs, "doc_id", "left")
+
+
+def _bands_from_sig(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band_id, band_val) regenerated from stored signatures —
+    pure column work, no shingling."""
+    return sigs.filter(F.col("sig").isNotNull()).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.array_join(
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band), "|"
+                ),
+            )
+        ).alias("band_id", "band_val"),
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_tau: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persisted: list | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing :func:`build_dedup_index`
+    table plus itself, touching base TEXT never and base SIGNATURES only
+    for band-matched candidates.
+
+    Returns one row per new doc::
+
+        (doc_id, text_hash, sig, dup_exact, dup_near, dup_in_batch, keep)
+
+    * ``dup_exact`` — the doc's ``text_hash`` already exists in the
+      index;
+    * ``dup_near`` — it shares an LSH band with an index doc whose
+      signature agreement (est. Jaccard) reaches ``jaccard_tau``;
+    * ``dup_in_batch`` — within the batch: an earlier (smaller-id) doc
+      has the same hash, or a smaller-id band-matched partner reaches
+      ``jaccard_tau`` (the greedy one-round rule of
+      ``plans.curation.curate_corpus`` — the partner itself need not
+      survive);
+    * ``keep = NOT (dup_exact | dup_near | dup_in_batch)``.  Append the
+      kept rows' ``(doc_id, text_hash, sig)`` back to the index table
+      and the next batch sees them.
+
+    Scale shape (base ≫ batch, the intended regime): base band values
+    regenerate from stored ``sig`` arrays by a column transform — the
+    shingle→md5 aggregation, the dominant signature cost, runs only on
+    the new batch.  Both joins against the base (text-hash equi-join,
+    band equi-join) have the SMALL batch side marked broadcast, so the
+    base index is ONE scan with no shuffle; est-Jaccard verification
+    reads base signatures only for band-matched candidate rows."""
+    new_idx = build_dedup_index(new_docs, n_hashes, shingle_n, text_col, id_col)
+    new_idx = _persist(new_idx, persisted)
+    rpb = n_hashes // bands
+
+    exact_base = (
+        index.join(
+            F.broadcast(new_idx.select("text_hash").distinct()), "text_hash"
+        )
+        .select("text_hash")
+        .distinct()
+        .withColumn("_e_base", F.lit(True))
+    )
+
+    new_bands = _bands_from_sig(new_idx, bands, rpb)
+    base_bands = _bands_from_sig(
+        index.select("doc_id", "sig"), bands, rpb
+    ).withColumnRenamed("doc_id", "base_id")
+    cand = (
+        base_bands.join(F.broadcast(new_bands), ["band_id", "band_val"])
+        .select("doc_id", "base_id")
+        .distinct()
+    )
+    matches = F.size(
+        F.filter(F.zip_with("sig", "bsig", lambda x, y: x == y), lambda eq: eq)
+    )
+    near_base = (
+        cand.join(
+            index.select(F.col("doc_id").alias("base_id"), F.col("sig").alias("bsig")),
+            "base_id",
+        )
+        .join(F.broadcast(new_idx.select("doc_id", "sig")), "doc_id")
+        .filter(
+            F.round(matches.cast("double") / F.lit(float(n_hashes)), 6)
+            >= F.lit(jaccard_tau)
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("_n_base", F.lit(True))
+    )
+
+    w = Window.partitionBy("text_hash")
+    exact_batch = F.col("doc_id") > F.min("doc_id").over(w)
+
+    pairs = lsh_candidate_pairs(
+        new_idx.filter(F.col("sig").isNotNull()).select("doc_id", "sig"),
+        bands,
+        rpb,
+    )
+    sa = new_idx.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig"))
+    sb = new_idx.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("bsig"))
+    near_batch = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.round(matches.cast("double") / F.lit(float(n_hashes)), 6)
+            >= F.lit(jaccard_tau)
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_n_batch", F.lit(True))
+    )
+
+    out = (
+        new_idx.join(F.broadcast(exact_base), "text_hash", "left")
+        .join(F.broadcast(near_base), "doc_id", "left")
+        .join(F.broadcast(near_batch), "doc_id", "left")
+        .select(
+            "doc_id",
+            "text_hash",
+            "sig",
+            F.coalesce("_e_base", F.lit(False)).alias("dup_exact"),
+            F.coalesce("_n_base", F.lit(False)).alias("dup_near"),
+            (
+                exact_batch | F.coalesce("_n_batch", F.lit(False))
+            ).alias("dup_in_batch"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        ~(F.col("dup_exact") | F.col("dup_near") | F.col("dup_in_batch")),
     )
