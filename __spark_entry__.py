@@ -1967,6 +1967,29 @@ def _strip_substr_sql() -> str:
     """
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style learned quality gate (operators/classify): fit
+    the hashed-BoW logistic pipeline on a deterministic weak-label seed
+    (lang='en' vs rest — the CCNet-style language/register separation)
+    and score every doc.  Training is iterative (distributed L-BFGS),
+    so this entry is deliberately rows-only: no SQL oracle can replay
+    the fit; the operator's behavior is pinned by tests/test_classify.
+    """
+    from srag_spark.operators.classify import (
+        fit_quality_classifier,
+        score_quality,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seed = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        "text",
+        (F.col("lang") == "en").cast("double").alias("label"),
+    )
+    model = fit_quality_classifier(seed, n_features=1 << 14)
+    return score_quality(docs, model).orderBy("doc_id")
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental dedup: a new batch (fresh docs + planted exact/near
     copies of base docs) annotated against the signed base corpus
@@ -2889,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_temperature": q_corpus_mixture_temperature,
         "corpus_mixture_unimax": q_corpus_mixture_unimax,
         "dedup_incremental": q_dedup_incremental,
+        "quality_classifier": q_quality_classifier,
         "q3_bm25_filtered": q_q3_bm25_filtered,
         "corpus_build": q_corpus_build,
         "text_pii_scrub": q_text_pii_scrub,
