@@ -2020,7 +2020,7 @@ def q_dedup_incremental(spark, sf_dir):
         .unionByName(exact)
     )
     return incremental_dedup(
-        new, build_dedup_index(base), jaccard_tau=0.5
+        new, build_dedup_index(base), jaccard_tau=0.5, persist_index=True
     ).select(
         "doc_id", "text_hash", "dup_exact", "dup_near", "dup_in_batch", "keep"
     )

@@ -738,6 +738,7 @@ def incremental_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     persisted: list | None = None,
+    persist_index: bool = False,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing :func:`build_dedup_index`
     table plus itself, touching base TEXT never and base SIGNATURES only
@@ -766,9 +767,18 @@ def incremental_dedup(
     the new batch.  Both joins against the base (text-hash equi-join,
     band equi-join) have the SMALL batch side marked broadcast, so the
     base index is ONE scan with no shuffle; est-Jaccard verification
-    reads base signatures only for band-matched candidate rows."""
+    reads base signatures only for band-matched candidate rows.
+
+    ``persist_index=True`` caches the ``index`` frame for the three
+    base-side consumers (hash semi-join, band derivation, candidate
+    sig join) — use it when ``index`` is NOT already a materialized
+    table (e.g. built inline from raw docs); when the index comes from
+    a committed table, leave it False — each consumer is then one
+    cheap table scan and caching it would only evict hotter data."""
     new_idx = build_dedup_index(new_docs, n_hashes, shingle_n, text_col, id_col)
     new_idx = _persist(new_idx, persisted)
+    if persist_index:
+        index = _persist(index, persisted)
     rpb = n_hashes // bands
 
     exact_base = (
