@@ -1866,6 +1866,61 @@ def _decontaminate_spans_sql() -> str:
     """
 
 
+def q_corpus_decontaminate_scrub(spark, sf_dir):
+    """Span-level decontamination SCRUB (corpus.scrub_contamination):
+    leaked order-n regions are excised and the text rebuilt — docs are
+    kept, the quotes are not (what production scrubs do instead of
+    whole-doc drops)."""
+    from srag_spark.operators.corpus import scrub_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return scrub_contamination(
+        docs, docs.filter(F.col("doc_id") % 50 == 0), n=DECONTAM_N
+    )
+
+
+def _decontaminate_scrub_sql() -> str:
+    n = DECONTAM_N
+    return f"""
+        WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS t FROM documents),
+        w AS (
+          SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(list_slice(t, i, i + {n - 1}), ' ')) AS h
+          FROM (
+            SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
+            FROM toks WHERE len(t) >= {n}
+          )
+        ),
+        eh AS (SELECT DISTINCT h FROM w WHERE doc_id % 50 = 0),
+        cut AS (SELECT doc_id, pos FROM w JOIN eh USING (h)),
+        tp AS (
+          SELECT doc_id, i - 1 AS ti, t[i] AS tok
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+                FROM toks)
+        ),
+        rem AS (
+          SELECT DISTINCT tp.doc_id, tp.ti
+          FROM tp JOIN cut c
+            ON tp.doc_id = c.doc_id
+           AND tp.ti >= c.pos AND tp.ti < c.pos + {n}
+        ),
+        kept AS (
+          SELECT tp.doc_id,
+                 string_agg(tp.tok, ' ' ORDER BY tp.ti)
+                   FILTER (WHERE rem.ti IS NULL) AS text,
+                 count(*) FILTER (WHERE rem.ti IS NOT NULL) AS n_removed
+          FROM tp LEFT JOIN rem
+            ON tp.doc_id = rem.doc_id AND tp.ti = rem.ti
+          GROUP BY tp.doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(k.text, '') AS text,
+               len(t.t)::BIGINT AS n_tokens,
+               COALESCE(k.n_removed, 0)::BIGINT AS n_removed
+        FROM toks t LEFT JOIN kept k USING (doc_id)
+    """
+
+
 def q_dedup_exact_substr(spark, sf_dir):
     """Exact-substring duplication census (Lee et al. ExactSubstr at
     window resolution): for every doc, how many of its order-n token
@@ -2913,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_unimax": q_corpus_mixture_unimax,
         "dedup_incremental": q_dedup_incremental,
         "quality_classifier": q_quality_classifier,
+        "corpus_decontaminate_scrub": q_corpus_decontaminate_scrub,
         "q3_bm25_filtered": q_q3_bm25_filtered,
         "corpus_build": q_corpus_build,
         "text_pii_scrub": q_text_pii_scrub,
@@ -3269,6 +3325,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mixture_temperature": _mixture_temperature_sql(),
         "corpus_mixture_unimax": _mixture_unimax_sql(),
         "dedup_incremental": _incremental_sql(),
+        "corpus_decontaminate_scrub": _decontaminate_scrub_sql(),
         "q3_bm25_filtered": _bm25_filtered_sql(),
         "corpus_build": _corpus_build_sql(),
         "text_pii_scrub": _pii_scrub_sql(),

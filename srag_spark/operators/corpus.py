@@ -259,6 +259,38 @@ def find_contamination(
     return train_ids.join(hits, "doc_id", "left").select(*cols)
 
 
+def scrub_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level decontamination — cut every leaked region instead of
+    dropping the doc (what production scrubs actually do: a survey page
+    quoting one benchmark question loses the quote, not the page).
+
+    Every order-``n`` train window matching the eval set is excised as
+    ``[p, p+n)``; overlapping hits interval-merge.  Returns ``(doc_id,
+    text, n_tokens, n_removed)`` for EVERY train doc — clean docs pass
+    through with ``n_removed = 0`` (token-stream text semantics, see
+    ``substrings.cut_token_windows``).
+
+    Plan: :func:`find_contamination`'s broadcast hash scan (linear
+    explode, matches only survive) + the shared interval-cut kernel
+    (one co-keyed join, row-local surgery).  Nothing quadratic."""
+    from srag_spark.operators.substrings import cut_token_windows
+
+    hits = find_contamination(
+        train, eval_docs, n=n, id_col=id_col, text_col=text_col,
+        positions=True,
+    )
+    cuts = hits.filter(F.col("contaminated")).select(
+        "doc_id", F.col("hit_positions").alias("_ps")
+    )
+    return cut_token_windows(train, cuts, n, id_col=id_col, text_col=text_col)
+
+
 def sample_mixture(
     docs: DataFrame,
     rates: dict[str, float],

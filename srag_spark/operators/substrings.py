@@ -173,8 +173,15 @@ def strip_duplicate_spans(
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("_pos")).alias("_ps"))
     )
-    merged = F.aggregate(
-        F.col("_ps"),
+    return cut_token_windows(docs, cuts, n, id_col=id_col, text_col=text_col)
+
+
+def merged_intervals_col(ps_col, n: int):
+    """``array<struct<s,e>>`` of merged cut intervals from a SORTED
+    array of window start positions (each start covers ``[p, p+n)``) —
+    one native ``aggregate`` pass, no UDF."""
+    return F.aggregate(
+        ps_col,
         F.array().cast("array<struct<s:int,e:int>>"),
         lambda acc, p: F.when(
             (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
@@ -195,6 +202,30 @@ def strip_duplicate_spans(
             )
         ),
     )
+
+
+def cut_token_windows(
+    docs: DataFrame,
+    cuts: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Excise token windows from documents: ``cuts`` is ``(doc_id,
+    _ps: sorted array<int>)`` of window START positions; token ``i`` of
+    a doc is removed iff it lies inside ``[p, p+n)`` for some of its
+    cut starts.  Returns ``(doc_id, text, n_tokens, n_removed)`` for
+    EVERY input doc (``n_tokens`` counts tokens BEFORE the cut; docs
+    absent from ``cuts`` pass through with ``n_removed = 0``).
+
+    The shared text-surgery kernel of exact-substring dedup and
+    span-level decontamination scrubbing: cut starts are interval-
+    merged with one native ``aggregate``, and the rebuild filters the
+    token array against the MERGED intervals — per-token work bounded
+    by the merged interval count, not the raw cut count.  Row-local
+    after the single co-keyed join; output text is the space-join of
+    surviving whitespace tokens (token-stream semantics — what packing
+    and token counting consume)."""
     toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
     joined = (
         docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
@@ -202,8 +233,10 @@ def strip_duplicate_spans(
         .select(
             "doc_id",
             "_t",
-            F.coalesce(merged, F.array().cast("array<struct<s:int,e:int>>"))
-            .alias("_iv"),
+            F.coalesce(
+                merged_intervals_col(F.col("_ps"), n),
+                F.array().cast("array<struct<s:int,e:int>>"),
+            ).alias("_iv"),
         )
     )
     kept = F.filter(

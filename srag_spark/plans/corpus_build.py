@@ -50,6 +50,7 @@ from srag_spark.operators.corpus import (
     find_contamination,
     pack_sequences,
     sample_mixture,
+    scrub_contamination,
 )
 from srag_spark.operators.dedup import _persist, release
 from srag_spark.operators.pii import pii_cols
@@ -77,6 +78,7 @@ def build_training_corpus(
     jaccard_tau: float = 0.5,
     dedup_mode: str = "greedy",
     decontam_n: int = 13,
+    decontam_mode: str = "drop",
     group_col: str = "pred_lang",
     seed: int = 42,
     default_rate: float = 0.0,
@@ -88,10 +90,11 @@ def build_training_corpus(
     it lands in).
 
     A doc reaches the output iff it survives curation
-    (plans.curation.curate_corpus semantics), has NO ``decontam_n``-gram
-    overlap with ``eval_docs`` (whole-doc drop — the conservative scrub;
-    span-level alternatives via find_contamination(positions=True)),
-    and survives its ``group_col`` group's mixture rate (weight =
+    (plans.curation.curate_corpus semantics), clears decontamination —
+    ``decontam_mode="drop"`` (default) removes any doc with a
+    ``decontam_n``-gram eval overlap, ``"scrub"`` keeps every doc with
+    the leaked regions excised (corpus.scrub_contamination) — and
+    survives its ``group_col`` group's mixture rate (weight =
     1/rate).  Survivors are packed into fixed-``budget`` token windows
     in doc_id order (pack_sequences' frozen spec).
 
@@ -122,7 +125,7 @@ def build_training_corpus(
             persisted=ledger,
         )
         curated = _persist(curated, ledger)
-        clean = _decontaminate(curated, eval_docs, decontam_n)
+        clean = _apply_decontam(curated, eval_docs, decontam_n, decontam_mode)
         if pii_scrub:
             clean = _scrub_text(clean)
         if isinstance(rates, tuple):
@@ -160,6 +163,24 @@ def _scrub_text(clean: DataFrame) -> DataFrame:
     (``"call +1 (555) 0123"`` is 4 whitespace tokens raw but 1 token
     — ``<PHONE>`` — redacted)."""
     return clean.withColumn("text", pii_cols(F.col("text"))["text_redacted"])
+
+
+def _apply_decontam(
+    curated: DataFrame, eval_docs: DataFrame, n: int, mode: str
+) -> DataFrame:
+    """Dispatch the decontamination stage: ``"drop"`` removes any doc
+    with an eval n-gram overlap (the conservative whole-doc scrub);
+    ``"scrub"`` keeps every doc but excises the leaked regions
+    (corpus.scrub_contamination — span-level surgery; token counts and
+    packing then see the scrubbed text)."""
+    if mode == "drop":
+        return _decontaminate(curated, eval_docs, n)
+    if mode == "scrub":
+        scrubbed = scrub_contamination(curated, eval_docs, n=n).select(
+            "doc_id", "text"
+        )
+        return curated.drop("text").join(scrubbed, "doc_id")
+    raise ValueError(f"decontam_mode must be 'drop' or 'scrub', got {mode!r}")
 
 
 def _decontaminate(curated: DataFrame, eval_docs: DataFrame, n: int) -> DataFrame:
@@ -205,6 +226,7 @@ def build_training_corpus_durable(
     jaccard_tau: float = 0.5,
     dedup_mode: str = "greedy",
     decontam_n: int = 13,
+    decontam_mode: str = "drop",
     group_col: str = "pred_lang",
     seed: int = 42,
     default_rate: float = 0.0,
@@ -268,7 +290,7 @@ def build_training_corpus_durable(
 
     if not done("clean"):
         curated = read_table(spark, path("curated"))
-        clean = _decontaminate(curated, eval_docs, decontam_n)
+        clean = _apply_decontam(curated, eval_docs, decontam_n, decontam_mode)
         if pii_scrub:
             # scrub inside the stage so the committed artifact is the
             # redacted text — a resumed run (or any downstream consumer

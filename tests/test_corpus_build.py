@@ -253,3 +253,64 @@ def test_build_durable_mixture_spec_matches_inmemory(spark, tmp_path):
         for r in _build(spark, docs, rates=spec).collect()
     }
     assert got == exp
+
+
+def test_build_decontam_scrub_keeps_docs_and_cuts_spans(spark):
+    """decontam_mode='scrub' retains the contaminated doc with its
+    leaked region excised; the composition equals scrubbing manually
+    and packing the survivors."""
+    from srag_spark.operators.corpus import pack_sequences, scrub_contamination
+
+    docs = _df(spark, [(1, DOC_A), (2, DOC_B), (3, DOC_C)])
+    ev = _df(spark, [(900, EVAL_DOC)])
+    out = _build(spark, docs, decontam_mode="scrub")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 2 in ids  # retained under scrub (dropped under 'drop')
+
+    scrubbed = scrub_contamination(docs, ev, n=5).select("doc_id", "text")
+    srows = {r["doc_id"]: r["text"] for r in scrubbed.collect()}
+    assert srows[1] == DOC_A and srows[3] == DOC_C  # clean docs intact
+    assert "cooking pasta with tomato" not in srows[2]
+    assert "harvest was plentiful" in srows[2]  # unleaked tail survives
+
+    exp = {
+        (r["doc_id"], r["pack_id"]): (r["pack_start"], r["pack_end"])
+        for r in pack_sequences(
+            spark.createDataFrame(
+                [(k, v) for k, v in srows.items()], "doc_id long, text string"
+            ),
+            budget=16,
+        ).collect()
+    }
+    got = {
+        (r["doc_id"], r["pack_id"]): (r["pack_start"], r["pack_end"])
+        for r in out.collect()
+    }
+    assert got == exp
+
+
+def test_scrub_contamination_matches_brute(spark):
+    """Span cut equals the brute-force interval union over matching
+    window positions."""
+    import hashlib
+
+    from srag_spark.operators.corpus import scrub_contamination
+
+    n = 3
+    train = [(1, "a b c d e f g"), (2, "x y z a b c"), (3, "p q r s")]
+    evald = [(9, "a b c")]
+    got = {r["doc_id"]: r for r in scrub_contamination(
+        _df(spark, train), _df(spark, evald), n=n).collect()}
+
+    eh = {hashlib.md5(b"a b c").hexdigest()}
+    for d, t in train:
+        tk = t.split()
+        cov = set()
+        for p in range(max(0, len(tk) - n + 1)):
+            h = hashlib.md5(" ".join(tk[p:p + n]).encode()).hexdigest()
+            if h in eh:
+                cov.update(range(p, p + n))
+        kept = [w for i, w in enumerate(tk) if i not in cov]
+        assert got[d]["text"] == " ".join(kept)
+        assert got[d]["n_tokens"] == len(tk)
+        assert got[d]["n_removed"] == len(cov)
