@@ -28,6 +28,8 @@ pipeline applies AFTER curation (SURVEY §8 training-data additions):
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -479,6 +481,76 @@ def mixture_rates_dict(rates: DataFrame, group_col: str = "source") -> dict:
         r[group_col]: min(1.0, float(r["epochs"]))
         for r in rates.select(group_col, "epochs").collect()
     }
+
+
+def write_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> dict:
+    """Materialize a corpus as deterministic training shards — the last
+    mile of the pipeline: ``path/shard_id=K/`` parquet directories, one
+    file per shard, rows ordered by ``shard_pos`` (the
+    :func:`assign_shards` hash permutation), plus a ``_shards.json``
+    manifest with per-shard row counts for dataloader planning.
+
+    Returns the manifest dict.  Deterministic end to end: shard
+    membership and in-shard order are pure functions of (doc_id, seed),
+    so re-running the write produces identical shard contents on any
+    cluster size.
+
+    Scale shape: ONE hash shuffle (``repartition(n_shards, shard_id)``
+    → exactly one task, one file per shard), per-task sort on
+    ``(shard_id, shard_pos)`` — never a global sort; the manifest agg
+    moves one row per shard.  Readers doing ``shard_id=K`` filters get
+    directory-level partition pruning from the parquet layout."""
+    from srag_spark.sources import fsio
+
+    spark = docs.sparkSession
+    assigned = assign_shards(docs, n_shards, seed=seed, id_col=id_col)
+    out = docs.withColumnRenamed(id_col, "doc_id").join(assigned, "doc_id")
+    (
+        out.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "shard_pos")
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    counts = {
+        int(r["shard_id"]): r["n"]
+        for r in assigned.groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    manifest = {
+        "n_shards": int(n_shards),
+        "seed": int(seed),
+        "n_docs": int(sum(counts.values())),
+        "counts": {str(k): int(v) for k, v in sorted(counts.items())},
+    }
+    fsio.write_text(spark, f"{path}/_shards.json", json.dumps(manifest))
+    return manifest
+
+
+def read_shards_manifest(spark, path: str) -> dict:
+    """The ``_shards.json`` manifest of a :func:`write_shards` layout
+    (read through the raw FS API — Spark's file index hides
+    ``_``-prefixed sidecars from DataFrame reads by design)."""
+    from srag_spark.sources import fsio
+
+    return json.loads(fsio.read_text_fs(spark, f"{path}/_shards.json"))
+
+
+def read_shards(spark, path: str, shard_id: int | None = None) -> DataFrame:
+    """Read a :func:`write_shards` layout — the whole corpus, or one
+    shard (``shard_id=K`` directory pruning: a dataloader worker scans
+    ONLY its shard's files, the property the layout exists for)."""
+    df = spark.read.parquet(path)
+    if shard_id is not None:
+        df = df.filter(F.col("shard_id") == int(shard_id))
+    return df
 
 
 def derive_mixture_rates(

@@ -70,6 +70,24 @@ def read_text(spark: SparkSession, path: str) -> str:
     return row[0] if row is not None else ""
 
 
+def read_text_fs(spark: SparkSession, path: str) -> str:
+    """Read a small text file through the raw FileSystem API.
+
+    Unlike :func:`read_text` (a DataFrame read), this sees files whose
+    names start with ``_`` or ``.`` — Spark's file index treats those
+    as hidden/metadata and returns NOTHING for them, which is exactly
+    why sidecar manifests use such names (parquet readers of the same
+    directory must skip them)."""
+    fs = _fs(spark, path)
+    inp = fs.open(_jpath(spark, path))
+    try:
+        baos = spark._jvm.java.io.ByteArrayOutputStream()
+        spark._jvm.org.apache.hadoop.io.IOUtils.copyBytes(inp, baos, 4096, False)
+        return bytes(baos.toByteArray()).decode("utf-8")
+    finally:
+        inp.close()
+
+
 def modification_time_ms(spark: SparkSession, path: str) -> int | None:
     """FileStatus modification time in ms since epoch; None if absent."""
     fs = _fs(spark, path)

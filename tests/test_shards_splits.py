@@ -93,3 +93,46 @@ def test_entries_match_duckdb_oracle(spark):
         orows = {tuple(r) for r in
                  con.execute(entrymod.oracle_sql()[name]).fetchall()}
         assert srows == orows, name
+
+
+def test_write_shards_layout_and_determinism(spark, tmp_path):
+    """write_shards materializes one parquet dir per shard with rows in
+    shard_pos order, a counts manifest, and byte-stable membership
+    across re-writes; read_shards(shard_id=K) returns exactly shard K."""
+
+
+    from srag_spark.operators.corpus import (
+        read_shards,
+        read_shards_manifest,
+        write_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(97)], "doc_id long, text string"
+    )
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = write_shards(docs, p1, n_shards=8, seed=3)
+    m2 = write_shards(docs, p2, n_shards=8, seed=3)
+    assert m1 == m2
+    assert m1["n_docs"] == 97 and m1["n_shards"] == 8
+    assert sum(m1["counts"].values()) == 97
+    assert read_shards_manifest(spark, p1) == m1
+
+    all_rows = read_shards(spark, p1).collect()
+    assert len(all_rows) == 97
+    assert {r["doc_id"] for r in all_rows} == set(range(97))
+
+    got, seen = {}, set()
+    for k in range(8):
+        rows = read_shards(spark, p1, shard_id=k).collect()
+        assert len(rows) == m1["counts"][str(k)]
+        poss = sorted(r["shard_pos"] for r in rows)
+        assert poss == list(range(1, len(rows) + 1))  # dense positions
+        seen |= {r["doc_id"] for r in rows}
+        got[k] = {r["doc_id"] for r in rows}
+    assert seen == set(range(97))
+
+    # membership identical across the two writes
+    for k in range(8):
+        other = {r["doc_id"] for r in read_shards(spark, p2, shard_id=k).collect()}
+        assert got[k] == other
