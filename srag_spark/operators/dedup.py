@@ -739,10 +739,14 @@ def incremental_dedup(
     id_col: str = "doc_id",
     persisted: list | None = None,
     persist_index: bool = False,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing :func:`build_dedup_index`
     table plus itself, touching base TEXT never and base SIGNATURES only
-    for band-matched candidates.
+    for band-matched candidates.  ``max_band_df`` (optional) drops base
+    band values shared by more than that many index docs before the
+    candidate join — the stop-shingle skew guard at band granularity
+    (degenerate short-text bands; exact dups still caught by hash).
 
     Returns one row per new doc::
 
@@ -779,6 +783,22 @@ def incremental_dedup(
     new_idx = _persist(new_idx, persisted)
     if persist_index:
         index = _persist(index, persisted)
+    if max_band_df is not None:
+        # skew guard (the ngram_jaccard df-cap, at band granularity): a
+        # degenerate band value carried by millions of base docs (short
+        # boilerplate collapses signatures) would explode the candidate
+        # join; such bands are near-dup noise, and identical texts are
+        # still caught by the exact hash path.  One extra bounded agg.
+        rpb0 = n_hashes // bands
+        hot = (
+            _bands_from_sig(index.select("doc_id", "sig"), bands, rpb0)
+            .groupBy("band_id", "band_val")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_band_df)
+            .select("band_id", "band_val")
+        )
+    else:
+        hot = None
     rpb = n_hashes // bands
 
     exact_base = (
@@ -794,6 +814,10 @@ def incremental_dedup(
     base_bands = _bands_from_sig(
         index.select("doc_id", "sig"), bands, rpb
     ).withColumnRenamed("doc_id", "base_id")
+    if hot is not None:
+        base_bands = base_bands.join(
+            F.broadcast(hot), ["band_id", "band_val"], "left_anti"
+        )
     cand = (
         base_bands.join(F.broadcast(new_bands), ["band_id", "band_val"])
         .select("doc_id", "base_id")

@@ -58,6 +58,7 @@ def dedup_batch_sink(
     shingle_n: int = 3,
     jaccard_tau: float = 0.5,
     n_buckets: int = 64,
+    max_band_df: int | None = None,
 ) -> None:
     """One micro-batch of ``(doc_id, text, ...)`` rows through the
     dedup-ingest commit protocol (corpus upsert, then index append,
@@ -82,6 +83,7 @@ def dedup_batch_sink(
             shingle_n=shingle_n,
             jaccard_tau=jaccard_tau,
             persisted=ledger,
+            max_band_df=max_band_df,
         )
         ann = ann.persist()
         ledger.append(ann)
@@ -125,6 +127,7 @@ def start_dedup_stream(
     shingle_n: int = 3,
     jaccard_tau: float = 0.5,
     n_buckets: int = 64,
+    max_band_df: int | None = None,
     trigger_once: bool = False,
 ):
     """Attach the dedup-ingest sink to any streaming DataFrame with
@@ -150,6 +153,7 @@ def start_dedup_stream(
             shingle_n=shingle_n,
             jaccard_tau=jaccard_tau,
             n_buckets=n_buckets,
+            max_band_df=max_band_df,
         )
 
     writer = (

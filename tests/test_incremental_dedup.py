@@ -99,3 +99,40 @@ def test_matches_whole_corpus_operators(spark, frames):
     }
     for d, _ in NEW:
         assert out[d]["dup_near"] == (d in cross)
+
+
+def test_max_band_df_skew_guard(spark):
+    """A degenerate band value carried by many base docs is dropped from
+    the candidate join under max_band_df, while the exact-hash path
+    still catches identical texts."""
+    boiler = "click here to accept cookies and continue to the site now"
+    base = spark.createDataFrame(
+        [(i, boiler) for i in range(30)], "doc_id long, text string"
+    )
+    idx = build_dedup_index(base)
+    new = spark.createDataFrame(
+        [(100, boiler), (101, boiler + " thanks")], "doc_id long, text string"
+    )
+    guarded = {
+        r["doc_id"]: r
+        for r in incremental_dedup(
+            new, idx, jaccard_tau=0.5, max_band_df=5
+        ).collect()
+    }
+    # exact copy: still flagged via the hash path, near path suppressed
+    assert guarded[100]["dup_exact"] and not guarded[100]["dup_near"]
+    # near variant: base bands all hot -> no near-vs-base flag (it still
+    # drops as an in-batch near-dup of 100 — the guard is base-only)
+    assert not guarded[101]["dup_near"] and guarded[101]["dup_in_batch"]
+    solo = incremental_dedup(
+        spark.createDataFrame([(101, boiler + " thanks")],
+                              "doc_id long, text string"),
+        idx, jaccard_tau=0.5, max_band_df=5,
+    ).collect()[0]
+    assert solo["keep"]  # alone in the batch, the hot bands never join
+    # without the guard both flag near
+    open_ = {
+        r["doc_id"]: r
+        for r in incremental_dedup(new, idx, jaccard_tau=0.5).collect()
+    }
+    assert open_[100]["dup_near"] and open_[101]["dup_near"]
