@@ -111,3 +111,56 @@ def test_min_count_threshold(spark, docs_df):
     assert got["d1"]["dup_windows"] == 2
     assert got["d4"]["dup_windows"] == 2
     assert got["d7"]["dup_windows"] == 7
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_randomized_corpus_matches_brute(spark, seed):
+    """Randomized corpora from a 6-token vocabulary (dense window
+    collisions: adjacent, overlapping, self-repeating) — census and
+    strip both equal the brute-force twin on every doc."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    docs = [
+        (f"d{i}", " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+        for i in range(60)
+    ]
+    n = 3
+    wins = {}
+    for d, t in docs:
+        tk = t.split()
+        for p in range(max(0, len(tk) - n + 1)):
+            h = " ".join(tk[p : p + n])
+            wins.setdefault(h, []).append((d, p))
+    dups = {h: o for h, o in wins.items() if len(o) >= 2}
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    flags = {r["doc_id"]: r for r in
+             duplicate_window_flags(df, n=n, positions=True).collect()}
+    strip = {r["doc_id"]: r for r in
+             strip_duplicate_spans(df, n=n).collect()}
+
+    cuts = {}
+    for occ in dups.values():
+        first = min(occ)
+        for o in occ:
+            if o != first:
+                cuts.setdefault(o[0], []).append(o[1])
+    for d, t in docs:
+        tk = t.split()
+        ps = sorted(p for occ in dups.values() for (dd, p) in occ if dd == d)
+        cov = set()
+        for p in ps:
+            cov.update(range(p, p + n))
+        f = flags[d]
+        assert (f["n_windows"], f["dup_windows"], f["dup_tokens"]) == (
+            max(0, len(tk) - n + 1), len(ps), len(cov)), d
+        assert list(f["dup_positions"]) == ps, d
+        cut_cov = set()
+        for p in cuts.get(d, []):
+            cut_cov.update(range(p, p + n))
+        kept = [w for i, w in enumerate(tk) if i not in cut_cov]
+        s = strip[d]
+        assert s["text"] == " ".join(kept), d
+        assert s["n_removed"] == len(cut_cov), d
