@@ -79,6 +79,7 @@ def build_training_corpus(
     dedup_mode: str = "greedy",
     decontam_n: int = 13,
     decontam_mode: str = "drop",
+    exact_substr_n: int | None = None,
     group_col: str = "pred_lang",
     seed: int = 42,
     default_rate: float = 0.0,
@@ -126,6 +127,10 @@ def build_training_corpus(
         )
         curated = _persist(curated, ledger)
         clean = _apply_decontam(curated, eval_docs, decontam_n, decontam_mode)
+        if exact_substr_n is not None:
+            # the window census + cut read `clean` twice; pin it first
+            clean = _persist(clean, ledger)
+            clean = _strip_substrings(clean, exact_substr_n)
         if pii_scrub:
             clean = _scrub_text(clean)
         if isinstance(rates, tuple):
@@ -150,6 +155,20 @@ def build_training_corpus(
     finally:
         if own:
             release(ledger)
+
+
+def _strip_substrings(clean: DataFrame, n: int) -> DataFrame:
+    """ExactSubstr stage (operators.substrings): cut every
+    corpus-duplicated order-``n`` token window occurrence except the
+    corpus-wide first, keeping the docs.  Placement: AFTER doc-level
+    dedup and decontamination (both judge the original text) and BEFORE
+    the PII scrub — redaction placeholders (``<PHONE>`` etc.) would
+    otherwise manufacture artificial repeated windows and cut real
+    content around them."""
+    from srag_spark.operators.substrings import strip_duplicate_spans
+
+    stripped = strip_duplicate_spans(clean, n=n).select("doc_id", "text")
+    return clean.drop("text").join(stripped, "doc_id")
 
 
 def _scrub_text(clean: DataFrame) -> DataFrame:
@@ -227,6 +246,7 @@ def build_training_corpus_durable(
     dedup_mode: str = "greedy",
     decontam_n: int = 13,
     decontam_mode: str = "drop",
+    exact_substr_n: int | None = None,
     group_col: str = "pred_lang",
     seed: int = 42,
     default_rate: float = 0.0,
@@ -291,6 +311,8 @@ def build_training_corpus_durable(
     if not done("clean"):
         curated = read_table(spark, path("curated"))
         clean = _apply_decontam(curated, eval_docs, decontam_n, decontam_mode)
+        if exact_substr_n is not None:
+            clean = _strip_substrings(clean, exact_substr_n)
         if pii_scrub:
             # scrub inside the stage so the committed artifact is the
             # redacted text — a resumed run (or any downstream consumer

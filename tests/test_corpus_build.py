@@ -314,3 +314,51 @@ def test_scrub_contamination_matches_brute(spark):
         assert got[d]["text"] == " ".join(kept)
         assert got[d]["n_tokens"] == len(tk)
         assert got[d]["n_removed"] == len(cov)
+
+
+def test_build_exact_substr_stage(spark):
+    """exact_substr_n cuts a license block repeated across surviving
+    docs from every occurrence but the corpus-wide first, and the
+    composition equals stripping manually and packing."""
+    from srag_spark.operators.corpus import pack_sequences
+    from srag_spark.operators.substrings import strip_duplicate_spans
+
+    block = "licensed under the creative commons attribution share alike terms"
+    doc_d = (
+        "meanwhile the observatory recorded unusual readings from the "
+        "northern ridge where the winter survey team had mapped deep ice"
+    )
+    docs = _df(
+        spark,
+        [(1, DOC_A + " " + block), (3, DOC_C + " " + block), (5, block + " " + doc_d)],
+    )
+    n = 6
+    out = _build(spark, docs, rates=RATES, exact_substr_n=n)
+    assert {r["doc_id"] for r in out.collect()} == {1, 3, 5}
+
+    survivors = _df(
+        spark,
+        [(1, DOC_A + " " + block), (3, DOC_C + " " + block), (5, block + " " + doc_d)],
+    )
+    stripped = {r["doc_id"]: r for r in
+                strip_duplicate_spans(survivors, n=n).collect()}
+    # doc 1 holds the (1, pos)-first occurrence: intact; 3 and 5 lose it
+    assert stripped[1]["n_removed"] == 0
+    assert stripped[3]["n_removed"] > 0 and block not in stripped[3]["text"]
+    assert stripped[5]["n_removed"] > 0 and block not in stripped[5]["text"]
+
+    exp = {
+        (r["doc_id"], r["pack_id"]): (r["pack_start"], r["pack_end"])
+        for r in pack_sequences(
+            spark.createDataFrame(
+                [(k, v["text"]) for k, v in stripped.items()],
+                "doc_id long, text string",
+            ),
+            budget=16,
+        ).collect()
+    }
+    got = {
+        (r["doc_id"], r["pack_id"]): (r["pack_start"], r["pack_end"])
+        for r in out.collect()
+    }
+    assert got == exp
