@@ -510,6 +510,24 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def q_dedup_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over embeddings ∪ exact copies of
+    vec_id < 20 (ids +100000): 16 deterministic clusters, within-cluster
+    centroid-similarity ranking, drop any point with cosine ≥ 0.9 to an
+    earlier-ranked cluster-mate.  Assignment is one codegen'd expression;
+    the only shuffle is the cell-keyed self-join (cells bounded by
+    n_clusters scaling with the corpus)."""
+    from srag_spark.operators.dedup import semdedup_flags
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return semdedup_flags(
+        emb.unionByName(copies), threshold=0.9, n_clusters=16, dim=64
+    )
+
+
 def q_ann_brute_topk(spark, sf_dir):
     """Exact cosine top-5 per query (queries = vec_id 0..4)."""
     from srag_spark.operators.similarity import brute_force_topk
@@ -949,6 +967,48 @@ def _extract_spans_sql() -> str:
         UNION ALL SELECT * FROM media
         UNION ALL SELECT * FROM audio
         UNION ALL SELECT * FROM part2
+    """
+
+
+def _semdedup_sql(n_clusters: int = 16, threshold: float = 0.9) -> str:
+    """SemDeDup twin: same hash-seeded centroids, same cell = argmax
+    centroid dot, same (csim_r DESC, vec_id) within-cluster ranking, a
+    point is dropped iff cosine ≥ threshold with any earlier-ranked
+    cluster-mate (compared against ALL preceding points, kept or not —
+    the pair predicate that makes the rule non-iterative)."""
+    from srag_spark.operators.similarity import make_centroids
+
+    centroids = make_centroids(n_clusters, 64)
+    dots = "[" + ", ".join(_plane_dot_sql("embedding", c) for c in centroids) + "]"
+    return f"""
+        WITH aug AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20
+        ),
+        d AS (
+          SELECT vec_id, embedding, {dots} AS dots FROM aug
+        ),
+        a AS (
+          SELECT vec_id, embedding,
+                 CAST(list_position(dots, list_max(dots)) AS INT) AS cell,
+                 round(list_max(dots), 6) AS csim_r
+          FROM d
+        ),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY cell
+                                       ORDER BY csim_r DESC, vec_id) AS rk
+          FROM a
+        ),
+        dup AS (
+          SELECT DISTINCT b.vec_id
+          FROM r a JOIN r b ON a.cell = b.cell AND a.rk < b.rk
+          WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), 6)
+                >= {threshold}
+        )
+        SELECT r.vec_id, r.cell, r.csim_r, (dup.vec_id IS NULL) AS keep
+        FROM r LEFT JOIN dup ON r.vec_id = dup.vec_id
     """
 
 
@@ -2940,6 +3000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_semdedup": q_dedup_semdedup,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "q5_text_resolution": q_q5_text_resolution,
@@ -3221,6 +3282,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN aug vb ON vb.vec_id = id_b
             ) WHERE cos_r >= 0.9
         """,
+        "dedup_semdedup": _semdedup_sql(16, 0.9),
         "ann_brute_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5

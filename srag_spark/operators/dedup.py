@@ -882,3 +882,96 @@ def incremental_dedup(
         "keep",
         ~(F.col("dup_exact") | F.col("dup_near") | F.col("dup_in_batch")),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup over embedding clusters (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+def semdedup_flags(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    dim: int | None = None,
+    centroids: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persisted: list | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and pruning within-cluster
+    near-identical points.  Returns one row per valid input vector:
+    ``(id, cell, csim_r, keep)``.
+
+    The public recipe, exactly:
+
+      1. assign every vector to its nearest centroid (``cell``);
+      2. within a cluster, order points by similarity-to-centroid DESC
+         (tie: id asc) — centroid-nearest points are the cluster's
+         "prototypes" and survive first;
+      3. a point is a semantic duplicate iff its cosine with ANY
+         earlier-ranked point in the same cluster is ≥ ``threshold``
+         (the reference implementation compares against all preceding
+         points, kept or not — which is what makes the rule a pure
+         pair predicate, no iteration); ``keep`` = not duplicate.
+
+    Complements :func:`embedding_neardup_pairs`: LSH banding finds
+    near-EXACT copies (recall driven by bit agreement), SemDeDup prunes
+    semantic redundancy at lower thresholds where hyperplane bands lose
+    recall — the cluster restricts the comparison set instead.
+
+    Centroids: pass ``centroids=`` (e.g. ``similarity.
+    train_centroids_kmeans`` — the documented trained-quantizer swap
+    point shared with ``ivf_topk``) or let it default to the
+    deterministic hash-seeded ``make_centroids`` (engine-agnostic; the
+    DuckDB oracle rebuilds them from the same seed strings).
+
+    Scale shape: assignment is one row-local codegen'd expression
+    (n_clusters × dim literal dots); the only shuffle is the
+    ``cell``-keyed self-join, O(Σ cell²) pairwise work — the SemDeDup
+    design point: n_clusters grows with the corpus (the paper uses 50k
+    clusters for LAION) to keep cells small and bounded; hot cells are
+    AQE-skew-splittable since the join key is the cell id.  The ranked
+    relation feeds both join sides plus the output, so it is persisted
+    (register a ``persisted=[]`` list and ``release()`` after the
+    action)."""
+    from srag_spark.operators.similarity import _centroid_dots_sql, make_centroids
+
+    if dim is None:
+        raise ValueError("semdedup_flags requires an explicit dim= (vector length)")
+    cents = centroids if centroids is not None else make_centroids(n_clusters, dim)
+    v = F.col(vec_col)
+    dots = _centroid_dots_sql(vec_col, cents)
+    # malformed embeddings (null / wrong dim) would land in a null cell
+    # and silently skew the self-join — drop them once, like the ANN ops
+    valid = emb.filter(v.isNotNull() & (F.size(v) == dim))
+    assigned = valid.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.expr(f"CAST(array_position({dots}, array_max({dots})) AS INT)").alias("cell"),
+        F.round(F.expr(f"array_max({dots})"), 6).alias("csim_r"),
+    )
+    rank_w = Window.partitionBy("cell").orderBy(F.desc("csim_r"), F.asc("id"))
+    ranked = _persist(
+        assigned.select("id", "v", "cell", "csim_r", F.row_number().over(rank_w).alias("rk")),
+        persisted,
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.rk") < F.col("b.rk")),
+        )
+        .filter(
+            F.round(dot_col(F.col("a.v"), F.col("b.v")), 6) >= F.lit(float(threshold))
+        )
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return ranked.join(dup, "id", "left").select(
+        F.col("id").alias(id_col),
+        "cell",
+        "csim_r",
+        F.col("_dup").isNull().alias("keep"),
+    )

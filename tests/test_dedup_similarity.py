@@ -470,3 +470,66 @@ def test_kmeans_training_tolerates_malformed_embeddings(spark):
     c1 = train_centroids_kmeans(clean, n_centroids=4, dim=dim, iters=2)
     c2 = train_centroids_kmeans(dirty, n_centroids=4, dim=dim, iters=2)
     assert c1 == c2
+
+
+def test_semdedup_matches_bruteforce_rule(spark):
+    """semdedup_flags equals the reference rule computed in plain Python:
+    cluster by argmax centroid dot, rank by (csim desc, id), drop any
+    point with cosine >= tau to ANY earlier-ranked cluster-mate."""
+    import numpy as np
+
+    from srag_spark.operators.dedup import release, semdedup_flags
+    from srag_spark.operators.similarity import make_centroids
+
+    dim, n_clusters, tau = 16, 4, 0.9
+    vecs = {}
+    for i in range(30):
+        vecs[i] = np.array(hash_embed(f"sem-{i}", dim=dim), dtype=np.float64)
+    # planted: exact copy of 3, and a jittered near-copy of 7
+    vecs[100] = vecs[3].copy()
+    j = vecs[7] + 0.05 * np.array(hash_embed("sem-jit", dim=dim))
+    vecs[101] = j / np.linalg.norm(j)
+    df = spark.createDataFrame(
+        [(int(k), [float(x) for x in v]) for k, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    p = []
+    got = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in semdedup_flags(
+            df, threshold=tau, n_clusters=n_clusters, dim=dim, persisted=p
+        ).collect()
+    }
+    release(p)
+
+    cents = np.array(make_centroids(n_clusters, dim))
+    exp = {}
+    by_cell = {}
+    for k, v in vecs.items():
+        dots = cents @ v
+        cell = int(np.argmax(dots)) + 1
+        by_cell.setdefault(cell, []).append((round(float(dots.max()), 6), k))
+    for cell, members in by_cell.items():
+        members.sort(key=lambda t: (-t[0], t[1]))
+        for i, (_, k) in enumerate(members):
+            dup = any(
+                round(float(vecs[k] @ vecs[members[j][1]]), 6) >= tau
+                for j in range(i)
+            )
+            exp[k] = (cell, not dup)
+    assert got == exp
+    # the planted exact copy always drops; its original survives
+    assert got[100][1] is False and got[3][1] is True
+
+
+def test_semdedup_rejects_malformed_and_requires_dim(spark):
+    from srag_spark.operators.dedup import semdedup_flags
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError):
+        semdedup_flags(df)
+    out = semdedup_flags(df, threshold=0.9, n_clusters=2, dim=2).collect()
+    assert {r["vec_id"] for r in out} == {1}
