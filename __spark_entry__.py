@@ -1837,6 +1837,48 @@ def _sample_mixture_sql() -> str:
     """
 
 
+EPOCHS = {"en": 2.25, "fr": 0.5, "es": 1.0}  # upsample / fraction / exactly-one
+
+
+def q_corpus_repeat_epochs(spark, sf_dir):
+    """Fractional-epoch mixture materialization (corpus.repeat_epochs):
+    en gets 2 full copies + a hash-thresholded 25% third, fr a 50%
+    single copy, es exactly one, other langs drop (default 0).  Same
+    md5 verdict machinery as sample_mixture — row-local explode, zero
+    shuffles, engine/parallelism-independent."""
+    from srag_spark.operators.corpus import repeat_epochs
+
+    return repeat_epochs(
+        _t(spark, sf_dir, "documents"), EPOCHS, group_col="lang", seed=MIX_SEED
+    ).select("doc_id", "lang", "epoch_idx")
+
+
+def _repeat_epochs_sql() -> str:
+    import math
+
+    from srag_spark.operators.corpus import _rate_threshold_hex
+
+    def _n(e: float) -> str:
+        base = int(math.floor(e))
+        thr = _rate_threshold_hex(e - base)
+        return (
+            f"{base} + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) "
+            f"|| ':{MIX_SEED}'), 1, 8) < '{thr}' THEN 1 ELSE 0 END)"
+        )
+
+    whens = " ".join(
+        f"WHEN lang = '{g}' THEN {_n(e)}" for g, e in sorted(EPOCHS.items())
+    )
+    return f"""
+        WITH nc AS (
+          SELECT doc_id, lang, CASE {whens} ELSE 0 END AS n
+          FROM documents
+        )
+        SELECT doc_id, lang, CAST(unnest(range(n)) AS INT) AS epoch_idx
+        FROM nc WHERE n > 0
+    """
+
+
 DECONTAM_N = 8  # synth docs are short; real pipelines use 13
 
 
@@ -3021,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_extract_features": q_mm_extract_features,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_sample_mixture": q_corpus_sample_mixture,
+        "corpus_repeat_epochs": q_corpus_repeat_epochs,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_decontaminate_spans": q_corpus_decontaminate_spans,
         "dedup_exact_substr": q_dedup_exact_substr,
@@ -3380,6 +3423,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines_agg": _dedup_lines_sql(),
         "corpus_pack_sequences": _pack_sequences_sql(),
         "corpus_sample_mixture": _sample_mixture_sql(),
+        "corpus_repeat_epochs": _repeat_epochs_sql(),
         "corpus_decontaminate": _decontaminate_sql(),
         "corpus_decontaminate_spans": _decontaminate_spans_sql(),
         "dedup_exact_substr": _exact_substr_sql(),

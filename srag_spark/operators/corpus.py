@@ -476,11 +476,79 @@ def mixture_rates_dict(rates: DataFrame, group_col: str = "source") -> dict:
     """Collect a derived-rates frame (bounded: one row per group) into
     the ``{group: keep_rate}`` dict :func:`sample_mixture` consumes.
     ``epochs`` above 1 clamp to 1 — hash-threshold sampling realises
-    downsampling; upsampling (extra epochs) belongs to the dataloader."""
+    downsampling; upsampling (extra epochs) is materialized by
+    :func:`repeat_epochs` (feed it :func:`epochs_dict` instead)."""
     return {
         r[group_col]: min(1.0, float(r["epochs"]))
         for r in rates.select(group_col, "epochs").collect()
     }
+
+
+def epochs_dict(rates: DataFrame, group_col: str = "source") -> dict:
+    """Collect a derived-rates frame into the UNclamped
+    ``{group: epochs}`` dict :func:`repeat_epochs` consumes — the
+    upsampling-capable counterpart of :func:`mixture_rates_dict`."""
+    return {
+        r[group_col]: float(r["epochs"])
+        for r in rates.select(group_col, "epochs").collect()
+    }
+
+
+def repeat_epochs(
+    docs: DataFrame,
+    epochs: dict[str, float],
+    group_col: str = "source",
+    seed: int = 42,
+    id_col: str = "doc_id",
+    default_epochs: float = 0.0,
+) -> DataFrame:
+    """Materialize a fractional-epoch training mixture: every doc in a
+    group with ``epochs = e`` is emitted ``floor(e)`` times, plus one
+    extra copy iff ``substr(md5(doc_id || ':' || seed), 1, 8)`` falls
+    below the hex threshold for ``e − floor(e)`` — the same row-local
+    hash verdict :func:`sample_mixture` uses, so for ``e ≤ 1`` the
+    surviving doc SET is identical to ``sample_mixture`` at rate ``e``
+    with the same seed (pinned in tests), and for ``e > 1`` this is the
+    dataloader-side upsampling ``mixture_rates_dict`` defers (e.g.
+    UniMax epochs between 1 and the cap).
+
+    Output: the input columns plus ``epoch_idx`` (0-based copy index) —
+    downstream packing/sharding treats each copy as an independent row
+    (shard assignment should key on ``(doc_id, epoch_idx)``).
+
+    Scale shape: one CASE chain over the bounded group set, one
+    ``explode(sequence(...))`` whose fan-out equals the copy count —
+    row-local, zero shuffles, parallelism- and engine-independent; the
+    output size is exactly the token budget the mixture allocates."""
+    import math
+
+    hex8 = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{int(seed)}"))),
+        1,
+        8,
+    )
+
+    def _copies(e: float):
+        if e < 0:
+            raise ValueError(f"epochs must be ≥ 0, got {e}")
+        base = int(math.floor(e))
+        frac_thr = _rate_threshold_hex(e - base)
+        return F.lit(base) + (hex8 < F.lit(frac_thr)).cast("int")
+
+    nc = _copies(float(default_epochs))
+    for g in sorted(epochs):
+        nc = F.when(F.col(group_col) == F.lit(g), _copies(float(epochs[g]))).otherwise(nc)
+    cols = docs.columns
+    return (
+        docs.withColumn("_nc", nc)
+        .filter(F.col("_nc") > 0)
+        .select(
+            *cols,
+            F.explode(
+                F.sequence(F.lit(0), (F.col("_nc") - 1).cast("int"))
+            ).alias("epoch_idx"),
+        )
+    )
 
 
 def write_shards(

@@ -215,3 +215,56 @@ def test_find_contamination_positions(spark):
     assert out["b"]["ngram_hits"] == 0 and out["b"]["hit_positions"] == []
     assert not out["b"]["contaminated"]
     assert out["c"]["ngram_hits"] == 2 and out["c"]["hit_positions"] == [0, 2]
+
+
+def test_repeat_epochs_counts_and_mixture_equivalence(spark):
+    from srag_spark.operators.corpus import repeat_epochs
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 3 else "books") for i in range(3000)],
+        "doc_id long, source string",
+    )
+    epochs = {"web": 0.3, "books": 2.25}
+    out = repeat_epochs(docs, epochs, group_col="source", seed=11)
+
+    # parallelism-independent, like sample_mixture
+    out17 = repeat_epochs(docs.repartition(17), epochs, group_col="source", seed=11)
+    key = lambda r: (r["doc_id"], r["epoch_idx"])
+    rows = sorted(map(key, out.collect()))
+    assert rows == sorted(map(key, out17.collect()))
+
+    # for e <= 1 the kept doc SET equals sample_mixture at the same rate+seed
+    web_ids = {r["doc_id"] for r in out.collect() if r["source"] == "web"}
+    mix_ids = {
+        r["doc_id"]
+        for r in sample_mixture(
+            docs.filter(F.col("source") == "web"), {"web": 0.3},
+            group_col="source", seed=11,
+        ).collect()
+    }
+    assert web_ids == mix_ids
+    # fractional copies: every web doc appears exactly once (0.3 < 1)
+    assert len([r for r in rows if r[0] in web_ids]) == len(web_ids)
+
+    # books at 2.25: every doc has 2 or 3 copies with contiguous epoch_idx,
+    # and the mean lands near 2.25
+    from collections import Counter
+
+    books = Counter(r[0] for r in rows if r[0] not in web_ids)
+    n_books = 1000
+    assert len(books) == n_books  # floor(e) >= 1 keeps every doc
+    assert set(books.values()) <= {2, 3}
+    mean = sum(books.values()) / n_books
+    assert 2.15 < mean < 2.35
+    idxs = {}
+    for did, eidx in rows:
+        idxs.setdefault(did, []).append(eidx)
+    for did, lst in idxs.items():
+        assert sorted(lst) == list(range(len(lst)))
+
+    # default_epochs=0 drops absent groups; negative epochs raise
+    assert out.filter(~F.col("source").isin("web", "books")).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        repeat_epochs(docs, {"web": -0.1}).collect()
