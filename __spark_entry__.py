@@ -1837,6 +1837,84 @@ def _sample_mixture_sql() -> str:
     """
 
 
+URL_DOMAINS = [
+    "example.com", "news-site.org", "blocked.example.net",
+    "files.archive.org", "casino-games.biz", "en.wikipedia.org",
+]
+URL_BLOCKED = ["blocked.example.net", "casino-games.biz"]
+
+
+def _planted_url_col():
+    """Deterministic URL per doc — documents carry no URL column, so
+    both engines derive one from (doc_id, lang): domain picked by
+    doc_id % 6 (with a www. prefix to exercise stripping), path word
+    planted by doc_id % 7 (3 → 'poker-casino' score 1.3, 5 → 'webcam'
+    score 1.0, else clean)."""
+    dom = F.element_at(
+        F.array(*[F.lit(d) for d in URL_DOMAINS]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    word = (
+        F.when(F.col("doc_id") % 7 == 3, F.lit("poker-casino"))
+        .when(F.col("doc_id") % 7 == 5, F.lit("webcam"))
+        .otherwise(F.lit("article"))
+    )
+    return F.concat(
+        F.lit("https://www."), dom, F.lit("/"), F.col("lang"), F.lit("/"),
+        word, F.lit("-"), F.col("doc_id").cast("string"),
+    )
+
+
+def q_url_filter(spark, sf_dir):
+    """RefinedWeb-class URL gate (operators.urlfilter): domain blocklist
+    (isin — the bounded form; a 4.6M-domain table broadcasts instead)
+    plus a weighted fragment score over the lowercased URL; drop at
+    score ≥ 1.0.  Row-local, zero shuffles."""
+    from srag_spark.operators.urlfilter import url_filter_flags
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _planted_url_col().alias("url")
+    )
+    return url_filter_flags(docs, blocked_domains=URL_BLOCKED, threshold=1.0)
+
+
+def _url_filter_sql() -> str:
+    from srag_spark.operators.urlfilter import DEFAULT_WORD_WEIGHTS
+
+    doms = "[" + ", ".join(f"'{d}'" for d in URL_DOMAINS) + "]"
+    blocked = ", ".join(f"'{d}'" for d in URL_BLOCKED)
+    terms = " + ".join(
+        f"{DEFAULT_WORD_WEIGHTS[w]!r} * ((length(lower(url)) - "
+        f"length(replace(lower(url), '{w}', ''))) / {float(len(w))!r})"
+        for w in sorted(DEFAULT_WORD_WEIGHTS)
+    )
+    return f"""
+        WITH u AS (
+          SELECT doc_id,
+                 'https://www.' || ({doms})[CAST(doc_id % 6 AS INT) + 1]
+                 || '/' || lang || '/'
+                 || (CASE WHEN doc_id % 7 = 3 THEN 'poker-casino'
+                          WHEN doc_id % 7 = 5 THEN 'webcam'
+                          ELSE 'article' END)
+                 || '-' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, url,
+                 regexp_replace(regexp_extract(lower(url),
+                   '^[a-z][a-z0-9+.\\-]*://([^/:?#]+)', 1), '^www\\.', '')
+                   AS domain,
+                 round(0.0 + {terms}, 6) AS url_score_r
+          FROM u
+        )
+        SELECT doc_id, url, domain,
+               (domain IN ({blocked})) AS domain_blocked,
+               url_score_r,
+               ((NOT domain IN ({blocked})) AND url_score_r < 1.0) AS keep
+        FROM f
+    """
+
+
 EPOCHS = {"en": 2.25, "fr": 0.5, "es": 1.0}  # upsample / fraction / exactly-one
 
 
@@ -3064,6 +3142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_sample_mixture": q_corpus_sample_mixture,
         "corpus_repeat_epochs": q_corpus_repeat_epochs,
+        "url_filter": q_url_filter,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_decontaminate_spans": q_corpus_decontaminate_spans,
         "dedup_exact_substr": q_dedup_exact_substr,
@@ -3424,6 +3503,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pack_sequences": _pack_sequences_sql(),
         "corpus_sample_mixture": _sample_mixture_sql(),
         "corpus_repeat_epochs": _repeat_epochs_sql(),
+        "url_filter": _url_filter_sql(),
         "corpus_decontaminate": _decontaminate_sql(),
         "corpus_decontaminate_spans": _decontaminate_spans_sql(),
         "dedup_exact_substr": _exact_substr_sql(),
