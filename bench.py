@@ -72,6 +72,7 @@ HEADLINE_QUERY_NAMES = [
     "dsir_weights",
     "dedup_strip_substr",
     "dedup_incremental",
+    "dedup_semdedup",
 ]
 
 
