@@ -84,13 +84,19 @@ def build_training_corpus(
     seed: int = 42,
     default_rate: float = 0.0,
     pii_scrub: bool = False,
+    url_col: str | None = None,
+    url_blocklist=(),
+    url_word_weights: dict | None = None,
+    url_threshold: float = 1.0,
     persisted: list | None = None,
 ) -> DataFrame:
     """(doc_id, pred_lang, quality_r, weight, n_tokens, pack_id,
     pack_start, pack_end) — one row per (surviving doc, training window
     it lands in).
 
-    A doc reaches the output iff it survives curation
+    A doc reaches the output iff it passes the optional URL gate
+    (``url_col=`` applies operators.urlfilter FIRST — the cheapest
+    filter runs before any text is tokenized), survives curation
     (plans.curation.curate_corpus semantics), clears decontamination —
     ``decontam_mode="drop"`` (default) removes any doc with a
     ``decontam_n``-gram eval overlap, ``"scrub"`` keeps every doc with
@@ -113,6 +119,10 @@ def build_training_corpus(
     """
     own = persisted is None
     ledger: list = [] if own else persisted
+    if url_col is not None:
+        docs = _apply_url_gate(
+            docs, url_col, url_blocklist, url_word_weights, url_threshold
+        )
     try:
         curated = curate_corpus(
             docs,
@@ -155,6 +165,26 @@ def build_training_corpus(
     finally:
         if own:
             release(ledger)
+
+
+def _apply_url_gate(
+    docs: DataFrame, url_col: str, blocklist, weights, threshold: float
+) -> DataFrame:
+    """URL gate (operators.urlfilter) at the very front of the build —
+    the cheapest filter runs before any text is tokenized.  Row-local
+    with a bounded blocklist (a blocklist TABLE adds one broadcast
+    join), so it fuses into the curation scan; original columns flow
+    through unchanged."""
+    from srag_spark.operators.urlfilter import url_filter_flags
+
+    flagged = url_filter_flags(
+        docs,
+        blocked_domains=blocklist,
+        word_weights=weights,
+        threshold=threshold,
+        url_col=url_col,
+    )
+    return flagged.filter(F.col("keep")).select(*docs.columns)
 
 
 def _strip_substrings(clean: DataFrame, n: int) -> DataFrame:
@@ -251,6 +281,10 @@ def build_training_corpus_durable(
     seed: int = 42,
     default_rate: float = 0.0,
     pii_scrub: bool = False,
+    url_col: str | None = None,
+    url_blocklist=(),
+    url_word_weights: dict | None = None,
+    url_threshold: float = 1.0,
     n_buckets: int = 64,
     stop_after: str | None = None,
 ) -> DataFrame:
@@ -286,6 +320,10 @@ def build_training_corpus_durable(
         )
 
     if not done("curated"):
+        if url_col is not None:
+            docs = _apply_url_gate(
+                docs, url_col, url_blocklist, url_word_weights, url_threshold
+            )
         ledger: list = []
         try:
             curated = curate_corpus(

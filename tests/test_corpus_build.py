@@ -362,3 +362,52 @@ def test_build_exact_substr_stage(spark):
         for r in out.collect()
     }
     assert got == exp
+
+
+def test_build_url_gate_front(spark):
+    """url_col gates the build before curation: a doc on a blocked
+    domain (or with a scored URL) never reaches the output even though
+    its text would survive every later stage, and the gated build
+    equals building on the manually pre-filtered input."""
+    rows = [
+        (1, DOC_A, "https://www.good.example.com/a"),
+        (3, DOC_C, "https://blocked.example.net/fine/path"),
+        (5, DOC_B, "https://ok.example.org/casino/poker-night"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out = _build(
+        spark,
+        docs,
+        url_col="url",
+        url_blocklist=["blocked.example.net"],
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1}
+
+    manual = docs.filter(F.col("doc_id") == 1)
+    exp = _build(spark, manual, url_col="url", url_blocklist=["blocked.example.net"])
+    key = lambda r: tuple(r[c] for c in BUILD_COLUMNS)
+    assert sorted(map(key, out.collect())) == sorted(map(key, exp.collect()))
+
+
+def test_build_durable_url_gate(spark, tmp_path):
+    rows = [
+        (1, DOC_A, "https://www.good.example.com/a"),
+        (3, DOC_C, "https://blocked.example.net/fine/path"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    ev = _df(spark, [(900, EVAL_DOC)])
+    out = build_training_corpus_durable(
+        spark,
+        docs,
+        ev,
+        rates=RATES,
+        budget=16,
+        work_dir=str(tmp_path / "w"),
+        lang_whitelist=("en", "und"),
+        min_quality=0.0,
+        decontam_n=5,
+        url_col="url",
+        url_blocklist=["blocked.example.net"],
+        n_buckets=4,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1}
