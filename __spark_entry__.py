@@ -510,6 +510,25 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def q_corpus_decontaminate_embed(spark, sf_dir):
+    """Embedding-based decontamination (dedup.embedding_cross_pairs):
+    the 'eval benchmark' is every vec_id % 50 == 0 embedding (re-keyed
+    +200000); training vectors with cosine ≥ 0.9 to any eval vector are
+    flagged — the semantic complement of the 13-gram scrub (catches
+    paraphrased/translated leaks n-grams miss).  Band equi-join with the
+    tiny eval side broadcast; planted positives are the eval rows'
+    originals (cos 1.0)."""
+    from srag_spark.operators.dedup import embedding_cross_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+    )
+    return embedding_cross_pairs(
+        emb, ev, threshold=0.9, n_planes=16, bands=4, dim=64
+    )
+
+
 def q_dedup_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over embeddings ∪ exact copies of
     vec_id < 20 (ids +100000): 16 deterministic clusters, within-cluster
@@ -967,6 +986,53 @@ def _extract_spans_sql() -> str:
         UNION ALL SELECT * FROM media
         UNION ALL SELECT * FROM audio
         UNION ALL SELECT * FROM part2
+    """
+
+
+def _embed_decontam_sql(threshold: float = 0.9) -> str:
+    """Cross-corpus band join twin of `dedup_embedding_cosine`'s SQL:
+    train = all embeddings, eval = vec_id % 50 == 0 re-keyed +200000;
+    no id ordering (different relations), every (l, r) band collision
+    is a candidate."""
+    return f"""
+        WITH ev AS (
+          SELECT vec_id + 200000 AS vec_id, embedding
+          FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        cl AS (
+          SELECT vec_id, embedding,
+                 {_bucket_sql('embedding', n_planes=16, dim=64)} AS code
+          FROM embeddings
+        ),
+        cr AS (
+          SELECT vec_id, embedding,
+                 {_bucket_sql('embedding', n_planes=16, dim=64)} AS code
+          FROM ev
+        ),
+        bl AS (
+          {" UNION ALL ".join(
+              f"SELECT vec_id, {b} AS band_id, substring(code, {b * 4 + 1}, 4) AS block FROM cl"
+              for b in range(4)
+          )}
+        ),
+        br AS (
+          {" UNION ALL ".join(
+              f"SELECT vec_id, {b} AS band_id, substring(code, {b * 4 + 1}, 4) AS block FROM cr"
+              for b in range(4)
+          )}
+        ),
+        cands AS (
+          SELECT DISTINCT bl.vec_id AS id_l, br.vec_id AS id_r
+          FROM bl JOIN br ON bl.band_id = br.band_id AND bl.block = br.block
+        )
+        SELECT id_l, id_r, cos_r FROM (
+          SELECT id_l, id_r,
+                 round(list_sum(list_transform(range(1, len(vl.embedding) + 1),
+                   i -> vl.embedding[i]::DOUBLE * vr.embedding[i]::DOUBLE)), 6) AS cos_r
+          FROM cands
+          JOIN embeddings vl ON vl.vec_id = id_l
+          JOIN ev vr ON vr.vec_id = id_r
+        ) WHERE cos_r >= {threshold}
     """
 
 
@@ -3121,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_semdedup": q_dedup_semdedup,
+        "corpus_decontaminate_embed": q_corpus_decontaminate_embed,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "q5_text_resolution": q_q5_text_resolution,
@@ -3405,6 +3472,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE cos_r >= 0.9
         """,
         "dedup_semdedup": _semdedup_sql(16, 0.9),
+        "corpus_decontaminate_embed": _embed_decontam_sql(0.9),
         "ann_brute_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5

@@ -975,3 +975,74 @@ def semdedup_flags(
         "csim_r",
         F.col("_dup").isNull().alias("keep"),
     )
+
+
+def embedding_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_l, id_r, cos_r) pairs ACROSS two embedding sets with cosine
+    ≥ threshold — the cross-corpus form of
+    :func:`embedding_neardup_pairs` (same hyperplane-LSH banding, but
+    left/right are different relations, so no ``id <`` ordering and
+    every (l, r) combination is eligible).
+
+    The driving use is EMBEDDING-BASED DECONTAMINATION: flag training
+    docs semantically near an eval/benchmark item even when no 13-gram
+    matches (paraphrased leaks, translated leaks) — the semantic
+    complement of ``corpus.find_contamination``'s exact n-gram scrub;
+    both checks run in production evals (e.g. the contamination
+    analyses in public LLM reports).  Filter the training corpus with
+    an anti-join on ``id_l``.
+
+    Scale shape: identical to the self-join form — band equi-join,
+    never a cross product; the (typically tiny) eval side's banded
+    codes broadcast, so at corpus scale this is one map-side join plus
+    the verify joins.  Same recall caveat near the threshold (raise
+    n_planes/bands); exact copies always collide in every band."""
+    from srag_spark.operators.similarity import hyperplane_bucket_col, make_hyperplanes
+
+    if dim is None:
+        raise ValueError("embedding_cross_pairs requires an explicit dim=")
+    planes = make_hyperplanes(n_planes, dim)
+    width = n_planes // bands
+
+    def _banded(df, side):
+        coded = df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            hyperplane_bucket_col(vec_col, planes).alias("code"),
+        )
+        return coded.select(
+            f"id_{side}",
+            F.posexplode(
+                F.array(
+                    *[F.substring("code", b * width + 1, width) for b in range(bands)]
+                )
+            ).alias("band_id", "block"),
+        )
+
+    cands = (
+        _banded(left, "l")
+        .join(F.broadcast(_banded(right, "r")), ["band_id", "block"])
+        .select("id_l", "id_r")
+        .distinct()
+    )
+    vl = left.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("vl"))
+    vr = right.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("vr"))
+    return (
+        cands.join(vl, "id_l")
+        .join(F.broadcast(vr), "id_r")
+        .select(
+            "id_l",
+            "id_r",
+            F.round(dot_col(F.col("vl"), F.col("vr")), 6).alias("cos_r"),
+        )
+        .filter(F.col("cos_r") >= F.lit(float(threshold)))
+        .select("id_l", "id_r", "cos_r")
+    )

@@ -533,3 +533,40 @@ def test_semdedup_rejects_malformed_and_requires_dim(spark):
         semdedup_flags(df)
     out = semdedup_flags(df, threshold=0.9, n_clusters=2, dim=2).collect()
     assert {r["vec_id"] for r in out} == {1}
+
+
+def test_embedding_cross_pairs_decontamination(spark):
+    """Cross-corpus form: exact copies always collide in every band
+    (recall 1.0 for them); a jittered near-copy above the threshold is
+    found; orthogonal-ish vectors are not flagged."""
+    import numpy as np
+
+    from srag_spark.operators.dedup import embedding_cross_pairs
+
+    dim = 16
+    train = {i: np.array(hash_embed(f"tr-{i}", dim=dim)) for i in range(40)}
+    jit = train[5] + 0.04 * np.array(hash_embed("xjit", dim=dim))
+    evals = {
+        1000: train[3].copy(),                 # exact leak
+        1001: jit / np.linalg.norm(jit),       # paraphrase-ish leak
+        1002: np.array(hash_embed("unrelated", dim=dim)),
+    }
+    tdf = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in train.items()],
+        "vec_id long, embedding array<double>",
+    )
+    edf = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in evals.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["id_l"], r["id_r"]): r["cos_r"]
+        for r in embedding_cross_pairs(
+            tdf, edf, threshold=0.9, n_planes=16, bands=4, dim=dim
+        ).collect()
+    }
+    assert (3, 1000) in got and got[(3, 1000)] == 1.0
+    assert (5, 1001) in got and got[(5, 1001)] >= 0.9
+    assert all(r != 1002 for (_, r) in got)
+    with pytest.raises(ValueError):
+        embedding_cross_pairs(tdf, edf)
