@@ -122,3 +122,25 @@ def test_empty_and_overbudget_edges(spark, docs_df):
     for r in over:
         assert r["alloc_tokens"] == r["capacity"]
         assert r["epochs"] == pytest.approx(2.0, abs=1e-9)
+
+
+def test_epochs_dict_composes_with_repeat_epochs(spark, docs_df):
+    """UniMax epochs > 1 materialize as real copies through epochs_dict
+    → repeat_epochs, and every group's mean copy count tracks its
+    (unclamped) epochs while mixture_rates_dict would have clamped."""
+    from collections import Counter
+
+    from srag_spark.operators.corpus import epochs_dict, repeat_epochs
+
+    rates = unimax_mixture_rates(docs_df, 1e12, epoch_cap=2.0, group_col="lang")
+    e = epochs_dict(rates, "lang")
+    assert all(v == pytest.approx(2.0, abs=1e-9) for v in e.values())
+    d = mixture_rates_dict(rates, "lang")
+    assert all(v == 1.0 for v in d.values())  # the clamp repeat_epochs lifts
+
+    out = repeat_epochs(docs_df, e, group_col="lang", seed=3)
+    per_doc = Counter(r["doc_id"] for r in out.select("doc_id").collect())
+    n_docs = docs_df.count()
+    assert len(per_doc) == n_docs
+    # epochs exactly 2.0: every doc gets exactly two copies, no hash draw
+    assert set(per_doc.values()) == {2}
