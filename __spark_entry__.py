@@ -1903,6 +1903,82 @@ def _sample_mixture_sql() -> str:
     """
 
 
+STRAT_K = 40
+STRAT_SEED = 7
+
+
+def q_corpus_sample_stratified(spark, sf_dir):
+    """Exact-size stratified sample (corpus.sample_stratified): the k
+    docs per language with the smallest md5(doc_id:seed) — guaranteed
+    size per group (vs sample_mixture's Bernoulli draw), selected set a
+    pure function of (doc ids, seed).  Two-phase plan: hex-prefix
+    prefilter to ~oversample·k survivors per group, window-rank only
+    the survivors (never a full per-group sort)."""
+    from srag_spark.operators.corpus import sample_stratified
+
+    return sample_stratified(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        k=STRAT_K,
+        group_col="lang",
+        seed=STRAT_SEED,
+    )
+
+
+def _sample_stratified_sql() -> str:
+    return f"""
+        SELECT doc_id, lang, sample_rank FROM (
+          SELECT doc_id, lang,
+                 CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':{STRAT_SEED}'),
+                            doc_id) AS BIGINT) AS sample_rank
+          FROM documents
+        ) WHERE sample_rank <= {STRAT_K}
+    """
+
+
+NGRAM_TOPK_N = 3
+NGRAM_TOPK_K = 50
+
+
+def q_ngram_topk(spark, sf_dir):
+    """Corpus n-gram heavy-hitter census (textstats.ngram_topk): the 50
+    most frequent normalized word 3-grams corpus-wide, every occurrence
+    counted — the boilerplate-discovery complement to exact-substring
+    dedup.  One linear explode + one map-side-combinable groupBy +
+    TakeOrderedAndProject top-k (no global sort)."""
+    from srag_spark.operators.textstats import ngram_topk
+
+    return ngram_topk(
+        _t(spark, sf_dir, "documents"),
+        n=NGRAM_TOPK_N,
+        k=NGRAM_TOPK_K,
+        min_count=2,
+    )
+
+
+def _ngram_topk_sql() -> str:
+    n, k = NGRAM_TOPK_N, NGRAM_TOPK_K
+    return f"""
+        WITH w AS (SELECT doc_id, {_NORM_W_SQL} AS w FROM documents),
+        g AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(w, i, i + {n - 1}), ' ') AS ngram
+          FROM (
+            SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
+            FROM w WHERE len(w) >= {n}
+          )
+        )
+        SELECT ngram,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM g GROUP BY ngram
+        HAVING count(*) >= 2
+        ORDER BY n_occurrences DESC, ngram ASC
+        LIMIT {k}
+    """
+
+
 URL_DOMAINS = [
     "example.com", "news-site.org", "blocked.example.net",
     "files.archive.org", "casino-games.biz", "en.wikipedia.org",
@@ -3228,6 +3304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "corpus_splits": q_corpus_splits,
         "corpus_shards": q_corpus_shards,
+        "corpus_sample_stratified": q_corpus_sample_stratified,
+        "ngram_topk": q_ngram_topk,
     }
 
 
@@ -3589,6 +3667,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _dsir_sql(),
         "corpus_splits": _splits_sql(),
         "corpus_shards": _shards_sql(),
+        "corpus_sample_stratified": _sample_stratified_sql(),
+        "ngram_topk": _ngram_topk_sql(),
         "repetition_stats": _REPETITION_SQL,
         "mm_decode_media": _mm_decode_sql(),
         "mm_extract_features": _mm_features_sql(),

@@ -73,6 +73,7 @@ HEADLINE_QUERY_NAMES = [
     "dedup_strip_substr",
     "dedup_incremental",
     "dedup_semdedup",
+    "ngram_topk",
 ]
 
 

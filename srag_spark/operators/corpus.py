@@ -326,6 +326,109 @@ def sample_mixture(
     return docs.filter(hex8 < thr).withColumn("weight", wt)
 
 
+def sample_stratified(
+    docs: DataFrame,
+    k: int,
+    group_col: str = "source",
+    seed: int = 42,
+    id_col: str = "doc_id",
+    oversample: float = 4.0,
+    persisted: list | None = None,
+) -> DataFrame:
+    """Exact-size stratified sample: the ``k`` docs per group with the
+    smallest ``md5(doc_id:seed)`` (full 32-hex; ties by ``doc_id``).
+
+    The exact-count complement to :func:`sample_mixture`'s Bernoulli
+    draw: "give me exactly 10k eval docs per language" needs a sample
+    whose SIZE is guaranteed, not merely expected.  Like the mixture
+    sampler, the selected set is a pure function of (doc ids, seed) —
+    independent of partitioning, parallelism, and engine — and carries
+    ``sample_rank`` (1-based hash rank within the group).  Groups with
+    at most ``k`` docs are returned whole.
+
+    Plan — the naive form (``row_number`` over a per-group window on
+    the FULL corpus) sorts every group's entire row set and is the
+    canonical skew-killer when one group holds a trillion rows.  Two
+    phases instead:
+
+    1. group census (one map-side-combinable count groupBy; group
+       cardinality is bounded — sources / languages — so the counts
+       come to the driver like the mixture-rate ops);
+    2. hex-prefix prefilter at rate ``min(1, oversample·k/n_g)`` per
+       group (row-local, same threshold machinery as the mixture
+       sampler), then the window ranks ONLY the ~``oversample·k``
+       survivors per group.
+
+    The prefix filter is order-consistent with the full-hash ranking
+    (survivors' hashes all compare below non-survivors'), so whenever a
+    group retains ≥ ``min(k, n_g)`` survivors the true top-k is inside
+    the survivor set — checked exactly (count per group on the ranked
+    result, a bounded frame); a group the prefilter undershot (hash
+    fluctuation at small ``n_g``) is re-ranked without the prefilter.
+    The fallback is rare by construction and touches only the deficient
+    groups' rows.
+    """
+    h_full = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{int(seed)}"))
+    )
+    counts = {
+        r["_g"]: r["_n"]
+        for r in docs.groupBy(F.col(group_col).alias("_g"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    if not counts:
+        w0 = Window.partitionBy(group_col).orderBy("_hk", id_col)
+        return (
+            docs.withColumn("_hk", h_full)
+            .withColumn("sample_rank", F.row_number().over(w0).cast("long"))
+            .filter(F.col("sample_rank") <= k)
+            .drop("_hk")
+        )
+    thr = F.lit("zzzzzzzz")
+    for g in sorted(counts, key=str):
+        rate = min(1.0, oversample * k / counts[g]) if counts[g] else 1.0
+        thr = F.when(
+            F.col(group_col) == F.lit(g), F.lit(_rate_threshold_hex(rate))
+        ).otherwise(thr)
+
+    def _rank(frame: DataFrame) -> DataFrame:
+        w = Window.partitionBy(group_col).orderBy("_hk", id_col)
+        return (
+            frame.withColumn(
+                "sample_rank", F.row_number().over(w).cast("long")
+            )
+            .filter(F.col("sample_rank") <= k)
+            .drop("_hk")
+        )
+
+    ranked = _rank(
+        docs.withColumn("_hk", h_full).filter(
+            F.substring(F.col("_hk"), 1, 8) < thr
+        )
+    ).persist()  # bounded: ≤ k rows per group; read by the deficiency
+    # check and again by the caller's action — register for release
+    if persisted is not None:
+        persisted.append(ranked)
+    got = {
+        r["_g"]: r["_n"]
+        for r in ranked.groupBy(F.col(group_col).alias("_g"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    deficient = [
+        g for g, n_g in counts.items() if got.get(g, 0) < min(k, n_g)
+    ]
+    if not deficient:
+        return ranked
+    redo = _rank(
+        docs.filter(F.col(group_col).isin(deficient)).withColumn(
+            "_hk", h_full
+        )
+    )
+    return ranked.filter(~F.col(group_col).isin(deficient)).unionByName(redo)
+
+
 def mixture_group_stats(
     docs: DataFrame,
     group_col: str = "source",

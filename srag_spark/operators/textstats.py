@@ -409,6 +409,58 @@ def gopher_rules(
     )
 
 
+def ngram_topk(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus n-gram heavy-hitter census: the ``k`` most frequent
+    normalized word ``n``-grams corpus-wide.
+
+    ``(ngram, n_occurrences, n_docs)`` — every occurrence counts (NOT
+    per-doc-distinct shingles: a license block pasted 40× in one doc
+    contributes 40), ``n_docs`` is the spread.  The discovery half of
+    boilerplate removal: exact-substring dedup (operators/substrings)
+    CUTS corpus-repeated spans mechanically; this census tells a
+    curator WHAT repeats — navigation chrome, license headers,
+    templated disclaimers — so thresholds and allowlists are chosen
+    from evidence.  Deterministic ordering: count desc, ngram asc.
+
+    Scale shape: the explode is linear in corpus tokens; the census is
+    ONE map-side-combinable groupBy (count + distinct-doc count in the
+    same pass); ``min_count`` prunes the singleton long tail — the
+    overwhelming mass of the gram relation — before the top-k; the
+    top-k itself is ``TakeOrderedAndProject`` (per-partition heap +
+    driver merge of k rows), never a global sort.  Docs shorter than
+    ``n`` words contribute nothing.  Nothing quadratic, nothing
+    driver-side beyond the k result rows.
+    """
+    w = words_col(F.col(text_col))
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("ngram")
+    )
+    return (
+        g.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
 def _starts_with_bullet(line: "F.Column") -> "F.Column":
     t = F.trim(line)
     out = None
