@@ -1979,6 +1979,128 @@ def _ngram_topk_sql() -> str:
     """
 
 
+def q_events_asof_join(spark, sf_dir):
+    """Purchase→click attribution via backward-inclusive as-of join
+    (operators/temporal.asof_join): each purchase picks the user's
+    latest click at or before it.  Union + per-key carry-forward window
+    — one shuffle, zero joins; the DuckDB oracle is the INDEPENDENT
+    native ASOF LEFT JOIN, so semantics are cross-validated."""
+    from srag_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 4).alias("value_r")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return asof_join(purchases, clicks, on="user_id").select(
+        "event_id",
+        "user_id",
+        "value_r",
+        # unmatched → -1 sentinels (NULL-free output sorts/hashes stably)
+        F.coalesce("click_id_r", F.lit(-1).cast("long")).alias("click_id"),
+        F.coalesce("asof_lag_s", F.lit(-1).cast("long")).alias("asof_lag_s"),
+    )
+
+
+def _asof_join_sql() -> str:
+    return """
+        WITH p AS (SELECT event_id, user_id, ts, round(value, 4) AS value_r
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts, max(event_id) AS click_id
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        SELECT p.event_id, p.user_id, p.value_r,
+               COALESCE(c.click_id, -1) AS click_id,
+               COALESCE(CAST(floor((epoch_us(p.ts) - epoch_us(c.ts))
+                                   / 1000000) AS BIGINT), -1) AS asof_lag_s
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+
+
+IV_EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
+IV_SLOTS = 4
+IV_HOURS = 672  # 28 days
+
+
+def q_events_range_join(spark, sf_dir):
+    """Error events landing inside planted per-user maintenance windows
+    via the grid-bucketed interval join (operators/temporal.
+    interval_join).  Events carry no interval table, so both engines
+    plant the same one deterministically: per user, 4 windows whose
+    start hour is ((user_id*7919 + slot*104729) % 672) into Jan 2024
+    and whose length is (1 + (user_id+slot) % 4) * 2 h.  The DuckDB
+    oracle is a plain inequality join (IEJoin) — an independent
+    algorithm for the same predicate."""
+    from srag_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    iv = users.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(IV_SLOTS - 1))).alias("slot"),
+    ).select(
+        "user_id",
+        F.col("slot").cast("long").alias("slot"),
+        (
+            F.lit(IV_EPOCH_2024)
+            + ((F.col("user_id") * 7919 + F.col("slot") * 104729) % IV_HOURS)
+            * 3600
+        ).cast("long").alias("start_s"),
+    )
+    iv = iv.withColumn(
+        "end_s",
+        (
+            F.col("start_s")
+            + (1 + (F.col("user_id") + F.col("slot")) % 4) * 7200
+        ).cast("long"),
+    )
+    pts = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interval_join(pts, iv, keys=("user_id",), cell_s=3600)
+    return out.select(
+        "event_id",
+        "user_id",
+        "slot",
+        "start_s",
+        (
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+            - F.col("start_s")
+        )
+        .cast("long")
+        .alias("offset_s"),
+    )
+
+
+def _range_join_sql() -> str:
+    return f"""
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        s AS (SELECT unnest(generate_series(0, {IV_SLOTS - 1})) AS slot),
+        iv AS (
+          SELECT user_id, CAST(slot AS BIGINT) AS slot,
+                 CAST({IV_EPOCH_2024}
+                      + ((user_id * 7919 + slot * 104729) % {IV_HOURS})
+                      * 3600 AS BIGINT) AS start_s,
+                 CAST({IV_EPOCH_2024}
+                      + ((user_id * 7919 + slot * 104729) % {IV_HOURS})
+                      * 3600
+                      + (1 + (user_id + slot) % 4) * 7200 AS BIGINT) AS end_s
+          FROM u CROSS JOIN s
+        ),
+        p AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'error')
+        SELECT p.event_id, p.user_id, iv.slot, iv.start_s,
+               CAST(floor(epoch_us(p.ts) / 1000000) AS BIGINT) - iv.start_s
+                 AS offset_s
+        FROM p JOIN iv
+          ON p.user_id = iv.user_id
+         AND epoch_us(p.ts) >= iv.start_s * 1000000
+         AND epoch_us(p.ts) <  iv.end_s * 1000000
+    """
+
+
 URL_DOMAINS = [
     "example.com", "news-site.org", "blocked.example.net",
     "files.archive.org", "casino-games.biz", "en.wikipedia.org",
@@ -3306,6 +3428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shards": q_corpus_shards,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "ngram_topk": q_ngram_topk,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
     }
 
 
@@ -3669,6 +3793,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shards": _shards_sql(),
         "corpus_sample_stratified": _sample_stratified_sql(),
         "ngram_topk": _ngram_topk_sql(),
+        "events_asof_join": _asof_join_sql(),
+        "events_range_join": _range_join_sql(),
         "repetition_stats": _REPETITION_SQL,
         "mm_decode_media": _mm_decode_sql(),
         "mm_extract_features": _mm_features_sql(),

@@ -74,6 +74,7 @@ HEADLINE_QUERY_NAMES = [
     "dedup_incremental",
     "dedup_semdedup",
     "ngram_topk",
+    "events_asof_join",
 ]
 
 

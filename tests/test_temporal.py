@@ -1,0 +1,127 @@
+"""Tests for operators/temporal.py — as-of join + interval join."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from srag_spark.operators.temporal import asof_join, interval_join
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00"), 5.0),   # after two clicks
+            (2, 10, _ts("2024-01-01 09:00:00"), 2.0),   # exactly AT a click
+            (3, 10, _ts("2024-01-01 08:00:00"), 1.0),   # before any click
+            (4, 20, _ts("2024-01-01 12:00:00"), 9.0),   # user with no clicks
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 09:00:00"), 100),
+            (10, _ts("2024-01-01 09:30:00"), 101),
+            (10, _ts("2024-01-01 09:00:00"), 99),  # tie at 09:00 → max id 100
+            (30, _ts("2024-01-01 01:00:00"), 300),  # user absent from left
+        ],
+        "user_id long, ts timestamp, click_id long",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark, sides):
+    left, right = sides
+    out = {r["event_id"]: r for r in asof_join(left, right).collect()}
+    assert len(out) == 4
+    # latest click at or before 10:00 is 09:30 (id 101), lag 1800s
+    assert out[1]["click_id_r"] == 101 and out[1]["asof_lag_s"] == 1800
+    # inclusive at the same instant; tie deduped to the max payload (100)
+    assert out[2]["click_id_r"] == 100 and out[2]["asof_lag_s"] == 0
+    # nothing at or before 08:00
+    assert out[3]["click_id_r"] is None and out[3]["asof_lag_s"] is None
+    # keyless user
+    assert out[4]["click_id_r"] is None
+    # left columns survive untouched
+    assert out[1]["value"] == 5.0 and out[1]["user_id"] == 10
+
+
+def test_asof_tolerance(spark, sides):
+    left, right = sides
+    out = {
+        r["event_id"]: r
+        for r in asof_join(left, right, tolerance_s=900).collect()
+    }
+    # 1800s-stale match discarded by a 900s tolerance
+    assert out[1]["click_id_r"] is None and out[1]["asof_lag_s"] is None
+    # 0s-stale match survives
+    assert out[2]["click_id_r"] == 100
+
+
+def test_asof_partitioning_independent(spark, sides):
+    left, right = sides
+    a = sorted(map(tuple, asof_join(left, right).collect()))
+    b = sorted(
+        map(
+            tuple,
+            asof_join(left.repartition(7), right.repartition(5)).collect(),
+        )
+    )
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def interval_sides(spark):
+    pts = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 02:00:00")),  # at a start boundary
+            (2, 10, _ts("2024-01-01 04:00:00")),  # at an end boundary
+            (3, 10, _ts("2024-01-01 03:30:00")),  # inside, two overlaps
+            (4, 20, _ts("2024-01-01 03:00:00")),  # right key, no interval
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    base = int(_ts("2024-01-01 00:00:00").timestamp())
+    iv = spark.createDataFrame(
+        [
+            (10, 0, base + 2 * 3600, base + 4 * 3600),  # [02:00, 04:00)
+            (10, 1, base + 3 * 3600, base + 5 * 3600),  # [03:00, 05:00)
+            (10, 2, base + 9 * 3600, base + 9 * 3600),  # empty → drops
+            (30, 3, base, base + 24 * 3600),            # other key
+        ],
+        "user_id long, slot long, start_s long, end_s long",
+    )
+    return pts, iv
+
+
+def test_interval_join_boundaries_and_overlap(spark, interval_sides):
+    pts, iv = interval_sides
+    rows = interval_join(pts, iv).collect()
+    got = sorted((r["event_id"], r["slot"]) for r in rows)
+    # 1: start-inclusive hit on slot 0 only; 2: end-exclusive miss on
+    # slot 0 but inside slot 1; 3: inside both; 4: no interval for key
+    assert got == [(1, 0), (2, 1), (3, 0), (3, 1)]
+    by = {(r["event_id"], r["slot"]): r for r in rows}
+    assert by[(1, 0)]["start_s"] == iv.collect()[0]["start_s"]
+
+
+def test_interval_join_multicell_and_partitioning(spark, interval_sides):
+    pts, iv = interval_sides
+    # a small cell size forces intervals to span many cells: same result
+    a = sorted(
+        (r["event_id"], r["slot"])
+        for r in interval_join(pts, iv, cell_s=300).collect()
+    )
+    b = sorted(
+        (r["event_id"], r["slot"])
+        for r in interval_join(
+            pts.repartition(5), iv.repartition(3), cell_s=7200
+        ).collect()
+    )
+    assert a == b == [(1, 0), (2, 1), (3, 0), (3, 1)]
