@@ -2101,6 +2101,39 @@ def _range_join_sql() -> str:
     """
 
 
+def q_events_rollup_day(spark, sf_dir):
+    """Hypertable-style rollup cascade (operators/temporal.rollup):
+    day-level stats aggregated FROM the hour-level partials, never from
+    raw — the continuous-aggregate pattern.  The DuckDB oracle
+    aggregates the raw rows directly, so the entry pins the cascade's
+    associativity (day-from-hour ≡ day-from-raw); sums are exact
+    decimal so re-aggregation is order- and engine-independent."""
+    from srag_spark.operators.temporal import rollup, rollup_up
+
+    hour = rollup(_t(spark, sf_dir, "events"), "hour")
+    day = rollup_up(hour, "day")
+    return day.select(
+        F.col("bucket").alias("day"),
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value_r"),
+        F.round("min_value", 4).alias("min_value_r"),
+        F.round("max_value", 4).alias("max_value_r"),
+    )
+
+
+def _rollup_day_sql() -> str:
+    return """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                 AS sum_value_r,
+               round(min(value), 4) AS min_value_r,
+               round(max(value), 4) AS max_value_r
+        FROM events GROUP BY 1, 2
+    """
+
+
 URL_DOMAINS = [
     "example.com", "news-site.org", "blocked.example.net",
     "files.archive.org", "casino-games.biz", "en.wikipedia.org",
@@ -3430,6 +3463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": q_ngram_topk,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
+        "events_rollup_day": q_events_rollup_day,
     }
 
 
@@ -3795,6 +3829,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_topk": _ngram_topk_sql(),
         "events_asof_join": _asof_join_sql(),
         "events_range_join": _range_join_sql(),
+        "events_rollup_day": _rollup_day_sql(),
         "repetition_stats": _REPETITION_SQL,
         "mm_decode_media": _mm_decode_sql(),
         "mm_extract_features": _mm_features_sql(),

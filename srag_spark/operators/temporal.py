@@ -29,9 +29,17 @@ events/sessionization side the way the dedup family serves documents):
   interval length.  Each (point, interval) pair can meet in at most
   one cell (the point's), so no dedup pass is needed.
 
-Both operators' driver entries are oracle-checked against genuinely
-INDEPENDENT DuckDB formulations (native ``ASOF JOIN``; an IEJoin
-inequality join) — the semantics are cross-validated, not mirrored.
+* :func:`rollup` / :func:`rollup_up` — the TimescaleDB continuous-
+  aggregate (hypertable rollup) pattern: associative partials at the
+  finest resolution, every coarser level re-aggregated from the
+  previous level's bounded partial table, the raw relation scanned
+  exactly once.
+
+The join operators' driver entries are oracle-checked against
+genuinely INDEPENDENT DuckDB formulations (native ``ASOF JOIN``; an
+IEJoin inequality join), and the rollup entry's oracle aggregates the
+raw rows directly (day-from-hour must equal day-from-raw) — semantics
+are cross-validated, not mirrored.
 """
 
 from __future__ import annotations
@@ -120,6 +128,62 @@ def asof_join(
         .alias("asof_lag_s")
     )
     return matched.select(*out_cols)
+
+
+ROLLUP_AGGS = ("n_events", "sum_value", "min_value", "max_value")
+
+
+def rollup(
+    events: DataFrame,
+    granularity: str = "hour",
+    time_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Base-level rollup partials: per (``date_trunc(granularity)``,
+    keys) — ``(bucket, *keys, n_events, sum_value, min_value,
+    max_value)``.  The TimescaleDB continuous-aggregate / hypertable
+    rollup pattern: the partials are ASSOCIATIVE (count/sum/min/max;
+    ``sum_value`` is exact ``decimal(18,6)`` so re-aggregation is
+    order-independent — a double sum would drift by summation-order
+    ulps across levels and engines), so coarser resolutions roll up
+    from finer ones via :func:`rollup_up` without touching raw rows
+    again.  One map-side-combinable groupBy.
+    """
+    return events.groupBy(
+        F.date_trunc(granularity, F.col(time_col).cast("timestamp")).alias(
+            "bucket"
+        ),
+        *keys,
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sum_value"),
+        F.min(F.col(value_col)).alias("min_value"),
+        F.max(F.col(value_col)).alias("max_value"),
+    )
+
+
+def rollup_up(
+    partials: DataFrame,
+    granularity: str = "day",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Re-aggregate finer rollup partials (:func:`rollup` output shape)
+    to a coarser ``granularity`` WITHOUT re-reading raw events — the
+    cascade step of a continuous-aggregate hierarchy (minute → hour →
+    day → month).  At 100 TB the raw relation is scanned exactly once
+    for the finest level; every coarser level aggregates the previous
+    level's bounded partial table.  Correctness rests on the partials'
+    associativity, pinned by the oracle entry (day-from-hour must equal
+    day-from-raw) and tests."""
+    return partials.groupBy(
+        F.date_trunc(granularity, F.col("bucket")).alias("bucket"), *keys
+    ).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("sum_value").cast("decimal(18,6)").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
 
 
 def interval_join(

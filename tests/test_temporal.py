@@ -6,7 +6,12 @@ from datetime import datetime
 
 import pytest
 
-from srag_spark.operators.temporal import asof_join, interval_join
+from srag_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+    rollup,
+    rollup_up,
+)
 
 
 def _ts(s: str) -> datetime:
@@ -125,3 +130,50 @@ def test_interval_join_multicell_and_partitioning(spark, interval_sides):
         ).collect()
     )
     assert a == b == [(1, 0), (2, 1), (3, 0), (3, 1)]
+
+
+def test_rollup_cascade_equals_direct(spark):
+    """day-from-hour (and month-from-day-from-hour) must equal the
+    direct aggregation from raw — the cascade's associativity."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            _ts("2024-01-01 00:00:00").replace(
+                day=1 + rng.randrange(28),
+                hour=rng.randrange(24),
+                minute=rng.randrange(60),
+            ),
+            ["a", "b"][i % 2],
+            round(rng.uniform(-100, 100), 6),
+        )
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    hour = rollup(ev, "hour")
+    day_cascade = rollup_up(hour, "day")
+    day_direct = rollup(ev, "day")
+    month_cascade = rollup_up(day_cascade, "month")
+    month_direct = rollup(ev, "month")
+
+    def key(df):
+        return sorted(
+            (
+                r["bucket"],
+                r["event_type"],
+                r["n_events"],
+                str(r["sum_value"]),
+                round(r["min_value"], 9),
+                round(r["max_value"], 9),
+            )
+            for r in df.collect()
+        )
+
+    assert key(day_cascade) == key(day_direct)
+    assert key(month_cascade) == key(month_direct)
+    # sanity: the cascade actually coarsens
+    assert hour.count() > day_direct.count() > month_direct.count()
