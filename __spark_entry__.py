@@ -1979,6 +1979,84 @@ def _ngram_topk_sql() -> str:
     """
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Per-language corpus census (textstats.corpus_profile): doc/token
+    totals, length extremes and the EXACT distinct-fingerprint count per
+    group — the statistics table a curator reads before choosing mixture
+    weights or dedup thresholds.  One tiny-key groupBy; the distinct
+    count is Spark's two-phase (group, md5) expand."""
+    from srag_spark.operators.textstats import corpus_profile
+
+    return corpus_profile(_t(spark, sf_dir, "documents"), group_col="lang")
+
+
+def _corpus_profile_sql() -> str:
+    return """
+        WITH per AS (
+          SELECT lang AS "group",
+                 len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS toks,
+                 length(text) AS chars,
+                 md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+          FROM documents
+        )
+        SELECT "group",
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS n_tokens,
+               round(avg(toks), 6) AS avg_tokens_r,
+               CAST(min(chars) AS BIGINT) AS min_chars,
+               CAST(max(chars) AS BIGINT) AS max_chars,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct
+        FROM per GROUP BY "group" ORDER BY "group"
+    """
+
+
+TFIDF_K = 5
+TFIDF_MIN_LEN = 3
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-k TF-IDF keywords per document (textstats.tfidf_keywords):
+    smoothed sklearn-style idf over the corpus df pass, scores rounded
+    BEFORE the (score desc, term asc) rank so the top-k boundary is
+    engine-independent.  tf/df are map-side-combinable groupBys; the
+    top-k is a per-doc-bounded window."""
+    from srag_spark.operators.textstats import tfidf_keywords
+
+    return tfidf_keywords(
+        _t(spark, sf_dir, "documents"), k=TFIDF_K, min_len=TFIDF_MIN_LEN
+    )
+
+
+def _tfidf_keywords_sql() -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+        WITH w AS (SELECT doc_id, {_NORM_W_SQL} AS w FROM documents),
+        t AS (
+          SELECT doc_id,
+                 unnest(list_filter(w, x -> length(x) >= {TFIDF_MIN_LEN}
+                                           AND x NOT IN ({stop}))) AS term
+          FROM w
+        ),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM t GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 round(tf.tf * round(ln((n.n + 1)::DOUBLE / (df.df + 1)) + 1.0, 6), 6) AS score_r
+          FROM tf JOIN df USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_r DESC, term ASC) AS rn
+          FROM scored
+        )
+        SELECT doc_id, term, tf, score_r FROM ranked WHERE rn <= {TFIDF_K}
+    """
+
+
 def q_events_asof_join(spark, sf_dir):
     """Purchase→click attribution via backward-inclusive as-of join
     (operators/temporal.asof_join): each purchase picks the user's
@@ -3461,6 +3539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shards": q_corpus_shards,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "ngram_topk": q_ngram_topk,
+        "corpus_profile": q_corpus_profile,
+        "tfidf_keywords": q_tfidf_keywords,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "events_rollup_day": q_events_rollup_day,
@@ -3827,6 +3907,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shards": _shards_sql(),
         "corpus_sample_stratified": _sample_stratified_sql(),
         "ngram_topk": _ngram_topk_sql(),
+        "corpus_profile": _corpus_profile_sql(),
+        "tfidf_keywords": _tfidf_keywords_sql(),
         "events_asof_join": _asof_join_sql(),
         "events_range_join": _range_join_sql(),
         "events_rollup_day": _rollup_day_sql(),

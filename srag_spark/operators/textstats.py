@@ -468,3 +468,113 @@ def _starts_with_bullet(line: "F.Column") -> "F.Column":
         e = t.startswith(b)
         out = e if out is None else (out | e)
     return out
+
+
+def corpus_profile(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus census: ``(group, n_docs, n_tokens, avg_tokens_r,
+    min_chars, max_chars, n_distinct)`` — the profiling report a curator
+    reads before choosing mixture weights, dedup thresholds, or quality
+    cutoffs (what CCNet/RefinedWeb publish as their "corpus statistics"
+    tables).  ``n_tokens`` is the whitespace-token total (the P1
+    tokenizer's cardinality), ``n_distinct`` the EXACT count of distinct
+    normalized-text fingerprints inside the group — i.e. the group's
+    size after exact dedup, so ``n_docs - n_distinct`` reads directly as
+    the exact-duplicate mass.
+
+    Scale shape: one groupBy whose key cardinality is the number of
+    groups (languages/sources — tiny); count/sum/min/max are map-side
+    combinable, and the one non-combinable aggregate (exact distinct)
+    is Spark's two-phase expand-and-count over (group, md5) — a shuffle
+    keyed by fingerprint, never a driver-side set.  Row-local token
+    counting, no joins, no windows.
+    """
+    from srag_spark.operators.corpus import token_count_col
+
+    t = F.col(text_col)
+    per = docs.select(
+        F.col(group_col).alias("group"),
+        token_count_col(t).alias("_toks"),
+        F.length(t).alias("_chars"),
+        F.md5(norm_text_col(t)).alias("_fp"),
+    )
+    return (
+        per.groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_toks").cast("long").alias("n_tokens"),
+            F.round(F.avg("_toks"), 6).alias("avg_tokens_r"),
+            F.min("_chars").cast("long").alias("min_chars"),
+            F.max("_chars").cast("long").alias("max_chars"),
+            F.countDistinct("_fp").cast("long").alias("n_distinct"),
+        )
+        .orderBy("group")
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    min_len: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document: ``(doc_id, term, tf,
+    score_r)`` — the classic corpus-statistic keyword extractor
+    (Salton & Buckley 1988), the per-document complement to the
+    corpus-wide ``ngram_topk`` census.  Terms are normalized lexical
+    tokens of length >= ``min_len`` with stopwords dropped;
+    ``idf = ln((N+1)/(df+1)) + 1`` (smoothed, scikit-learn's
+    formulation), ``score = tf * round(idf, 6)`` rounded to 6 — the
+    rounding happens BEFORE ranking so the deterministic tie-break
+    (score desc, term asc) is engine-independent.
+
+    Scale shape (BM25's df pass, reused): tf is one map-side-combinable
+    (doc, term) groupBy over a linear explode; df derives from tf by a
+    second combinable groupBy keyed on term; N arrives via a broadcast
+    single-row cross join (no driver round-trip in the plan); the df
+    join back onto tf shuffles on term (AQE broadcasts it when the
+    vocabulary is small); the final top-k is a per-doc-bounded window
+    — rank work proportional to each doc's distinct terms, never
+    corpus-global.  The tf subplan is deliberately recomputed for the
+    df side rather than persisted (lm_perplexity's documented stance:
+    at 100 TB the (doc, term) relation dwarfs the input — two linear
+    scans beat one materialization; callers that prefer the trade can
+    ``.persist()`` the input).  Nothing quadratic, nothing driver-side.
+    """
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                words_col(F.col(text_col)),
+                lambda t: (F.length(t) >= min_len) & ~t.isin(*STOPWORDS),
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n"))
+    idf_r = F.round(F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1.0, 6)
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * idf_r, 6).alias("score_r"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_r"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1,0 +1,80 @@
+"""corpus_profile census and tfidf_keywords extraction.
+
+Hand-computable micro-corpora: the census totals and the exact
+duplicate mass are asserted against arithmetic done by eye, and the
+TF-IDF ranking against the smoothed-idf formula computed inline.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from srag_spark.operators.textstats import corpus_profile, tfidf_keywords
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_corpus_profile_counts_and_duplicate_mass(spark):
+    rows = [
+        (1, "alpha beta gamma", "en"),
+        (2, "alpha beta gamma", "en"),   # exact dup of 1 (same normalized text)
+        (3, "Alpha, beta GAMMA!", "en"), # normalizes to the same fingerprint
+        (4, "delta", "en"),
+        (5, "eins zwei", "de"),
+    ]
+    out = {
+        r["group"]: r
+        for r in corpus_profile(_docs(spark, rows), group_col="lang").collect()
+    }
+    en = out["en"]
+    assert en["n_docs"] == 4
+    assert en["n_tokens"] == 3 + 3 + 3 + 1
+    assert en["n_distinct"] == 2  # {alpha beta gamma, delta}
+    assert en["min_chars"] == len("delta")
+    assert en["max_chars"] == len("Alpha, beta GAMMA!")
+    assert abs(en["avg_tokens_r"] - 10 / 4) < 1e-9
+    de = out["de"]
+    assert (de["n_docs"], de["n_tokens"], de["n_distinct"]) == (1, 2, 1)
+
+
+def test_corpus_profile_group_rows_sorted(spark):
+    rows = [(i, "x", lang) for i, lang in enumerate(["fr", "en", "de"])]
+    got = [r["group"] for r in corpus_profile(_docs(spark, rows)).collect()]
+    assert got == sorted(got)
+
+
+def test_tfidf_keywords_formula_and_rank(spark):
+    # 3 docs; "rare" appears only in doc 1, "common" in all three.
+    rows = [
+        (1, "rare common common", "en"),
+        (2, "common filler words", "en"),
+        (3, "common other tokens", "en"),
+    ]
+    out = tfidf_keywords(_docs(spark, rows), k=2, min_len=3)
+    d1 = {r["term"]: r for r in out.filter(F.col("doc_id") == 1).collect()}
+    idf = lambda df: round(math.log((3 + 1) / (df + 1)) + 1.0, 6)  # noqa: E731
+    assert d1["rare"]["tf"] == 1
+    assert abs(d1["rare"]["score_r"] - round(1 * idf(1), 6)) < 1e-9
+    assert abs(d1["common"]["score_r"] - round(2 * idf(3), 6)) < 1e-9
+    # common (tf 2 · idf 1.0 = 2.0) outranks rare (tf 1 · idf 1.693)
+    assert d1["common"]["score_r"] > d1["rare"]["score_r"]
+
+
+def test_tfidf_keywords_k_bound_and_stopword_drop(spark):
+    rows = [(1, "the the the aaa bbb ccc ddd", "en")]
+    out = tfidf_keywords(_docs(spark, rows), k=3, min_len=3).collect()
+    terms = {r["term"] for r in out}
+    assert len(out) == 3
+    assert "the" not in terms  # stopword dropped even though tf is highest
+    # equal scores → term-asc tie-break picks the lexicographic head
+    assert terms == {"aaa", "bbb", "ccc"}
+
+
+def test_tfidf_keywords_short_tokens_dropped(spark):
+    rows = [(1, "ab cd efgh", "en")]
+    out = tfidf_keywords(_docs(spark, rows), k=5, min_len=3).collect()
+    assert [r["term"] for r in out] == ["efgh"]
