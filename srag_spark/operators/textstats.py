@@ -474,23 +474,33 @@ def corpus_profile(
     docs: DataFrame,
     group_col: str = "lang",
     text_col: str = "text",
+    approx: bool = False,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """Per-group corpus census: ``(group, n_docs, n_tokens, avg_tokens_r,
     min_chars, max_chars, n_distinct)`` — the profiling report a curator
     reads before choosing mixture weights, dedup thresholds, or quality
     cutoffs (what CCNet/RefinedWeb publish as their "corpus statistics"
     tables).  ``n_tokens`` is the whitespace-token total (the P1
-    tokenizer's cardinality), ``n_distinct`` the EXACT count of distinct
+    tokenizer's cardinality), ``n_distinct`` the count of distinct
     normalized-text fingerprints inside the group — i.e. the group's
     size after exact dedup, so ``n_docs - n_distinct`` reads directly as
     the exact-duplicate mass.
 
     Scale shape: one groupBy whose key cardinality is the number of
     groups (languages/sources — tiny); count/sum/min/max are map-side
-    combinable, and the one non-combinable aggregate (exact distinct)
-    is Spark's two-phase expand-and-count over (group, md5) — a shuffle
-    keyed by fingerprint, never a driver-side set.  Row-local token
-    counting, no joins, no windows.
+    combinable.  The distinct count is the one aggregate whose exact
+    form is not: Spark plans it as a two-phase expand-and-count over
+    (group, md5) — a full shuffle of one fingerprint row per document.
+    Correct and never driver-side, but at 100 TB that shuffle IS the
+    query, so ``approx=True`` is the scale path: HyperLogLog++
+    (``approx_count_distinct`` at relative standard deviation ``rsd``)
+    makes the whole census a single map-side-combinable pass — sketches
+    merge in the combiner, bytes shuffled drop from one row per doc to
+    one bounded sketch per (partition, group).  The approx variant
+    renames the column ``n_distinct_approx`` and is pytest error-bounded
+    (not DuckDB-oracled: HLL estimates are engine-specific); the exact
+    variant is the driver-oracle entry.
     """
     from srag_spark.operators.corpus import token_count_col
 
@@ -501,6 +511,11 @@ def corpus_profile(
         F.length(t).alias("_chars"),
         F.md5(norm_text_col(t)).alias("_fp"),
     )
+    distinct_agg = (
+        F.approx_count_distinct("_fp", rsd).cast("long").alias("n_distinct_approx")
+        if approx
+        else F.countDistinct("_fp").cast("long").alias("n_distinct")
+    )
     return (
         per.groupBy("group")
         .agg(
@@ -509,7 +524,7 @@ def corpus_profile(
             F.round(F.avg("_toks"), 6).alias("avg_tokens_r"),
             F.min("_chars").cast("long").alias("min_chars"),
             F.max("_chars").cast("long").alias("max_chars"),
-            F.countDistinct("_fp").cast("long").alias("n_distinct"),
+            distinct_agg,
         )
         .orderBy("group")
     )

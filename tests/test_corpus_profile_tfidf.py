@@ -78,3 +78,28 @@ def test_tfidf_keywords_short_tokens_dropped(spark):
     rows = [(1, "ab cd efgh", "en")]
     out = tfidf_keywords(_docs(spark, rows), k=5, min_len=3).collect()
     assert [r["term"] for r in out] == ["efgh"]
+
+
+def test_corpus_profile_approx_error_bound(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {r["group"]: r["n_distinct"] for r in corpus_profile(docs).collect()}
+    approx = {
+        r["group"]: r["n_distinct_approx"]
+        for r in corpus_profile(docs, approx=True, rsd=0.02).collect()
+    }
+    assert set(approx) == set(exact)
+    for g, n in exact.items():
+        # HLL++ at rsd=0.02: allow 5 sigma (10%) — deterministic sketch,
+        # so this is a regression pin, not a flaky statistical test
+        assert abs(approx[g] - n) <= max(2, 0.10 * n), (g, approx[g], n)
+
+
+def test_corpus_profile_approx_is_single_pass(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan_exact = corpus_profile(docs)._jdf.queryExecution().executedPlan().toString()
+    plan_approx = corpus_profile(docs, approx=True)._jdf.queryExecution().executedPlan().toString()
+    n_ex = plan_exact.count("Exchange")
+    n_ap = plan_approx.count("Exchange")
+    # exact needs the extra fingerprint-keyed expand shuffle; approx
+    # folds the HLL sketch into the one group-keyed combiner pass
+    assert n_ap < n_ex, (n_ap, n_ex)
