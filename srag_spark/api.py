@@ -447,3 +447,21 @@ class SragEngine:
                 min_age_seconds=min_age_seconds,
             )
         return total
+
+    def optimize(self, n_buckets: int | None = None) -> dict:
+        """Compact all four tables (one file per bucket; optionally
+        re-bucket to ``n_buckets`` — tables.rewrite_table's layout
+        evolution) and publish a fresh engine snapshot pinning the
+        compacted versions.  Logical content is untouched; readers on
+        older engine snapshots keep time-traveling until :meth:`vacuum`.
+        Run out-of-band, like vacuum — a maintenance pass for tables
+        that accumulated many per-ingest commit dirs or outgrew their
+        creation-time bucket count.  Returns per-table rewrite stats."""
+        from srag_spark.sources.tables import rewrite_table
+
+        stats = {}
+        for name, path in self._table_paths.items():
+            if table_exists(self.spark, path):
+                stats[name] = rewrite_table(self.spark, path, n_buckets=n_buckets)
+        self._publish_engine_snapshot()
+        return stats

@@ -390,6 +390,85 @@ def _buckets_in_commit(spark: SparkSession, data_dir: str) -> list[int]:
 # ---------------------------------------------------------------------------
 # maintenance
 # ---------------------------------------------------------------------------
+def rewrite_table(
+    spark: SparkSession,
+    path: str,
+    n_buckets: int | None = None,
+    max_commit_retries: int = 2,
+) -> dict:
+    """Compaction + bucket-layout evolution in one snapshot-atomic
+    rewrite: read the current snapshot, rewrite EVERY live row under one
+    fresh commit dir — concentrated one-task-per-bucket so each bucket
+    lands as a single parquet file — and publish a new manifest.  With
+    ``n_buckets`` the table is re-bucketed to the new count (Iceberg's
+    partition evolution, done as a full rewrite: the manifest carries
+    the layout, so readers and subsequent upserts pick up the new
+    bucketing atomically); without it the layout is kept and the
+    rewrite only coalesces small files.
+
+    Logical content is IDENTICAL before and after — readers pinned to
+    the old manifest keep time-traveling to it until ``vacuum`` ages
+    the superseded dirs out.  Run out-of-band, like vacuum: a table
+    that accumulated thousands of per-commit bucket dirs (or outgrew
+    its creation-time bucket count, skewing upsert rewrite units) is a
+    performance problem, never a correctness one.
+
+    Concurrency: the same optimistic compare-and-publish as upserts —
+    the rewrite pins the snapshot it read; if a writer lands in
+    between, the commit is rejected and the rewrite re-reads and
+    retries (its orphaned dir ages out via vacuum's min-age guard).
+
+    Returns ``{"version": <new>, "n_buckets": <layout>, "buckets": N}``.
+
+    Scale shape: one linear read of the live snapshot + one shuffle
+    keyed on the (new) bucket id + one linear write — the minimum any
+    re-layout can do.  Nothing driver-side beyond the manifest dict.
+    """
+    for attempt in range(max_commit_retries + 1):
+        try:
+            return _rewrite_once(spark, path, n_buckets)
+        except ManifestCommitRace:
+            if attempt == max_commit_retries:
+                raise
+
+
+def _rewrite_once(spark: SparkSession, path: str, n_buckets: int | None) -> dict:
+    manifest = read_manifest(spark, path)
+    if manifest is None:
+        raise FileNotFoundError(f"no table (no committed manifest) at {path}")
+    expected_prev = manifest["version"]
+    bcol = manifest["bucket_col"]
+    new_n = manifest["n_buckets"] if n_buckets is None else n_buckets
+    rows = read_table(spark, path).withColumn(
+        BUCKET_COL, _key_bucket(bcol, new_n)
+    )
+    commit_id = f"c{uuid.uuid4().hex}"
+    # one task per bucket → one file per bucket dir (the compaction)
+    data_dir = _write_buckets(
+        rows.repartition(new_n, F.col(BUCKET_COL)), path, commit_id
+    )
+    buckets = {
+        str(b): f"data/{commit_id}/{BUCKET_COL}={b}"
+        for b in _buckets_in_commit(spark, data_dir)
+    }
+    commit_manifest(
+        spark,
+        path,
+        {
+            "n_buckets": new_n,
+            "bucket_col": bcol,
+            "schema": manifest["schema"],
+            "buckets": buckets,
+        },
+        expected_prev=expected_prev,
+    )
+    return {
+        "version": expected_prev + 1,
+        "n_buckets": new_n,
+        "buckets": len(buckets),
+    }
+
+
 def vacuum(
     spark: SparkSession,
     path: str,

@@ -1,0 +1,136 @@
+"""rewrite_table: snapshot-atomic compaction + bucket-layout evolution."""
+
+from __future__ import annotations
+
+import glob
+
+from srag_spark.sources.tables import (
+    read_manifest,
+    read_table,
+    rewrite_table,
+    upsert_by_key,
+    vacuum,
+)
+
+SCHEMA = "doc_id string, segment_index int, text string"
+
+
+def _rows(spark, path, version=None):
+    return {
+        (r["doc_id"], r["segment_index"]): r["text"]
+        for r in read_table(spark, path, version=version).collect()
+    }
+
+
+def _seed(spark, path, n_docs=20, n_buckets=4):
+    for batch in range(4):  # several commits → several live commit dirs
+        rows = [
+            (f"d{i}", batch, f"t{i}.{batch}")
+            for i in range(batch, n_docs, 4)
+        ]
+        upsert_by_key(
+            spark,
+            path,
+            spark.createDataFrame(rows, SCHEMA),
+            ["doc_id", "segment_index"],
+            n_buckets=n_buckets,
+        )
+
+
+def test_rewrite_preserves_content_and_coalesces_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    before = _rows(spark, path)
+    v_before = read_manifest(spark, path)["version"]
+    n_dirs_before = len(glob.glob(f"{path}/data/c*"))
+    assert n_dirs_before >= 4  # several commits live
+
+    out = rewrite_table(spark, path)
+    assert out["version"] == v_before + 1
+    assert out["n_buckets"] == 4
+    assert _rows(spark, path) == before
+
+    # the new snapshot references exactly ONE commit dir, one file/bucket
+    m = read_manifest(spark, path)
+    commits = {d.split("/")[1] for d in m["buckets"].values()}
+    assert len(commits) == 1
+    (commit,) = commits
+    for b in m["buckets"]:
+        parts = glob.glob(f"{path}/data/{commit}/_kb={b}/part-*.parquet")
+        assert len(parts) == 1, (b, parts)
+
+    # time travel: the pre-rewrite snapshot still reads until vacuumed
+    assert _rows(spark, path, version=v_before) == before
+    vacuum(spark, path, keep_manifests=1, min_age_seconds=0)
+    assert len(glob.glob(f"{path}/data/c*")) == 1
+    assert _rows(spark, path) == before
+
+
+def test_rewrite_evolves_bucket_count_and_upserts_use_it(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path, n_buckets=2)
+    before = _rows(spark, path)
+
+    out = rewrite_table(spark, path, n_buckets=8)
+    m = read_manifest(spark, path)
+    assert out["n_buckets"] == 8 and m["n_buckets"] == 8
+    assert _rows(spark, path) == before
+    # every manifest bucket id is valid under the NEW layout
+    assert all(0 <= int(b) < 8 for b in m["buckets"])
+
+    # subsequent upserts adopt the evolved layout (prune by new buckets)
+    up = spark.createDataFrame([("d0", 0, "NEW"), ("zz", 9, "ins")], SCHEMA)
+    upsert_by_key(spark, path, up, ["doc_id", "segment_index"])
+    after = _rows(spark, path)
+    assert after[("d0", 0)] == "NEW" and after[("zz", 9)] == "ins"
+    assert {k: v for k, v in after.items() if k not in {("d0", 0), ("zz", 9)}} == {
+        k: v for k, v in before.items() if k != ("d0", 0)
+    }
+    assert read_manifest(spark, path)["n_buckets"] == 8
+
+
+def test_rewrite_retries_past_concurrent_commit(spark, tmp_path, monkeypatch):
+    import srag_spark.sources.tables as T
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    before = _rows(spark, path)
+
+    real_commit = T.commit_manifest
+    fired = {"n": 0}
+
+    def racing_commit(spark_, path_, manifest_, expected_prev=None):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # a writer lands between the rewrite's read and its publish
+            up = spark.createDataFrame([("race", 0, "r")], SCHEMA)
+            upsert_by_key(spark, path, up, ["doc_id", "segment_index"])
+        return real_commit(spark_, path_, manifest_, expected_prev=expected_prev)
+
+    monkeypatch.setattr(T, "commit_manifest", racing_commit)
+    rewrite_table(spark, path)
+    # the retry re-read the fresh snapshot: no lost update
+    assert _rows(spark, path) == {**before, ("race", 0): "r"}
+
+
+def test_engine_optimize_compacts_and_preserves_queries(spark, tmp_path):
+    from srag_spark.api import SragEngine
+    from srag_spark.synth import synth_documents_df
+
+    eng = SragEngine(spark, str(tmp_path / "kb"), n_buckets=4)
+    docs = synth_documents_df(spark, 12, seed=7)
+    # two ingests → multiple commit dirs per table
+    eng.ingest(docs.limit(6))
+    eng.ingest(docs)
+    snap = lambda df: sorted(map(str, df.collect()))  # noqa: E731
+    before = snap(eng.transcripts())
+    chunks_before = eng.chunks().count()
+
+    stats = eng.optimize(n_buckets=8)
+    assert set(stats) == {"transcripts", "chunks", "embeddings", "metrics"}
+    assert all(s["n_buckets"] == 8 for s in stats.values())
+    assert snap(eng.transcripts()) == before
+    assert eng.chunks().count() == chunks_before
+    # retrieval still works over the compacted layout
+    assert eng.query("some words", limit=2).count() <= 2
+    assert all(c.ok for c in eng.health())
