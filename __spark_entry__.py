@@ -2010,6 +2010,34 @@ def _corpus_profile_sql() -> str:
     """
 
 
+def q_corpus_length_quantiles(spark, sf_dir):
+    """Per-language token-length quantile report
+    (textstats.corpus_length_quantiles): p50/p90/p99 by linear
+    interpolation — the distribution tails length cutoffs are chosen
+    from.  Exact percentile here (oracle-checkable, groups bounded);
+    approx=True (GK sketch, map-side combinable) is the 100 TB path,
+    pytest error-bounded."""
+    from srag_spark.operators.textstats import corpus_length_quantiles
+
+    return corpus_length_quantiles(_t(spark, sf_dir, "documents"))
+
+
+def _corpus_length_quantiles_sql() -> str:
+    return """
+        WITH per AS (
+          SELECT lang AS "group",
+                 len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS toks
+          FROM documents
+        )
+        SELECT "group",
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(quantile_cont(toks, 0.5), 6) AS p50_r,
+               round(quantile_cont(toks, 0.9), 6) AS p90_r,
+               round(quantile_cont(toks, 0.99), 6) AS p99_r
+        FROM per GROUP BY "group" ORDER BY "group"
+    """
+
+
 TFIDF_K = 5
 TFIDF_MIN_LEN = 3
 
@@ -3540,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "ngram_topk": q_ngram_topk,
         "corpus_profile": q_corpus_profile,
+        "corpus_length_quantiles": q_corpus_length_quantiles,
         "tfidf_keywords": q_tfidf_keywords,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
@@ -3908,6 +3937,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample_stratified": _sample_stratified_sql(),
         "ngram_topk": _ngram_topk_sql(),
         "corpus_profile": _corpus_profile_sql(),
+        "corpus_length_quantiles": _corpus_length_quantiles_sql(),
         "tfidf_keywords": _tfidf_keywords_sql(),
         "events_asof_join": _asof_join_sql(),
         "events_range_join": _range_join_sql(),

@@ -593,3 +593,53 @@ def tfidf_keywords(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def corpus_length_quantiles(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group token-length quantiles: ``(group, n_docs, p50_r, p90_r,
+    p99_r, ...)`` — the distribution tails length cutoffs are chosen
+    from (Gopher's min/max-word bounds, C4's short-page drop, packing's
+    max_len are all quantile decisions; the census's avg hides the tail
+    this reads directly).  Quantiles are linear-interpolated
+    (SQL ``percentile`` / DuckDB ``quantile_cont`` — verified to agree
+    to double precision), rounded to 6.
+
+    Scale shape: exact ``percentile`` is correct but buffers each
+    group's values inside the aggregation buffer — fine for bounded
+    groups (languages/sources), a memory hazard when one group holds
+    billions of rows.  ``approx=True`` is the scale path:
+    ``percentile_approx`` (Greenwald-Khanna sketch at ``accuracy``)
+    is map-side combinable with bounded state, making the whole report
+    one combiner pass — the same exact-for-oracle / sketch-for-scale
+    split as :func:`corpus_profile`.  Approx columns are renamed
+    ``*_approx`` and pytest error-bounded, not DuckDB-oracled.
+    """
+    from srag_spark.operators.corpus import token_count_col
+
+    per = docs.select(
+        F.col(group_col).alias("group"),
+        token_count_col(F.col(text_col)).alias("_toks"),
+    )
+    suffix = "_approx" if approx else "_r"
+    quants = [
+        (
+            F.round(
+                F.percentile_approx("_toks", F.lit(q), F.lit(accuracy)), 6
+            )
+            if approx
+            else F.round(F.percentile("_toks", F.lit(q)), 6)
+        ).alias(f"p{int(round(q * 100))}{suffix}")
+        for q in qs
+    ]
+    return (
+        per.groupBy("group")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"), *quants)
+        .orderBy("group")
+    )

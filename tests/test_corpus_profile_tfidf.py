@@ -103,3 +103,34 @@ def test_corpus_profile_approx_is_single_pass(spark):
     # exact needs the extra fingerprint-keyed expand shuffle; approx
     # folds the HLL sketch into the one group-keyed combiner pass
     assert n_ap < n_ex, (n_ap, n_ex)
+
+
+def test_length_quantiles_exact_and_approx(spark):
+    from srag_spark.operators.textstats import corpus_length_quantiles
+
+    rows = [(i, " ".join(["w"] * n), "en") for i, n in enumerate([1, 2, 3, 4, 100])]
+    exact = corpus_length_quantiles(_docs(spark, rows)).collect()[0]
+    assert exact["n_docs"] == 5
+    assert abs(exact["p50_r"] - 3.0) < 1e-9           # median of 1,2,3,4,100
+    assert abs(exact["p90_r"] - 61.6) < 1e-9          # 4 + 0.6*(100-4)
+    approx = corpus_length_quantiles(
+        _docs(spark, rows), approx=True
+    ).collect()[0]
+    # GK at default accuracy on 5 rows: lands on an actual value near the rank
+    assert approx["p50_approx"] in (2.0, 3.0)
+    assert approx["p99_approx"] == 100.0
+
+
+def test_length_quantiles_approx_close_on_real_data(spark):
+    from srag_spark.operators.textstats import corpus_length_quantiles
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {r["group"]: r for r in corpus_length_quantiles(docs).collect()}
+    approx = {
+        r["group"]: r
+        for r in corpus_length_quantiles(docs, approx=True).collect()
+    }
+    for g in exact:
+        for p in ("50", "90", "99"):
+            e, a = exact[g][f"p{p}_r"], approx[g][f"p{p}_approx"]
+            assert abs(a - e) <= max(2.0, 0.05 * e), (g, p, e, a)
