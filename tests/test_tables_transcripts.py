@@ -333,10 +333,14 @@ def test_time_travel_reads_old_snapshots(spark, tmp_path):
 
 
 def test_sink_model_based_random_op_sequences(spark, tmp_path):
-    """Property test: any sequence of upsert/delete batches must leave
-    the table equal to a dict model with right-biased upsert semantics."""
+    """Property test: any sequence of upsert/delete/rewrite batches must
+    leave the table equal to a dict model with right-biased upsert
+    semantics (rewrite_table — compaction or bucket-count evolution —
+    is a logical no-op anywhere in the sequence)."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
+
+    from srag_spark.sources.tables import rewrite_table
 
     schema = "doc_id string, segment_index int, text string"
     keys = st.sampled_from([f"k{i}" for i in range(6)])
@@ -346,12 +350,14 @@ def test_sink_model_based_random_op_sequences(spark, tmp_path):
                  min_size=1, max_size=4),
     )
     delete_op = st.tuples(st.just("delete"), st.lists(keys, min_size=1, max_size=3))
+    rewrite_op = st.tuples(st.just("rewrite"), st.sampled_from([None, 2, 8]))
 
     counter = [0]
 
     @settings(max_examples=6, deadline=None,
               suppress_health_check=list(HealthCheck))
-    @given(ops=st.lists(st.one_of(upsert_op, delete_op), min_size=1, max_size=5))
+    @given(ops=st.lists(st.one_of(upsert_op, delete_op, rewrite_op),
+                        min_size=1, max_size=5))
     def run(ops):
         counter[0] += 1
         path = str(tmp_path / f"m{counter[0]}")
@@ -369,6 +375,9 @@ def test_sink_model_based_random_op_sequences(spark, tmp_path):
                 )
                 model.update(dedup)
                 wrote = True
+            elif kind == "rewrite":
+                if wrote:  # rewrite of a never-written table is undefined
+                    rewrite_table(spark, path, n_buckets=payload)
             elif wrote:  # delete on a non-existent table is a no-op
                 delete_by_key(
                     spark, path,
