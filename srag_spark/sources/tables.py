@@ -186,6 +186,44 @@ def _layout(manifest: dict | None, key_cols: list[str], n_buckets: int):
     return n_buckets, key_cols[0]
 
 
+def _merge_schemas(old: StructType, incoming: StructType) -> StructType:
+    """Schema evolution on upsert (Iceberg add-column semantics): the
+    merged schema is the table's fields in their existing order, then
+    any NEW incoming fields appended as nullable.  An incoming batch may
+    also OMIT table columns (they fill with null).  A same-name field
+    with a different type is rejected — type changes are not implicit.
+    """
+    inc = {f.name: f for f in incoming.fields}
+    for f in old.fields:
+        g = inc.get(f.name)
+        if g is not None and g.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution cannot change column {f.name!r} from "
+                f"{f.dataType.simpleString()} to {g.dataType.simpleString()}"
+            )
+    merged = list(old.fields)
+    seen = {f.name for f in old.fields}
+    for f in incoming.fields:
+        if f.name not in seen:
+            merged.append(
+                type(f)(f.name, f.dataType, True)  # new columns are nullable
+            )
+    return StructType(merged)
+
+
+def _align(df: DataFrame, schema: StructType) -> DataFrame:
+    """Project ``df`` onto ``schema``'s column order, filling columns the
+    frame lacks with typed nulls."""
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
 def _write_buckets(df: DataFrame, path: str, commit_id: str) -> str:
     """Write rows (already carrying BUCKET_COL) under a fresh commit dir,
     one subdirectory per bucket, via Spark's committed parquet write."""
@@ -209,6 +247,13 @@ def upsert_by_key(
     the manifest.  Because merged buckets are written to a NEW directory
     (never the one being read), no lineage break / checkpoint is needed
     and a mid-write crash leaves the old snapshot intact.
+
+    SCHEMA EVOLUTION (Iceberg add-column semantics): an incoming batch
+    with extra columns widens the table — new columns append as nullable
+    and existing rows read as null for them (untouched buckets are NOT
+    rewritten; the explicit-schema parquet read fills the gap).  A batch
+    missing table columns fills them with typed nulls.  Changing an
+    existing column's type is rejected.
 
     In-batch key duplicates are collapsed to ONE row before merging, so
     the table keeps the primary-key uniqueness the reference's ``INSERT
@@ -286,14 +331,26 @@ def _upsert_once(
         r[0] for r in inc.select(BUCKET_COL).distinct().collect()
     )
 
+    # schema evolution (Iceberg add-column semantics): new incoming
+    # columns widen the table schema as nullable; incoming batches may
+    # omit table columns (filled with typed nulls); type changes are
+    # rejected in _merge_schemas.  Untouched buckets' parquet files
+    # simply lack the new columns — Spark's explicit-schema parquet read
+    # returns null for them, so no rewrite of untouched data is needed.
+    old_schema = StructType.fromJson(json.loads(manifest["schema"]))
+    merged = _merge_schemas(old_schema, incoming.schema)
+
     # manifest-level pruning: read only touched buckets' live dirs
-    existing = read_table(spark, path, buckets=touched)
+    existing = _align(read_table(spark, path, buckets=touched), merged)
     # incoming keys are unique (dropDuplicates in upsert_by_key), so the
     # anti-join side needs no extra distinct aggregation
     kept = existing.join(
         incoming.select(*key_cols), key_cols, "left_anti"
     ).withColumn(BUCKET_COL, _key_bucket(bcol, n_buckets))
-    _write_buckets(kept.unionByName(inc), path, commit_id)
+    inc_aligned = _align(incoming, merged).withColumn(
+        BUCKET_COL, _key_bucket(bcol, n_buckets)
+    )
+    _write_buckets(kept.unionByName(inc_aligned), path, commit_id)
     buckets = dict(manifest["buckets"])
     for b in touched:  # every touched bucket has ≥1 incoming row
         buckets[str(b)] = f"data/{commit_id}/{BUCKET_COL}={b}"
@@ -303,7 +360,7 @@ def _upsert_once(
         {
             "n_buckets": n_buckets,
             "bucket_col": bcol,
-            "schema": manifest["schema"],
+            "schema": merged.json(),
             "buckets": buckets,
         },
         expected_prev=expected_prev,

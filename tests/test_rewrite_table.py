@@ -134,3 +134,48 @@ def test_engine_optimize_compacts_and_preserves_queries(spark, tmp_path):
     # retrieval still works over the compacted layout
     assert eng.query("some words", limit=2).count() <= 2
     assert all(c.ok for c in eng.health())
+
+
+def test_schema_evolution_add_and_omit_columns(spark, tmp_path):
+    import pytest
+
+    from srag_spark.sources.tables import read_manifest as rm
+
+    path = str(tmp_path / "t")
+    v1 = spark.createDataFrame([("d1", 0, "a"), ("d2", 0, "b")], SCHEMA)
+    upsert_by_key(spark, path, v1, ["doc_id", "segment_index"], n_buckets=4)
+
+    # add a column: table widens, untouched rows read null
+    v2 = spark.createDataFrame(
+        [("d2", 0, "b2", "en"), ("d3", 0, "c", "fr")],
+        SCHEMA + ", lang string",
+    )
+    upsert_by_key(spark, path, v2, ["doc_id", "segment_index"])
+    rows = {r["doc_id"]: (r["text"], r["lang"]) for r in read_table(spark, path).collect()}
+    assert rows == {"d1": ("a", None), "d2": ("b2", "en"), "d3": ("c", "fr")}
+    assert [f.name for f in read_table(spark, path).schema.fields] == [
+        "doc_id", "segment_index", "text", "lang",
+    ]
+
+    # a later batch may omit the new column (fills null), and time travel
+    # still reads the pre-evolution snapshot under its own schema
+    v3 = spark.createDataFrame([("d4", 0, "d")], SCHEMA)
+    upsert_by_key(spark, path, v3, ["doc_id", "segment_index"])
+    rows = {r["doc_id"]: r["lang"] for r in read_table(spark, path).collect()}
+    assert rows == {"d1": None, "d2": "en", "d3": "fr", "d4": None}
+    old = read_table(spark, path, version=1)
+    assert "lang" not in old.columns and old.count() == 2
+
+    # rewrite keeps the evolved schema; content (incl. nulls) unchanged
+    before = sorted(map(str, read_table(spark, path).collect()))
+    rewrite_table(spark, path, n_buckets=8)
+    assert sorted(map(str, read_table(spark, path).collect())) == before
+    assert "lang" in read_table(spark, path).columns
+    assert rm(spark, path)["n_buckets"] == 8
+
+    # type changes are rejected
+    bad = spark.createDataFrame(
+        [("d5", 0, "x", 7)], "doc_id string, segment_index int, text string, lang int"
+    )
+    with pytest.raises(ValueError, match="cannot change column 'lang'"):
+        upsert_by_key(spark, path, bad, ["doc_id", "segment_index"])
