@@ -134,3 +134,23 @@ def test_length_quantiles_approx_close_on_real_data(spark):
         for p in ("50", "90", "99"):
             e, a = exact[g][f"p{p}_r"], approx[g][f"p{p}_approx"]
             assert abs(a - e) <= max(2.0, 0.05 * e), (g, p, e, a)
+
+
+def test_new_census_ops_are_partition_independent(spark):
+    """Engine-independence pin: census, quantile (exact), and TF-IDF
+    results must not change with input partitioning."""
+    from srag_spark.operators.textstats import (
+        corpus_length_quantiles,
+        corpus_profile,
+        tfidf_keywords,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for op in (
+        corpus_profile,
+        corpus_length_quantiles,
+        lambda d: tfidf_keywords(d, k=3),
+    ):
+        a = sorted(map(str, op(docs.repartition(1)).collect()))
+        b = sorted(map(str, op(docs.repartition(13)).collect()))
+        assert a == b
