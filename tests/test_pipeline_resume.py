@@ -252,3 +252,37 @@ def test_ingestion_pipeline_topup_metrics_count_wave_docs_only(spark, tmp_path):
     assert sum(r["docs_processed"] for r in done) == 20
     assert all(r["status"] == STATUS_SUCCESS for r in done)
     assert eng.transcripts().count() == 50
+
+
+def test_optimize_between_kill_and_resume_is_transparent(spark, tmp_path):
+    """Maintenance mid-load: a table rewrite (compaction + re-bucketing
+    via SragEngine.optimize) between a killed ingest and its resume must
+    not disturb wave checkpoints, dedup the resume, or change the final
+    state vs a one-shot run."""
+    from srag_spark.api import SragEngine
+    from srag_spark.plans.pipeline import IngestionPipeline
+
+    docs = spark.createDataFrame(
+        [
+            (f"d{i}",
+             [{"kind": "text", "text": f"doc {i} content words", "media_ref": None,
+               "offset": 0}],
+             {"job": "load"})
+            for i in range(24)
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>, metadata map<string,string>",
+    )
+
+    eng = SragEngine(spark, str(tmp_path / "kb"), n_buckets=8)
+    IngestionPipeline(eng, wave_size=2).run(docs, max_waves=2)  # killed
+
+    stats = eng.optimize(n_buckets=16)  # maintenance while half-loaded
+    assert all(s["n_buckets"] == 16 for s in stats.values())
+
+    s2 = IngestionPipeline(eng, wave_size=2).run(docs)
+    assert s2["skipped"] == 4 and len(s2["succeeded"]) == 4
+    assert eng.transcripts().count() == 24
+    assert eng.chunks().count() == 24 and eng.embeddings().count() == 24
+    assert eng.metrics().count() == 24
+    assert all(c.ok for c in eng.health())
