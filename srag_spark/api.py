@@ -394,6 +394,40 @@ class SragEngine:
                 delete_by_key(self.spark, path, keys, ["doc_id"])
         self._publish_engine_snapshot()
 
+    def delete_where(self, condition) -> int:
+        """Predicate delete across the engine (DELETE WHERE over the
+        transcript rows — a Column or SQL string on transcript columns,
+        e.g. ``"language = 'xx'"`` or a metadata check): the matching
+        doc_ids cascade to chunks, embeddings and metrics like
+        :meth:`delete_transcript`, and one engine snapshot publishes the
+        whole removal atomically.  Returns the number of documents
+        deleted.  The doc_id set is computed FIRST and reused for every
+        table (bucket-pruned keyed deletes), so the predicate is
+        evaluated exactly once."""
+        from pyspark.sql import functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        if not table_exists(self.spark, self.transcripts_path):
+            return 0
+        keys = (
+            self.transcripts()
+            .filter(F.coalesce(cond, F.lit(False)))
+            .select("doc_id")
+            .distinct()
+            .persist()
+        )
+        try:
+            n = keys.count()
+            if n == 0:
+                return 0
+            for path in self._table_paths.values():
+                if table_exists(self.spark, path):
+                    delete_by_key(self.spark, path, keys, ["doc_id"])
+            self._publish_engine_snapshot()
+            return n
+        finally:
+            keys.unpersist(blocking=False)
+
     # -- maintenance -------------------------------------------------------
     def health(self) -> list:
         """J8/J9 parity (HealthCheckService.scala:62-75): aggregated

@@ -433,6 +433,85 @@ def _delete_once(
     )
 
 
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    max_commit_retries: int = 2,
+) -> int:
+    """Predicate delete (Iceberg ``DELETE FROM ... WHERE`` semantics):
+    drop every row matching ``condition`` (a Column or SQL string),
+    rewriting ONLY the buckets that contain matches.  Generalizes
+    :func:`delete_by_key` from key lists to arbitrary row predicates —
+    the reference's delete-by-query surface (S10,
+    OpenSearchAdapter.scala:147-181) without requiring the caller to
+    enumerate keys first.  Returns the number of rows deleted.
+
+    Scale shape: one scan finds the matching buckets (Catalyst pushes
+    the predicate into the parquet scan where it is pushdown-eligible;
+    only bucket ids reach the driver), then only those buckets' live
+    dirs are re-read and rewritten — a selective predicate on a 10k-
+    bucket table rewrites just the buckets it touches.  Emptied buckets
+    leave the snapshot like :func:`delete_by_key`.  Same optimistic
+    compare-and-publish retry as every other writer."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    for attempt in range(max_commit_retries + 1):
+        try:
+            return _delete_where_once(spark, path, cond)
+        except ManifestCommitRace:
+            if attempt == max_commit_retries:
+                raise
+
+
+def _delete_where_once(spark: SparkSession, path: str, cond) -> int:
+    manifest = read_manifest(spark, path)
+    if manifest is None:
+        return 0
+    expected_prev = manifest["version"]
+    n_buckets, bcol = manifest["n_buckets"], manifest["bucket_col"]
+
+    # pass 1: which buckets hold matches, and how many rows die (tiny
+    # grouped result — bucket ids + counts only reach the driver)
+    full = read_table(spark, path).withColumn(
+        BUCKET_COL, _key_bucket(bcol, n_buckets)
+    )
+    hit = {
+        r[0]: r[1]
+        for r in full.filter(cond).groupBy(BUCKET_COL).count().collect()
+    }
+    touched = sorted(b for b in hit if str(b) in manifest["buckets"])
+    if not touched:
+        return 0
+
+    # pass 2: rewrite only the touched buckets without their matches
+    remaining = (
+        read_table(spark, path, buckets=touched)
+        .filter(~F.coalesce(cond, F.lit(False)))
+        .withColumn(BUCKET_COL, _key_bucket(bcol, n_buckets))
+    )
+    commit_id = f"c{uuid.uuid4().hex}"
+    _write_buckets(remaining, path, commit_id)
+    surviving = set(_buckets_in_commit(spark, f"{path}/data/{commit_id}"))
+    buckets = dict(manifest["buckets"])
+    for b in touched:
+        if b in surviving:
+            buckets[str(b)] = f"data/{commit_id}/{BUCKET_COL}={b}"
+        else:
+            buckets.pop(str(b), None)
+    commit_manifest(
+        spark,
+        path,
+        {
+            "n_buckets": n_buckets,
+            "bucket_col": bcol,
+            "schema": manifest["schema"],
+            "buckets": buckets,
+        },
+        expected_prev=expected_prev,
+    )
+    return int(sum(hit.values()))
+
+
 def _buckets_in_commit(spark: SparkSession, data_dir: str) -> list[int]:
     """Bucket ids physically present under a commit dir (FS listing — no
     second Spark job over row data; a bucket whose rows all died simply

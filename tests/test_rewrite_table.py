@@ -179,3 +179,62 @@ def test_schema_evolution_add_and_omit_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="cannot change column 'lang'"):
         upsert_by_key(spark, path, bad, ["doc_id", "segment_index"])
+
+
+def test_delete_where_predicate_and_null_semantics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from srag_spark.sources.tables import delete_where
+    from srag_spark.sources.tables import read_manifest as rm
+
+    path = str(tmp_path / "t")
+    rows = [(f"d{i}", 0, "drop" if i % 3 == 0 else "keep") for i in range(12)]
+    rows.append(("dn", 0, None))  # NULL predicate row must SURVIVE
+    upsert_by_key(
+        spark, path,
+        spark.createDataFrame(rows, SCHEMA),
+        ["doc_id", "segment_index"], n_buckets=4,
+    )
+    dirs_before = dict(rm(spark, path)["buckets"])
+
+    n = delete_where(spark, path, F.col("text") == "drop")
+    assert n == 4  # d0, d3, d6, d9
+    left = {r["doc_id"]: r["text"] for r in read_table(spark, path).collect()}
+    assert "d0" not in left and left["d1"] == "keep"
+    assert left["dn"] is None  # NULL-predicate row survived
+
+    # buckets with no matches keep their original dirs (not rewritten)
+    dirs_after = rm(spark, path)["buckets"]
+    untouched = [b for b in dirs_after if dirs_after[b] == dirs_before.get(b)]
+    assert untouched, "expected at least one untouched bucket"
+
+    # SQL-string predicates work; no-match delete is a no-op commit-free
+    v = rm(spark, path)["version"]
+    assert delete_where(spark, path, "text = 'nonexistent'") == 0
+    assert rm(spark, path)["version"] == v
+
+    # delete everything remaining in one bucket → bucket leaves snapshot
+    total = read_table(spark, path).count()
+    assert delete_where(spark, path, "text = 'keep'") == total - 1
+    assert {r["doc_id"] for r in read_table(spark, path).collect()} == {"dn"}
+
+
+def test_engine_delete_where_cascades_all_tables(spark, tmp_path):
+    from srag_spark.api import SragEngine
+    from srag_spark.synth import synth_documents_df
+
+    eng = SragEngine(spark, str(tmp_path / "kb"), n_buckets=4)
+    eng.ingest(synth_documents_df(spark, 10, seed=3), metadata={"batch": "b1"})
+    all_ids = {r["doc_id"] for r in eng.transcripts().collect()}
+    victims = sorted(all_ids)[:3]
+
+    n = eng.delete_where(
+        "doc_id IN (%s)" % ", ".join(f"'{d}'" for d in victims)
+    )
+    assert n == 3
+    left = {r["doc_id"] for r in eng.transcripts().collect()}
+    assert left == all_ids - set(victims)
+    for tbl in (eng.chunks(), eng.embeddings(), eng.metrics()):
+        assert {r["doc_id"] for r in tbl.select("doc_id").distinct().collect()} == left
+    assert eng.delete_where("doc_id = 'nope'") == 0
+    assert all(c.ok for c in eng.health())
