@@ -403,14 +403,25 @@ class SragEngine:
         whole removal atomically.  Returns the number of documents
         deleted.  The doc_id set is computed FIRST and reused for every
         table (bucket-pruned keyed deletes), so the predicate is
-        evaluated exactly once."""
-        from pyspark.sql import functions as F
+        evaluated exactly once.
+
+        The predicate is evaluated against the transcripts table's
+        LATEST snapshot — the same state the keyed deletes operate on —
+        not the pinned engine snapshot: after a crash between an
+        ingest's table commits and its engine publish, rows committed
+        but not yet pinned still match and are removed (and this call's
+        own publish then pins the post-delete state).  Like every
+        engine-level mutation (ingest, optimize, vacuum), run it
+        single-writer: concurrent writers are serialized per TABLE by
+        compare-and-publish, but the engine snapshot pins whatever
+        four-table versions are latest at publish time."""
+        from srag_spark.sources.tables import read_table
 
         cond = F.expr(condition) if isinstance(condition, str) else condition
         if not table_exists(self.spark, self.transcripts_path):
             return 0
         keys = (
-            self.transcripts()
+            read_table(self.spark, self.transcripts_path)
             .filter(F.coalesce(cond, F.lit(False)))
             .select("doc_id")
             .distinct()
@@ -490,7 +501,16 @@ class SragEngine:
         older engine snapshots keep time-traveling until :meth:`vacuum`.
         Run out-of-band, like vacuum — a maintenance pass for tables
         that accumulated many per-ingest commit dirs or outgrew their
-        creation-time bucket count.  Returns per-table rewrite stats."""
+        creation-time bucket count.  Returns per-table rewrite stats.
+
+        Single-writer, like every engine-level mutation: concurrent
+        writers are serialized per TABLE by compare-and-publish (a
+        racing ingest rejects the rewrite, which retries), but the
+        engine-snapshot publish pins whatever four-table versions are
+        latest at that instant — run concurrently with a mid-commit
+        ingest it could pin a quadruple the ingest hasn't finished
+        publishing.  Resumable loads tolerate a mid-load optimize (the
+        pipeline re-derives bucket pruning from the table manifest)."""
         from srag_spark.sources.tables import rewrite_table
 
         stats = {}

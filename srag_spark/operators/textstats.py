@@ -628,6 +628,10 @@ def corpus_length_quantiles(
         token_count_col(F.col(text_col)).alias("_toks"),
     )
     suffix = "_approx" if approx else "_r"
+    # column names carry the full fraction ("%g" of q·100, "." → "_"),
+    # so p50/p90/p99 stay stable and e.g. q=0.999 names p99_9 instead
+    # of colliding with q=1.0's p100
+    name = lambda q: "p" + ("%g" % (q * 100)).replace(".", "_")  # noqa: E731
     quants = [
         (
             F.round(
@@ -635,7 +639,7 @@ def corpus_length_quantiles(
             )
             if approx
             else F.round(F.percentile("_toks", F.lit(q)), 6)
-        ).alias(f"p{int(round(q * 100))}{suffix}")
+        ).alias(f"{name(q)}{suffix}")
         for q in qs
     ]
     return (

@@ -344,7 +344,7 @@ class IngestionPipeline(ExtractionPipeline):
         self.batch_metadata = batch_metadata
 
     def _process_wave(self, docs: DataFrame, wave: list[int]) -> dict:
-        from srag_spark.sources.tables import read_table
+        from srag_spark.sources.tables import read_manifest, read_table
 
         wave_docs = docs.filter(F.col("bucket").isin(wave)).drop("bucket")
         self.engine.ingest(wave_docs, metadata=self.batch_metadata)
@@ -358,8 +358,15 @@ class IngestionPipeline(ExtractionPipeline):
         # top-up loads into a populated engine (VERDICT r4 #2).  The id
         # side is a column-pruned re-scan of the wave's input — ids
         # only, co-keyed with the metrics buckets.
+        #
+        # The bucket pruning is only valid while the metrics table's
+        # layout matches the wave modulus — SragEngine.optimize() can
+        # re-bucket mid-load.  On mismatch, fall back to an unpruned
+        # read (the semi-join alone keeps the counts correct).
+        meta = read_manifest(self.spark, self.engine.metrics_path)
+        prune = wave if meta and meta["n_buckets"] == self.n_buckets else None
         m = (
-            read_table(self.spark, self.engine.metrics_path, buckets=wave)
+            read_table(self.spark, self.engine.metrics_path, buckets=prune)
             .join(wave_docs.select("doc_id"), "doc_id", "left_semi")
             .withColumn("bucket", bucket_col(self.n_buckets))
         )

@@ -196,7 +196,11 @@ def _merge_schemas(old: StructType, incoming: StructType) -> StructType:
     inc = {f.name: f for f in incoming.fields}
     for f in old.fields:
         g = inc.get(f.name)
-        if g is not None and g.dataType != f.dataType:
+        # simpleString ignores nullability (incl. nested containsNull /
+        # valueContainsNull), which unionByName has always relaxed —
+        # only genuine TYPE changes are rejected.  The merged schema
+        # keeps the OLD field, so nullability stays as committed.
+        if g is not None and g.dataType.simpleString() != f.dataType.simpleString():
             raise ValueError(
                 f"schema evolution cannot change column {f.name!r} from "
                 f"{f.dataType.simpleString()} to {g.dataType.simpleString()}"
@@ -396,7 +400,6 @@ def _delete_once(
     manifest = read_manifest(spark, path)
     if manifest is None:
         return
-    expected_prev = manifest["version"]
     n_buckets, bcol = _layout(manifest, key_cols, DEFAULT_KEY_BUCKETS)
     keyed = keys.select(*key_cols).distinct().withColumn(
         BUCKET_COL, _key_bucket(bcol, n_buckets)
@@ -411,6 +414,20 @@ def _delete_once(
     remaining = existing.join(
         keyed.drop(BUCKET_COL), key_cols, "left_anti"
     ).withColumn(BUCKET_COL, _key_bucket(bcol, n_buckets))
+    _commit_touched_rewrite(spark, path, manifest, touched, remaining)
+
+
+def _commit_touched_rewrite(
+    spark: SparkSession,
+    path: str,
+    manifest: dict,
+    touched: list[int],
+    remaining: DataFrame,
+) -> None:
+    """Shared delete-path tail: write the touched buckets' remaining rows
+    under a fresh commit dir, drop emptied buckets from the snapshot, and
+    publish — pinned to the manifest the caller derived ``remaining``
+    from (compare-and-publish)."""
     commit_id = f"c{uuid.uuid4().hex}"
     _write_buckets(remaining, path, commit_id)
     surviving = set(_buckets_in_commit(spark, f"{path}/data/{commit_id}"))
@@ -424,12 +441,12 @@ def _delete_once(
         spark,
         path,
         {
-            "n_buckets": n_buckets,
-            "bucket_col": bcol,
+            "n_buckets": manifest["n_buckets"],
+            "bucket_col": manifest["bucket_col"],
             "schema": manifest["schema"],
             "buckets": buckets,
         },
-        expected_prev=expected_prev,
+        expected_prev=manifest["version"],
     )
 
 
@@ -467,7 +484,6 @@ def _delete_where_once(spark: SparkSession, path: str, cond) -> int:
     manifest = read_manifest(spark, path)
     if manifest is None:
         return 0
-    expected_prev = manifest["version"]
     n_buckets, bcol = manifest["n_buckets"], manifest["bucket_col"]
 
     # pass 1: which buckets hold matches, and how many rows die (tiny
@@ -489,26 +505,7 @@ def _delete_where_once(spark: SparkSession, path: str, cond) -> int:
         .filter(~F.coalesce(cond, F.lit(False)))
         .withColumn(BUCKET_COL, _key_bucket(bcol, n_buckets))
     )
-    commit_id = f"c{uuid.uuid4().hex}"
-    _write_buckets(remaining, path, commit_id)
-    surviving = set(_buckets_in_commit(spark, f"{path}/data/{commit_id}"))
-    buckets = dict(manifest["buckets"])
-    for b in touched:
-        if b in surviving:
-            buckets[str(b)] = f"data/{commit_id}/{BUCKET_COL}={b}"
-        else:
-            buckets.pop(str(b), None)
-    commit_manifest(
-        spark,
-        path,
-        {
-            "n_buckets": n_buckets,
-            "bucket_col": bcol,
-            "schema": manifest["schema"],
-            "buckets": buckets,
-        },
-        expected_prev=expected_prev,
-    )
+    _commit_touched_rewrite(spark, path, manifest, touched, remaining)
     return int(sum(hit.values()))
 
 

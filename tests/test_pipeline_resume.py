@@ -280,9 +280,17 @@ def test_optimize_between_kill_and_resume_is_transparent(spark, tmp_path):
     stats = eng.optimize(n_buckets=16)  # maintenance while half-loaded
     assert all(s["n_buckets"] == 16 for s in stats.values())
 
-    s2 = IngestionPipeline(eng, wave_size=2).run(docs)
+    pipe2 = IngestionPipeline(eng, wave_size=2)
+    s2 = pipe2.run(docs)
     assert s2["skipped"] == 4 and len(s2["succeeded"]) == 4
     assert eng.transcripts().count() == 24
     assert eng.chunks().count() == 24 and eng.embeddings().count() == 24
     assert eng.metrics().count() == 24
     assert all(c.ok for c in eng.health())
+    # lineage metrics survive the re-bucketing: post-optimize waves read
+    # the metrics table WITHOUT the stale wave-id bucket pruning (the
+    # table's modulus is 16, the wave's is 8), so every checkpoint row
+    # counts its wave's docs and the total equals the corpus
+    done = pipe2.latest_checkpoints().collect()
+    assert sum(r["docs_processed"] for r in done) == 24
+    assert all(r["docs_processed"] > 0 for r in done)

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import glob
 
+from pyspark.sql import functions as F
+
 from srag_spark.sources.tables import (
     read_manifest,
     read_table,
@@ -238,3 +240,57 @@ def test_engine_delete_where_cascades_all_tables(spark, tmp_path):
         assert {r["doc_id"] for r in tbl.select("doc_id").distinct().collect()} == left
     assert eng.delete_where("doc_id = 'nope'") == 0
     assert all(c.ok for c in eng.health())
+
+
+def test_schema_evolution_tolerates_nested_nullability_diff(spark):
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    from srag_spark.sources.tables import _merge_schemas
+
+    old = StructType([
+        StructField("doc_id", StringType(), True),
+        StructField("tags", ArrayType(StringType(), containsNull=True), True),
+    ])
+    inc = StructType([
+        StructField("doc_id", StringType(), True),
+        StructField("tags", ArrayType(StringType(), containsNull=False), True),
+    ])
+    merged = _merge_schemas(old, inc)  # must NOT raise
+    assert merged["tags"].dataType.containsNull  # old (relaxed) type kept
+    # genuine type changes still rejected
+    bad = StructType([StructField("tags", ArrayType(LongType()), True)])
+    import pytest
+    with pytest.raises(ValueError, match="cannot change column 'tags'"):
+        _merge_schemas(old, bad)
+
+
+def test_engine_delete_where_sees_unpinned_table_commits(spark, tmp_path):
+    """The predicate must run against the transcripts table's LATEST
+    snapshot, not the pinned engine snapshot — rows committed by an
+    ingest that crashed before its engine publish still match."""
+    from srag_spark.api import SragEngine
+    from srag_spark.sources.tables import upsert_by_key
+    from srag_spark.synth import synth_documents_df
+
+    eng = SragEngine(spark, str(tmp_path / "kb"), n_buckets=4)
+    eng.ingest(synth_documents_df(spark, 4, seed=1))
+    # simulate a crash window: a transcript row lands in the table but
+    # no engine snapshot pins it
+    orphan = eng.transcripts().limit(1).withColumn(
+        "doc_id", F.lit("orphan-doc")
+    )
+    upsert_by_key(spark, eng.transcripts_path, orphan, ["doc_id"])
+    assert eng.delete_where("doc_id = 'orphan-doc'") == 1
+    assert eng.transcripts().filter("doc_id = 'orphan-doc'").count() == 0
+
+
+def test_quantile_column_names_carry_fractions(spark):
+    from srag_spark.operators.textstats import corpus_length_quantiles
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en")], "doc_id long, text string, lang string"
+    )
+    out = corpus_length_quantiles(docs, qs=(0.999, 1.0, 0.125))
+    assert out.columns == ["group", "n_docs", "p99_9_r", "p100_r", "p12_5_r"]
