@@ -34,6 +34,11 @@ def main() -> None:
                     help="run the FULL engine ingest (transcripts + chunks "
                          "+ embeddings + metrics manifest tables at "
                          "--output) instead of extraction-only spans")
+    ap.add_argument("--optimize", action="store_true",
+                    help="after a --full-ingest load completes, compact "
+                         "every engine table to one file per bucket "
+                         "(SragEngine.optimize) and vacuum superseded "
+                         "snapshots — the post-load maintenance pass")
     args = ap.parse_args()
 
     # SparkSession comes from spark-submit's conf; fall back to local
@@ -68,6 +73,9 @@ def main() -> None:
             wave_size=args.wave_size,
         )
     summary = pipe.run(docs, input_snapshot=args.input_snapshot)
+    if args.optimize and args.full_ingest and not summary.get("failed"):
+        summary["optimize"] = engine.optimize()
+        summary["vacuumed_dirs"] = engine.vacuum()
     print(json.dumps(summary))
     spark.stop()
 
