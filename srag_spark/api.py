@@ -519,3 +519,29 @@ class SragEngine:
                 stats[name] = rewrite_table(self.spark, path, n_buckets=n_buckets)
         self._publish_engine_snapshot()
         return stats
+
+    def changelog(
+        self, table: str, from_snapshot: int, to_snapshot: int | None = None
+    ) -> "DataFrame":
+        """Changelog of one engine table ('transcripts', 'chunks',
+        'embeddings', 'metrics') between two ENGINE snapshots (CDC /
+        incremental read): rows with change_type insert/update/delete —
+        what an incremental downstream job consumes to refresh only
+        what changed (re-embed upserted docs, retract deleted ones)
+        instead of re-reading the table.  Snapshot ids come from
+        :meth:`snapshot_versions`; table versions resolve through the
+        pinned quadruples, so the diff window matches exactly what
+        readers of those snapshots saw."""
+        from srag_spark.sources.tables import snapshot_diff
+
+        if table not in self._table_paths:
+            raise KeyError(f"unknown table {table!r}")
+        pin_from = (self._pinned(from_snapshot) or {}).get(table)
+        pin_to = (self._pinned(to_snapshot) or {}).get(table)
+        if pin_from is None or pin_to is None:
+            raise FileNotFoundError(
+                f"table {table!r} is not pinned by both snapshots"
+            )
+        return snapshot_diff(
+            self.spark, self._table_paths[table], pin_from, to_version=pin_to
+        )

@@ -319,6 +319,7 @@ def _upsert_once(
             {
                 "n_buckets": n_buckets,
                 "bucket_col": bcol,
+                "key_cols": list(key_cols),
                 "schema": incoming.schema.json(),
                 "buckets": {
                     str(b): f"data/{commit_id}/{BUCKET_COL}={b}"
@@ -364,6 +365,7 @@ def _upsert_once(
         {
             "n_buckets": n_buckets,
             "bucket_col": bcol,
+            "key_cols": manifest.get("key_cols", list(key_cols)),
             "schema": merged.json(),
             "buckets": buckets,
         },
@@ -443,6 +445,7 @@ def _commit_touched_rewrite(
         {
             "n_buckets": manifest["n_buckets"],
             "bucket_col": manifest["bucket_col"],
+            "key_cols": manifest.get("key_cols"),
             "schema": manifest["schema"],
             "buckets": buckets,
         },
@@ -520,6 +523,90 @@ def _buckets_in_commit(spark: SparkSession, data_dir: str) -> list[int]:
     ]
 
 
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Changelog between two snapshots (Iceberg incremental / CDC read):
+    one row per key whose state changed from ``from_version`` to
+    ``to_version`` (default: latest), with ``change_type`` ∈
+    {'insert', 'update', 'delete'} — inserts/updates carry the TO-side
+    row (post-image), deletes the FROM-side row (pre-image).  This is
+    what incremental downstream jobs consume: re-embed only the
+    documents an upsert touched, retract only the deleted ones —
+    instead of re-reading 100 TB per refresh.
+
+    Keys come from the manifest (recorded at first commit); pass
+    ``key_cols`` explicitly only for tables created before key
+    recording.  Under schema evolution both sides align to the TO
+    schema (pre-evolution rows read as null in new columns, so adding
+    a column does NOT by itself mark every row updated unless its
+    value actually differs from null).
+
+    Scale shape: both snapshots read only their manifest dirs; the
+    comparison is ONE full-outer join on the table key — co-bucketed
+    on both sides when the layout is unchanged between the versions —
+    with null-safe struct equality on the non-key columns.  Nothing
+    driver-side."""
+    m_to = read_manifest(spark, path, version=to_version)
+    if m_to is None:
+        raise FileNotFoundError(f"no table (no committed manifest) at {path}")
+    keys = list(key_cols) if key_cols else m_to.get("key_cols")
+    if not keys:
+        raise ValueError(
+            f"table at {path} predates key recording — pass key_cols="
+        )
+    to_schema = StructType.fromJson(json.loads(m_to["schema"]))
+    old = _align(read_table(spark, path, version=from_version), to_schema)
+    new = _align(read_table(spark, path, version=m_to["version"]), to_schema)
+    val_cols = [c for c in to_schema.fieldNames() if c not in keys]
+
+    # MAP columns are not comparable (no ordering); canonicalize them to
+    # key-sorted entry arrays for the null-safe equality — the values
+    # emitted in the output rows stay the original maps
+    from pyspark.sql.types import MapType
+
+    def cmp_col(name):
+        if isinstance(to_schema[name].dataType, MapType):
+            return F.sort_array(F.map_entries(F.col(name))).alias(name)
+        return F.col(name)
+
+    def side(df, tag):
+        vals = (
+            [
+                F.struct(*val_cols).alias(f"_v{tag}"),
+                F.struct(*[cmp_col(c) for c in val_cols]).alias(f"_c{tag}"),
+            ]
+            if val_cols
+            else [
+                F.lit(0).alias(f"_v{tag}"),
+                F.lit(0).alias(f"_c{tag}"),
+            ]  # key-only table: no values
+        )
+        return df.select(*keys, *vals, F.lit(True).alias(f"_in{tag}"))
+
+    j = side(old, "o").join(side(new, "n"), keys, "full_outer")
+    change = (
+        F.when(F.col("_ino").isNull(), F.lit("insert"))
+        .when(F.col("_inn").isNull(), F.lit("delete"))
+        .when(~F.col("_co").eqNullSafe(F.col("_cn")), F.lit("update"))
+    )
+    image = F.when(F.col("_inn").isNotNull(), F.col("_vn")).otherwise(F.col("_vo"))
+    out = j.select(
+        *keys,
+        change.alias("change_type"),
+        *([image.alias("_img")] if val_cols else []),
+    ).filter(F.col("change_type").isNotNull())
+    if val_cols:
+        out = out.select(
+            *keys, *[F.col("_img")[c].alias(c) for c in val_cols], "change_type"
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # maintenance
 # ---------------------------------------------------------------------------
@@ -590,6 +677,7 @@ def _rewrite_once(spark: SparkSession, path: str, n_buckets: int | None) -> dict
         {
             "n_buckets": new_n,
             "bucket_col": bcol,
+            "key_cols": manifest.get("key_cols"),
             "schema": manifest["schema"],
             "buckets": buckets,
         },
