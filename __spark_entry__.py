@@ -2085,6 +2085,57 @@ def _tfidf_keywords_sql() -> str:
     """
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel census (temporal.funnel): users reaching
+    view → click-after-view → purchase-after-click, earliest valid
+    chain per user, conversion rates vs the step-1 cohort.  Cascaded
+    conditional-min groupBys (one per step, user-keyed, map-side
+    combinable) — the MATCH_RECOGNIZE pattern without per-user event
+    collection or raw-event windows."""
+    from srag_spark.operators.temporal import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), steps=FUNNEL_STEPS)
+
+
+def _events_funnel_sql() -> str:
+    v, c, p = FUNNEL_STEPS
+    return f"""
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = '{v}' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, s1.t1, min(e.ts) AS t2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = '{c}' AND e.ts >= s1.t1
+          GROUP BY e.user_id, s1.t1
+        ),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = '{p}' AND e.ts >= s2.t2
+          GROUP BY e.user_id
+        ),
+        census AS (
+          SELECT 1 AS step_index, '{v}' AS step, count(*) AS n FROM s1
+          UNION ALL
+          SELECT 2, '{c}', count(*) FROM s2
+          UNION ALL
+          SELECT 3, '{p}', count(*) FROM s3
+        )
+        SELECT step_index, step,
+               CAST(n AS BIGINT) AS n_users,
+               round(n::DOUBLE / (SELECT n FROM census WHERE step_index = 1), 6)
+                 AS conv_from_first_r
+        FROM census
+        WHERE n > 0
+        ORDER BY step_index
+    """
+
+
 def q_events_asof_join(spark, sf_dir):
     """Purchase→click attribution via backward-inclusive as-of join
     (operators/temporal.asof_join): each purchase picks the user's
@@ -3571,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_length_quantiles": q_corpus_length_quantiles,
         "tfidf_keywords": q_tfidf_keywords,
         "events_asof_join": q_events_asof_join,
+        "events_funnel": q_events_funnel,
         "events_range_join": q_events_range_join,
         "events_rollup_day": q_events_rollup_day,
     }
@@ -3940,6 +3992,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_length_quantiles": _corpus_length_quantiles_sql(),
         "tfidf_keywords": _tfidf_keywords_sql(),
         "events_asof_join": _asof_join_sql(),
+        "events_funnel": _events_funnel_sql(),
         "events_range_join": _range_join_sql(),
         "events_rollup_day": _rollup_day_sql(),
         "repetition_stats": _REPETITION_SQL,

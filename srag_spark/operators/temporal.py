@@ -235,3 +235,87 @@ def interval_join(
         c for c in intervals.columns if c not in points.columns
     ]
     return joined.select(*out)
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_s: float | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis (the MATCH_RECOGNIZE-class sequential
+    pattern): for each user, step k counts only if an event of
+    ``steps[k]`` occurs AT OR AFTER the user's matched step-(k-1) event
+    — the earliest valid chain is taken (first step-1 event, then the
+    first step-2 event from there, ...).  ``within_s`` additionally
+    bounds the whole chain to ``steps[0]``'s timestamp + the window.
+    Output: one row per step — ``(step_index, step, n_users,
+    conv_from_first_r)`` where the rate is against step 1's cohort.
+
+    Scale shape: the classic cascaded conditional-min — one
+    (user-keyed, map-side-combinable) groupBy per step over the
+    step-filtered event stream, each joined user-to-user onto the
+    previous step's bounded per-user relation (AQE broadcasts it when
+    small).  No per-user event collection, no windows over raw events,
+    nothing quadratic in events; passes = len(steps), each linear.
+    The final census is a groupBy over the per-user chain relation
+    (bounded by users, not events)."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    u, t = F.col(user_col), F.col(ts_col)
+    base = events.select(
+        u.alias("_u"), F.col(type_col).alias("_e"), t.alias("_t")
+    ).filter(F.col("_e").isin(*steps))
+
+    chain = (
+        base.filter(F.col("_e") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_t").alias("_t1"))
+    )
+    reached = [chain]
+    prev_ts = "_t1"
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = (
+            base.filter(F.col("_e") == step)
+            .join(reached[-1], "_u")
+            .filter(F.col("_t") >= F.col(prev_ts))
+        )
+        if within_s is not None:
+            nxt = nxt.filter(
+                F.col("_t") <= F.col("_t1") + F.expr(f"INTERVAL {within_s} SECONDS")
+            )
+        nxt = nxt.groupBy("_u", *[f"_t{i}" for i in range(1, k)]).agg(
+            F.min("_t").alias(f"_t{k}")
+        )
+        reached.append(nxt)
+        prev_ts = f"_t{k}"
+
+    # one engine-side census over the union of the per-step user
+    # relations (each bounded by users) — a single action for the
+    # caller, no driver-side counts
+    tagged = [
+        r.select(
+            F.lit(i + 1).alias("step_index"),
+            F.lit(steps[i]).alias("step"),
+            F.col("_u"),
+        )
+        for i, r in enumerate(reached)
+    ]
+    allr = tagged[0]
+    for tg in tagged[1:]:
+        allr = allr.unionByName(tg)
+    per_step = allr.groupBy("step_index", "step").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    # k result rows: the empty-frame global window is bounded by design
+    first = F.max(
+        F.when(F.col("step_index") == 1, F.col("n_users"))
+    ).over(Window.partitionBy())
+    return per_step.select(
+        "step_index",
+        "step",
+        "n_users",
+        F.round(F.col("n_users") / first, 6).alias("conv_from_first_r"),
+    ).orderBy("step_index")

@@ -177,3 +177,46 @@ def test_rollup_cascade_equals_direct(spark):
     assert key(month_cascade) == key(month_direct)
     # sanity: the cascade actually coarsens
     assert hour.count() > day_direct.count() > month_direct.count()
+
+
+def test_funnel_orders_chain_and_window(spark):
+    from srag_spark.operators.temporal import funnel
+
+    def ev(u, e, s):
+        return (u, e, datetime(2024, 1, 1, 0, 0, s))
+
+    rows = [
+        # u1: full ordered chain
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+        # u2: click BEFORE view → chain stops at view
+        ev(2, "click", 0), ev(2, "view", 10),
+        # u3: view+click, purchase before click → stops at click
+        ev(3, "view", 0), ev(3, "purchase", 5), ev(3, "click", 10),
+        # u4: never views (click+purchase only) → not in the funnel at all
+        ev(4, "click", 0), ev(4, "purchase", 1),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {r["step"]: r for r in funnel(events).collect()}
+    assert out["view"]["n_users"] == 3          # u1, u2, u3
+    assert out["click"]["n_users"] == 2         # u1, u3 (u2's click precedes)
+    assert out["purchase"]["n_users"] == 1      # u1 only
+    assert abs(out["purchase"]["conv_from_first_r"] - round(1 / 3, 6)) < 1e-9
+
+    # within_s: u1's purchase at +20s falls outside a 15s window
+    w = {r["step"]: r["n_users"] for r in funnel(events, within_s=15).collect()}
+    assert w.get("purchase", 0) == 0 or "purchase" not in w
+
+
+def test_funnel_equal_timestamps_count(spark):
+    from srag_spark.operators.temporal import funnel
+
+    t0 = datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(1, "view", t0), (1, "click", t0), (1, "purchase", t0)],
+        "user_id long, event_type string, ts timestamp",
+    )
+    # ties at the same instant satisfy the at-or-after chain
+    out = {r["step"]: r["n_users"] for r in funnel(events).collect()}
+    assert out == {"view": 1, "click": 1, "purchase": 1}
