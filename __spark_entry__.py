@@ -2136,6 +2136,50 @@ def _events_funnel_sql() -> str:
     """
 
 
+def q_events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (temporal.cohort_retention):
+    users cohorted by first-signup week, retained-in-offset-k =
+    any event in the k-th week after.  Cohorts are one combinable
+    user-keyed groupBy; activity a (user, week) distinct bounded by
+    users×weeks; census a tiny-key groupBy — no raw-event windows."""
+    from srag_spark.operators.temporal import cohort_retention
+
+    return cohort_retention(
+        _t(spark, sf_dir, "events"), cohort_event="signup", max_periods=8
+    )
+
+
+def _cohort_retention_sql() -> str:
+    week = "CAST(floor(epoch(ts) / 604800) AS BIGINT)"
+    return f"""
+        WITH cohorts AS (
+          SELECT user_id, min({week}) AS cohort_period
+          FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        activity AS (
+          SELECT DISTINCT user_id, {week} AS p FROM events
+        ),
+        joined AS (
+          SELECT c.cohort_period,
+                 CAST(a.p - c.cohort_period AS INTEGER) AS period_offset
+          FROM activity a JOIN cohorts c USING (user_id)
+          WHERE a.p >= c.cohort_period
+            AND a.p - c.cohort_period < 8
+        ),
+        sizes AS (
+          SELECT cohort_period, CAST(count(*) AS BIGINT) AS cohort_size
+          FROM cohorts GROUP BY cohort_period
+        )
+        SELECT j.cohort_period, j.period_offset,
+               CAST(count(*) AS BIGINT) AS n_active,
+               s.cohort_size,
+               round(count(*)::DOUBLE / s.cohort_size, 6) AS retention_r
+        FROM joined j JOIN sizes s USING (cohort_period)
+        GROUP BY j.cohort_period, j.period_offset, s.cohort_size
+        ORDER BY j.cohort_period, j.period_offset
+    """
+
+
 def q_events_asof_join(spark, sf_dir):
     """Purchase→click attribution via backward-inclusive as-of join
     (operators/temporal.asof_join): each purchase picks the user's
@@ -3623,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "events_asof_join": q_events_asof_join,
         "events_funnel": q_events_funnel,
+        "events_cohort_retention": q_events_cohort_retention,
         "events_range_join": q_events_range_join,
         "events_rollup_day": q_events_rollup_day,
     }
@@ -3993,6 +4038,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords": _tfidf_keywords_sql(),
         "events_asof_join": _asof_join_sql(),
         "events_funnel": _events_funnel_sql(),
+        "events_cohort_retention": _cohort_retention_sql(),
         "events_range_join": _range_join_sql(),
         "events_rollup_day": _rollup_day_sql(),
         "repetition_stats": _REPETITION_SQL,

@@ -319,3 +319,64 @@ def funnel(
         "n_users",
         F.round(F.col("n_users") / first, 6).alias("conv_from_first_r"),
     ).orderBy("step_index")
+
+
+def cohort_retention(
+    events: DataFrame,
+    cohort_event: str = "signup",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    period_days: int = 7,
+    max_periods: int | None = None,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period (e.g.
+    week) of their FIRST ``cohort_event``; a cohort member counts as
+    retained in period offset k if they have ANY event in the k-th
+    period after their cohort period.  Output: one row per
+    ``(cohort_period, period_offset)`` — ``(cohort_period,
+    period_offset, n_active, cohort_size, retention_r)``.  Offset 0 is
+    the cohort period itself; negative offsets (activity before
+    signup) are excluded.
+
+    Scale shape: the cohort relation is one user-keyed combinable
+    groupBy (min ts of the cohort event); activity is a distinct over
+    (user, period) — bounded by users × periods, far below raw events;
+    the join onto cohorts is user-keyed (cohorts are one row per user,
+    AQE-broadcast when small) and the final census is a tiny-key
+    groupBy over (cohort, offset).  No windows over raw events,
+    nothing quadratic."""
+    u, t = F.col(user_col), F.col(ts_col)
+    period = (F.unix_timestamp(t) / F.lit(86400 * period_days)).cast("long")
+    cohorts = (
+        events.filter(F.col(type_col) == cohort_event)
+        .select(u.alias("_u"), period.alias("_cp"))
+        .groupBy("_u")
+        .agg(F.min("_cp").alias("cohort_period"))
+    )
+    activity = events.select(u.alias("_u"), period.alias("_p")).distinct()
+    joined = activity.join(cohorts, "_u").select(
+        "_u",
+        "cohort_period",
+        (F.col("_p") - F.col("cohort_period")).cast("int").alias("period_offset"),
+    ).filter(F.col("period_offset") >= 0)
+    if max_periods is not None:
+        joined = joined.filter(F.col("period_offset") < max_periods)
+    sizes = cohorts.groupBy("cohort_period").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        joined.groupBy("cohort_period", "period_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(sizes, "cohort_period")
+        .select(
+            "cohort_period",
+            "period_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention_r"
+            ),
+        )
+        .orderBy("cohort_period", "period_offset")
+    )

@@ -220,3 +220,45 @@ def test_funnel_equal_timestamps_count(spark):
     # ties at the same instant satisfy the at-or-after chain
     out = {r["step"]: r["n_users"] for r in funnel(events).collect()}
     assert out == {"view": 1, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention_matrix(spark):
+    from srag_spark.operators.temporal import cohort_retention
+
+    day = 86400
+
+    def ev(u, e, d):
+        return (u, e, datetime(2024, 1, 1) + __import__("datetime").timedelta(days=d))
+
+    rows = [
+        # cohort week 0: u1 (active wk0 + wk1), u2 (wk0 only)
+        ev(1, "signup", 0), ev(1, "view", 1), ev(1, "click", 8),
+        ev(2, "signup", 2), ev(2, "view", 3),
+        # u3 signs up in week 1, active week 2
+        ev(3, "signup", 7), ev(3, "view", 15),
+        # u4 never signs up: excluded entirely
+        ev(4, "view", 0),
+        # u5: activity BEFORE signup must not count as negative offset
+        ev(5, "view", 0), ev(5, "signup", 8),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        (r["cohort_period"], r["period_offset"]): (
+            r["n_active"], r["cohort_size"], r["retention_r"]
+        )
+        for r in cohort_retention(events, period_days=7).collect()
+    }
+    periods = sorted({c for c, _ in out})
+    w0, w1 = periods[0], periods[0] + 1
+    # periods are epoch-aligned weeks (floor(epoch/604800)), so Jan 4
+    # 2024 starts a new period: u1's day-8 click and u2's day-3 view
+    # both land at offset 1 of the first cohort
+    assert out[(w0, 0)] == (2, 2, 1.0)
+    assert out[(w0, 1)] == (2, 2, 1.0)
+    # second cohort: u3 (offsets 0 and 1), u5 (offset 0 only; its
+    # pre-signup view is excluded rather than counted at offset -1)
+    assert out[(w1, 0)] == (2, 2, 1.0)
+    assert out[(w1, 1)] == (1, 2, 0.5)
+    assert not any(off < 0 for _, off in out)
