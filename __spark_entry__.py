@@ -2136,6 +2136,37 @@ def _events_funnel_sql() -> str:
     """
 
 
+def q_events_hopping_agg(spark, sf_dir):
+    """Hopping (sliding) event-time windows (streaming/windows.
+    hopping_event_counts): 1-hour windows every 30 minutes — each event
+    lands in 2 overlapping windows; bounded explode + one combinable
+    groupBy.  The oracle reproduces Spark's epoch-aligned assignment
+    with an explicit offset join."""
+    from srag_spark.streaming.windows import hopping_event_counts
+
+    return hopping_event_counts(
+        _t(spark, sf_dir, "events"), window="1 hour", slide="30 minutes"
+    )
+
+
+def _hopping_agg_sql() -> str:
+    # window=3600s, slide=1800s → each event belongs to the 2 windows
+    # starting at slide boundaries in (ts-window, ts]
+    return """
+        WITH assigned AS (
+          SELECT to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k) * 1800)
+                   AS window_start,
+                 event_type, value
+          FROM events, (SELECT unnest([0, 1]) AS k)
+          WHERE epoch(ts) < (CAST(floor(epoch(ts) / 1800) AS BIGINT) - k) * 1800 + 3600
+        )
+        SELECT window_start, event_type,
+               count(*)::BIGINT AS n_events,
+               round((sum(value::DECIMAL(18,6)))::DOUBLE, 4) AS sum_value_r
+        FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
 def q_events_cohort_retention(spark, sf_dir):
     """Weekly cohort retention matrix (temporal.cohort_retention):
     users cohorted by first-signup week, retained-in-offset-k =
@@ -3668,6 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_funnel": q_events_funnel,
         "events_cohort_retention": q_events_cohort_retention,
+        "events_hopping_agg": q_events_hopping_agg,
         "events_range_join": q_events_range_join,
         "events_rollup_day": q_events_rollup_day,
     }
@@ -4039,6 +4071,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": _asof_join_sql(),
         "events_funnel": _events_funnel_sql(),
         "events_cohort_retention": _cohort_retention_sql(),
+        "events_hopping_agg": _hopping_agg_sql(),
         "events_range_join": _range_join_sql(),
         "events_rollup_day": _rollup_day_sql(),
         "repetition_stats": _REPETITION_SQL,

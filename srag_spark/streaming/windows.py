@@ -66,3 +66,46 @@ def start_windowed_counts_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def hopping_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hopping (sliding) event-time window counts per event_type: each
+    event contributes to every window of length ``window`` starting at
+    a ``slide`` boundary that covers it (window/slide overlapping
+    assignments — the moving-average / trailing-rate shape tumbling
+    windows cannot express).  Windows are epoch-aligned, matching
+    Spark's ``F.window(ts, window, slide)`` convention, so the DuckDB
+    oracle reproduces the assignment arithmetic exactly.
+
+    Works identically on batch and streams (watermark bounds state on
+    the stream side).  Scale shape: ``F.window`` explodes each event
+    to window/slide rows — a bounded constant factor chosen by the
+    caller — followed by one map-side-combinable groupBy; sums are
+    decimal-exact then rounded, like the tumbling entry.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), window, slide).alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value_r"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_r",
+        )
+    )

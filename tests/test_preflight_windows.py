@@ -113,3 +113,30 @@ def test_engine_health_facade(spark, tmp_path):
     fsio.delete(spark, f"{eng.transcripts_path}/{victim}")
     with pytest.raises(RuntimeError, match="table:transcripts"):
         eng.health()
+
+
+def test_hopping_event_counts_batch_golden(spark):
+    from srag_spark.streaming.windows import hopping_event_counts
+
+    rows = [
+        ("2024-01-01 00:10:00", "click", 1.0),   # windows 23:30 & 00:00
+        ("2024-01-01 00:40:00", "click", 2.0),   # windows 00:00 & 00:30
+        ("2024-01-01 00:30:00", "view", 8.0),    # boundary: 00:00 & 00:30
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts string, event_type string, value double"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    out = hopping_event_counts(ev, window="1 hour", slide="30 minutes")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value_r"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("2023-12-31 23:30:00", "click"): (1, 1.0),
+        ("2024-01-01 00:00:00", "click"): (2, 3.0),
+        ("2024-01-01 00:30:00", "click"): (1, 2.0),
+        ("2024-01-01 00:00:00", "view"): (1, 8.0),
+        ("2024-01-01 00:30:00", "view"): (1, 8.0),
+    }
+    # every event lands in exactly window/slide = 2 windows
+    assert sum(n for n, _ in got.values()) == 2 * len(rows)
