@@ -614,6 +614,7 @@ def rewrite_table(
     spark: SparkSession,
     path: str,
     n_buckets: int | None = None,
+    sort_by: list[str] | None = None,
     max_commit_retries: int = 2,
 ) -> dict:
     """Compaction + bucket-layout evolution in one snapshot-atomic
@@ -638,21 +639,36 @@ def rewrite_table(
     between, the commit is rejected and the rewrite re-reads and
     retries (its orphaned dir ages out via vacuum's min-age guard).
 
+    ``sort_by`` additionally sorts rows WITHIN each bucket before the
+    write (Iceberg's sort order, applied at compaction): hash bucketing
+    is unchanged (key-pruned upserts keep working), but each bucket's
+    single parquet file becomes range-clustered on the sort columns, so
+    parquet row-group min/max statistics make range predicates skip
+    row groups inside every file — the zone-map benefit without a
+    layout change.  Recorded in the manifest (``sort_by``) so later
+    compactions can preserve it.
+
     Returns ``{"version": <new>, "n_buckets": <layout>, "buckets": N}``.
 
     Scale shape: one linear read of the live snapshot + one shuffle
-    keyed on the (new) bucket id + one linear write — the minimum any
-    re-layout can do.  Nothing driver-side beyond the manifest dict.
+    keyed on the (new) bucket id + one linear write (the in-bucket sort
+    rides the same exchange) — the minimum any re-layout can do.
+    Nothing driver-side beyond the manifest dict.
     """
     for attempt in range(max_commit_retries + 1):
         try:
-            return _rewrite_once(spark, path, n_buckets)
+            return _rewrite_once(spark, path, n_buckets, sort_by)
         except ManifestCommitRace:
             if attempt == max_commit_retries:
                 raise
 
 
-def _rewrite_once(spark: SparkSession, path: str, n_buckets: int | None) -> dict:
+def _rewrite_once(
+    spark: SparkSession,
+    path: str,
+    n_buckets: int | None,
+    sort_by: list[str] | None = None,
+) -> dict:
     manifest = read_manifest(spark, path)
     if manifest is None:
         raise FileNotFoundError(f"no table (no committed manifest) at {path}")
@@ -663,10 +679,19 @@ def _rewrite_once(spark: SparkSession, path: str, n_buckets: int | None) -> dict
         BUCKET_COL, _key_bucket(bcol, new_n)
     )
     commit_id = f"c{uuid.uuid4().hex}"
-    # one task per bucket → one file per bucket dir (the compaction)
-    data_dir = _write_buckets(
-        rows.repartition(new_n, F.col(BUCKET_COL)), path, commit_id
-    )
+    # one task per bucket → one file per bucket dir (the compaction);
+    # the optional in-bucket sort clusters each file for parquet
+    # row-group stats skipping
+    sort_by = sort_by if sort_by is not None else manifest.get("sort_by")
+    laid = rows.repartition(new_n, F.col(BUCKET_COL))
+    if sort_by:
+        # lead with the bucket column: the parquet writer requires task
+        # rows ordered by the partition column and would otherwise
+        # re-sort (destroying the secondary order); with _kb leading,
+        # the writer sees its required ordering satisfied and keeps the
+        # in-bucket sort intact
+        laid = laid.sortWithinPartitions(BUCKET_COL, *sort_by)
+    data_dir = _write_buckets(laid, path, commit_id)
     buckets = {
         str(b): f"data/{commit_id}/{BUCKET_COL}={b}"
         for b in _buckets_in_commit(spark, data_dir)
@@ -678,6 +703,7 @@ def _rewrite_once(spark: SparkSession, path: str, n_buckets: int | None) -> dict
             "n_buckets": new_n,
             "bucket_col": bcol,
             "key_cols": manifest.get("key_cols"),
+            "sort_by": list(sort_by) if sort_by else None,
             "schema": manifest["schema"],
             "buckets": buckets,
         },

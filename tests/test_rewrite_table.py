@@ -383,3 +383,30 @@ def test_engine_changelog_between_snapshots(spark, tmp_path):
     assert "update" not in by_type or not (
         by_type["update"] & {r["doc_id"] for r in eng.transcripts().collect()}
     ) or True  # created_at may differ per ingest; presence alone not asserted
+
+
+def test_rewrite_sort_by_clusters_files_and_persists(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from srag_spark.sources.tables import read_manifest as rm
+
+    path = str(tmp_path / "t")
+    rows = [(f"d{i}", i % 5, f"t{i}") for i in range(40)]
+    upsert_by_key(
+        spark, path, spark.createDataFrame(rows, SCHEMA),
+        ["doc_id", "segment_index"], n_buckets=4,
+    )
+    rewrite_table(spark, path, sort_by=["segment_index", "doc_id"])
+    m = rm(spark, path)
+    assert m["sort_by"] == ["segment_index", "doc_id"]
+    # every bucket file is sorted on the sort columns
+    for b, d in m["buckets"].items():
+        (f,) = glob.glob(f"{path}/{d}/part-*.parquet")
+        t = pq.read_table(f).to_pydict()
+        seq = list(zip(t["segment_index"], t["doc_id"]))
+        assert seq == sorted(seq), b
+    # content unchanged; a later rewrite with no sort_by PRESERVES it
+    before = _rows(spark, path)
+    rewrite_table(spark, path)
+    assert rm(spark, path)["sort_by"] == ["segment_index", "doc_id"]
+    assert _rows(spark, path) == before
