@@ -2154,8 +2154,8 @@ def _hopping_agg_sql() -> str:
     # starting at slide boundaries in (ts-window, ts]
     return """
         WITH assigned AS (
-          SELECT to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k) * 1800)
-                   AS window_start,
+          SELECT CAST(to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k) * 1800)
+                        AS TIMESTAMP) AS window_start,
                  event_type, value
           FROM events, (SELECT unnest([0, 1]) AS k)
           WHERE epoch(ts) < (CAST(floor(epoch(ts) / 1800) AS BIGINT) - k) * 1800 + 3600

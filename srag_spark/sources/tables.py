@@ -366,6 +366,7 @@ def _upsert_once(
             "n_buckets": n_buckets,
             "bucket_col": bcol,
             "key_cols": manifest.get("key_cols", list(key_cols)),
+            "sort_by": manifest.get("sort_by"),
             "schema": merged.json(),
             "buckets": buckets,
         },
@@ -446,6 +447,7 @@ def _commit_touched_rewrite(
             "n_buckets": manifest["n_buckets"],
             "bucket_col": manifest["bucket_col"],
             "key_cols": manifest.get("key_cols"),
+            "sort_by": manifest.get("sort_by"),
             "schema": manifest["schema"],
             "buckets": buckets,
         },
@@ -554,6 +556,11 @@ def snapshot_diff(
     m_to = read_manifest(spark, path, version=to_version)
     if m_to is None:
         raise FileNotFoundError(f"no table (no committed manifest) at {path}")
+    if from_version > m_to["version"]:
+        raise ValueError(
+            f"snapshot_diff window is inverted: from v{from_version} > "
+            f"to v{m_to['version']} — swap the arguments"
+        )
     keys = list(key_cols) if key_cols else m_to.get("key_cols")
     if not keys:
         raise ValueError(
@@ -566,8 +573,16 @@ def snapshot_diff(
 
     # MAP columns are not comparable (no ordering); canonicalize them to
     # key-sorted entry arrays for the null-safe equality — the values
-    # emitted in the output rows stay the original maps
+    # emitted in the output rows stay the original maps.  The separate
+    # comparison struct is built ONLY when a map column exists; for
+    # map-free schemas (e.g. the embeddings table) the value struct is
+    # compared directly, so the join never ships each row's payload
+    # twice through the shuffle.
     from pyspark.sql.types import MapType
+
+    has_map = any(
+        isinstance(to_schema[c].dataType, MapType) for c in val_cols
+    )
 
     def cmp_col(name):
         if isinstance(to_schema[name].dataType, MapType):
@@ -575,17 +590,16 @@ def snapshot_diff(
         return F.col(name)
 
     def side(df, tag):
-        vals = (
-            [
+        if not val_cols:  # key-only table: no values
+            vals = [F.lit(0).alias(f"_v{tag}"), F.lit(0).alias(f"_c{tag}")]
+        elif has_map:
+            vals = [
                 F.struct(*val_cols).alias(f"_v{tag}"),
                 F.struct(*[cmp_col(c) for c in val_cols]).alias(f"_c{tag}"),
             ]
-            if val_cols
-            else [
-                F.lit(0).alias(f"_v{tag}"),
-                F.lit(0).alias(f"_c{tag}"),
-            ]  # key-only table: no values
-        )
+        else:
+            v = F.struct(*val_cols)
+            vals = [v.alias(f"_v{tag}"), v.alias(f"_c{tag}")]
         return df.select(*keys, *vals, F.lit(True).alias(f"_in{tag}"))
 
     j = side(old, "o").join(side(new, "n"), keys, "full_outer")

@@ -40,6 +40,9 @@ def main() -> None:
                          "(SragEngine.optimize) and vacuum superseded "
                          "snapshots — the post-load maintenance pass")
     args = ap.parse_args()
+    if args.optimize and not args.full_ingest:
+        ap.error("--optimize requires --full-ingest (it compacts the "
+                 "engine tables the full ingest writes)")
 
     # SparkSession comes from spark-submit's conf; fall back to local
     from pyspark.sql import SparkSession
@@ -73,7 +76,7 @@ def main() -> None:
             wave_size=args.wave_size,
         )
     summary = pipe.run(docs, input_snapshot=args.input_snapshot)
-    if args.optimize and args.full_ingest and not summary.get("failed"):
+    if args.optimize and not summary.get("failed"):
         summary["optimize"] = engine.optimize()
         summary["vacuumed_dirs"] = engine.vacuum()
     print(json.dumps(summary))
