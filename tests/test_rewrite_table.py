@@ -457,3 +457,86 @@ def test_snapshot_diff_rejects_inverted_window(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="inverted"):
         snapshot_diff(spark, path, from_version=2, to_version=1)
+
+
+def test_snapshot_diff_model_based_random_sequences(spark, tmp_path):
+    """CDC property: for ANY sequence of upsert/delete/rewrite ops and
+    ANY version pair (i <= j), snapshot_diff(i, j) must equal the diff
+    of the dict models captured after ops i and j."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from srag_spark.sources.tables import (
+        delete_by_key,
+        latest_manifest_version,
+        snapshot_diff,
+    )
+
+    keys = st.sampled_from([f"k{i}" for i in range(5)])
+    upsert_op = st.tuples(
+        st.just("upsert"),
+        st.lists(st.tuples(keys, st.text("ab", min_size=1, max_size=3)),
+                 min_size=1, max_size=3),
+    )
+    delete_op = st.tuples(st.just("delete"), st.lists(keys, min_size=1, max_size=2))
+    rewrite_op = st.tuples(st.just("rewrite"), st.just(None))
+    counter = [0]
+
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(ops=st.lists(st.one_of(upsert_op, delete_op, rewrite_op),
+                        min_size=2, max_size=5))
+    def run(ops):
+        counter[0] += 1
+        path = str(tmp_path / f"cdc{counter[0]}")
+        # seed so version 1 exists and deletes/rewrites are valid
+        upsert_by_key(
+            spark, path,
+            spark.createDataFrame([("k0", 0, "seed")], SCHEMA),
+            ["doc_id", "segment_index"], n_buckets=2,
+        )
+        model = {("k0", 0): "seed"}
+        models = {1: dict(model)}  # version -> model state
+        for kind, payload in ops:
+            if kind == "upsert":
+                dedup = {(k, 0): t for k, t in payload}
+                upsert_by_key(
+                    spark, path,
+                    spark.createDataFrame(
+                        [(k, s, t) for (k, s), t in dedup.items()], SCHEMA
+                    ),
+                    ["doc_id", "segment_index"],
+                )
+                model.update(dedup)
+            elif kind == "delete":
+                delete_by_key(
+                    spark, path,
+                    spark.createDataFrame([(k,) for k in payload], "doc_id string"),
+                    ["doc_id"],
+                )
+                model = {ks: t for ks, t in model.items() if ks[0] not in payload}
+            else:
+                rewrite_table(spark, path)
+            # a no-op delete (no key present) publishes NO new version —
+            # read the real latest instead of assuming one per op
+            v = latest_manifest_version(spark, path)
+            models[v] = dict(model)
+
+        # check the full window and one mid window
+        for i, j in [(1, v), (max(1, v // 2), v)]:
+            got = {
+                (r["doc_id"], r["segment_index"]): (r["change_type"], r["text"])
+                for r in snapshot_diff(spark, path, i, j).collect()
+            }
+            a, b = models[i], models[j]
+            want = {}
+            for k in set(a) | set(b):
+                if k not in a:
+                    want[k] = ("insert", b[k])
+                elif k not in b:
+                    want[k] = ("delete", a[k])
+                elif a[k] != b[k]:
+                    want[k] = ("update", b[k])
+            assert got == want, (i, j, ops)
+
+    run()
