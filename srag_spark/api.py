@@ -467,20 +467,32 @@ class SragEngine:
         survives — after a crash between table commits and the engine
         publish, the pinned (older) versions are what readers are
         actively on, and vacuuming them out would break every reader.
-        Older engine snapshots are retained per ``keep_manifests`` like
-        any table's manifests (time travel ages out together)."""
-        from srag_spark.sources.tables import vacuum
+        TAGGED engine snapshots (:meth:`tag`) widen retention the same
+        way: every table version any tag pins survives until the tag
+        is dropped.  Older untagged engine snapshots are retained per
+        ``keep_manifests`` like any table's manifests (time travel
+        ages out together)."""
+        from srag_spark.sources.tables import list_tags, vacuum
 
         pins = self._pinned() or {}
+        # the oldest table version pinned by any TAGGED engine snapshot
+        # must survive the per-table vacuum too
+        tag_pins: dict[str, int] = {}
+        for tv in set(list_tags(self.spark, self.engine_meta_path).values()):
+            for name, v in (self._pinned(tv) or {}).items():
+                tag_pins[name] = min(tag_pins.get(name, v), v)
         total = 0
         for name, path in self._table_paths.items():
             if not table_exists(self.spark, path):
                 continue
             keep = keep_manifests
-            pv = pins.get(name)
-            if pv is not None:
-                latest = latest_manifest_version(self.spark, path) or pv
-                keep = max(keep, latest - pv + 1)
+            oldest = min(
+                [v for v in (pins.get(name), tag_pins.get(name)) if v is not None],
+                default=None,
+            )
+            if oldest is not None:
+                latest = latest_manifest_version(self.spark, path) or oldest
+                keep = max(keep, latest - oldest + 1)
             total += vacuum(
                 self.spark, path, keep_manifests=keep,
                 min_age_seconds=min_age_seconds,
@@ -545,3 +557,28 @@ class SragEngine:
         return snapshot_diff(
             self.spark, self._table_paths[table], pin_from, to_version=pin_to
         )
+
+    def tag(
+        self, name: str, snapshot: int | None = None, overwrite: bool = False
+    ) -> int:
+        """Pin an ENGINE snapshot (the four-table quadruple) under a
+        name — 'prod', 'training-run-X'.  Tagged engine snapshots (and
+        the table versions they pin) survive :meth:`vacuum` until the
+        tag is dropped.  Read back via ``transcripts(version=
+        self.tags()['prod'])`` etc."""
+        from srag_spark.sources.tables import tag_snapshot
+
+        return tag_snapshot(
+            self.spark, self.engine_meta_path, name,
+            version=snapshot, overwrite=overwrite,
+        )
+
+    def tags(self) -> dict[str, int]:
+        from srag_spark.sources.tables import list_tags
+
+        return list_tags(self.spark, self.engine_meta_path)
+
+    def drop_tag(self, name: str) -> None:
+        from srag_spark.sources.tables import delete_tag
+
+        delete_tag(self.spark, self.engine_meta_path, name)

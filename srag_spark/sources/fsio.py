@@ -70,6 +70,15 @@ def read_text(spark: SparkSession, path: str) -> str:
     return row[0] if row is not None else ""
 
 
+def read_text_or_none(spark: SparkSession, path: str) -> str | None:
+    """Like :func:`read_text_fs`, but None when the object is absent —
+    the existence-probe read tag resolution uses."""
+    fs = _fs(spark, path)
+    if not fs.exists(_jpath(spark, path)):
+        return None
+    return read_text_fs(spark, path)
+
+
 def read_text_fs(spark: SparkSession, path: str) -> str:
     """Read a small text file through the raw FileSystem API.
 

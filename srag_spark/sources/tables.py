@@ -157,10 +157,15 @@ def read_table(
     path: str,
     buckets: list[int] | None = None,
     version: int | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
-    """Read a snapshot — the latest, or time-travel to ``version``
-    (optionally pruned to specific buckets — the manifest-level partition
-    pruning used by upsert/delete)."""
+    """Read a snapshot — the latest, time-travel to ``version``, or a
+    named ``tag`` (optionally pruned to specific buckets — the
+    manifest-level partition pruning used by upsert/delete)."""
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version= or tag=, not both")
+        version = resolve_tag(spark, path, tag)
     manifest = read_manifest(spark, path, version=version)
     if manifest is None:
         raise FileNotFoundError(f"no table (no committed manifest) at {path}")
@@ -730,6 +735,59 @@ def _rewrite_once(
     }
 
 
+def _tag_path(path: str, name: str) -> str:
+    if not name or "/" in name or name.startswith("v") and name[1:].isdigit():
+        raise ValueError(f"invalid tag name {name!r}")
+    return f"{path}/{_MANIFEST_DIR}/tag-{name}.json"
+
+
+def tag_snapshot(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: int | None = None,
+    overwrite: bool = False,
+) -> int:
+    """Pin a snapshot under a NAME (Iceberg tags): ``read_table(tag=)``
+    resolves it, and ``vacuum`` RETAINS the tagged version's manifest
+    and data dirs regardless of ``keep_manifests`` — the mechanism for
+    keeping a "prod" or "training-run-X" snapshot alive while newer
+    history ages out.  Defaults to the latest version; re-pointing an
+    existing tag requires ``overwrite=True``.  Returns the pinned
+    version."""
+    v = latest_manifest_version(spark, path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no table (no committed manifest) at {path}")
+    read_manifest(spark, path, version=v)  # must exist (raises otherwise)
+    tp = _tag_path(path, name)
+    if not overwrite and fsio.read_text_or_none(spark, tp) is not None:
+        raise ValueError(f"tag {name!r} already exists (pass overwrite=True)")
+    fsio.write_text(spark, tp, json.dumps({"version": v}))
+    return v
+
+
+def resolve_tag(spark: SparkSession, path: str, name: str) -> int:
+    """The version a tag points at (raises if the tag does not exist)."""
+    txt = fsio.read_text_or_none(spark, _tag_path(path, name))
+    if txt is None:
+        raise FileNotFoundError(f"no tag {name!r} at {path}")
+    return int(json.loads(txt)["version"])
+
+
+def list_tags(spark: SparkSession, path: str) -> dict[str, int]:
+    out = {}
+    for n in fsio.list_names(spark, f"{path}/{_MANIFEST_DIR}"):
+        if n.startswith("tag-") and n.endswith(".json"):
+            txt = fsio.read_text_or_none(spark, f"{path}/{_MANIFEST_DIR}/{n}")
+            if txt is not None:
+                out[n[4:-5]] = int(json.loads(txt)["version"])
+    return out
+
+
+def delete_tag(spark: SparkSession, path: str, name: str) -> None:
+    fsio.delete(spark, _tag_path(path, name), recursive=False)
+
+
 def vacuum(
     spark: SparkSession,
     path: str,
@@ -758,7 +816,8 @@ def vacuum(
     )
     if not versions:
         return 0
-    keep = versions[-keep_manifests:]
+    tagged = set(list_tags(spark, path).values())
+    keep = sorted(set(versions[-keep_manifests:]) | (tagged & set(versions)))
     live_commits: set[str] = set()
     for v in keep:
         m = json.loads(fsio.read_text(spark, _manifest_path(path, v)))
@@ -777,6 +836,8 @@ def vacuum(
         fsio.delete(spark, f"{path}/data/{name}")
         removed += 1
     for v in versions[:-keep_manifests]:
+        if v in tagged:
+            continue  # tagged snapshots never age out
         fsio.delete(spark, _manifest_path(path, v), recursive=False)
         # claim objects pair 1:1 with published manifests (fsio.rename_atomic)
         fsio.delete(spark, _manifest_path(path, v) + ".claim", recursive=False)

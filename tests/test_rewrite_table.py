@@ -540,3 +540,76 @@ def test_snapshot_diff_model_based_random_sequences(spark, tmp_path):
             assert got == want, (i, j, ops)
 
     run()
+
+
+def test_snapshot_tags_read_and_vacuum_retention(spark, tmp_path):
+    import pytest
+
+    from srag_spark.sources.tables import (
+        delete_tag,
+        list_tags,
+        resolve_tag,
+        tag_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(3):  # versions 1..3
+        upsert_by_key(
+            spark, path,
+            spark.createDataFrame([(f"d{i}", 0, f"v{i}")], SCHEMA),
+            ["doc_id", "segment_index"], n_buckets=2,
+        )
+    assert tag_snapshot(spark, path, "prod", version=1) == 1
+    assert tag_snapshot(spark, path, "latest-run") == 3
+    assert list_tags(spark, path) == {"prod": 1, "latest-run": 3}
+
+    # read by tag = read by its version
+    assert {r["doc_id"] for r in read_table(spark, path, tag="prod").collect()} == {"d0"}
+    with pytest.raises(ValueError, match="not both"):
+        read_table(spark, path, tag="prod", version=2)
+    with pytest.raises(ValueError, match="already exists"):
+        tag_snapshot(spark, path, "prod", version=2)
+    assert tag_snapshot(spark, path, "prod", version=2, overwrite=True) == 2
+
+    # vacuum keeps the tagged version alive while untagged history dies
+    vacuum(spark, path, keep_manifests=1, min_age_seconds=0)
+    assert {r["doc_id"] for r in read_table(spark, path, tag="prod").collect()} == {
+        "d0", "d1",
+    }
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path, version=1)  # untagged v1 aged out
+
+    # dropping the tag releases it for the next vacuum
+    delete_tag(spark, path, "prod")
+    assert "prod" not in list_tags(spark, path)
+    vacuum(spark, path, keep_manifests=1, min_age_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path, version=2)
+    assert read_table(spark, path).count() == 3  # latest intact
+
+
+def test_engine_tags_survive_vacuum(spark, tmp_path):
+    from srag_spark.api import SragEngine
+    from srag_spark.synth import synth_documents_df
+
+    eng = SragEngine(spark, str(tmp_path / "kb"), n_buckets=4)
+    docs = synth_documents_df(spark, 8, seed=4)
+    eng.ingest(docs.limit(3))
+    s1 = eng.snapshot_versions()[-1]
+    eng.tag("prod", snapshot=s1)
+    eng.ingest(docs)
+    eng.ingest(docs.limit(5))  # another version on top
+
+    eng.vacuum(keep_manifests=1, min_age_seconds=0)
+    # the tagged engine snapshot AND its pinned table versions survive
+    assert eng.tags() == {"prod": s1}
+    assert eng.transcripts(version=s1).count() == 3
+    assert eng.transcripts().count() == 8
+
+    # dropping the tag releases everything at the next vacuum
+    eng.drop_tag("prod")
+    eng.vacuum(keep_manifests=1, min_age_seconds=0)
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        eng.transcripts(version=s1).count()
+    assert eng.transcripts().count() == 8
