@@ -77,6 +77,49 @@ def q_s5_scan_sorted(spark, sf_dir):
     )
 
 
+def q_s5_range_scan(spark, sf_dir):
+    """S5b: zone-map-pruned time-range scan over a DAY-KEYED lake table.
+
+    The events stream is committed as a table keyed (day, event_id) —
+    the production time-series layout, where hash-bucketing the day
+    column gives every bucket a TIGHT ts range — then compacted with
+    ``sort_by=["ts"]`` so the manifest records per-bucket [min, max]
+    zone maps, and read back through ``tables.scan_range``: buckets
+    whose recorded range cannot intersect the query window are
+    eliminated from the manifest dict alone, before any task launches
+    (Iceberg manifest-stats skipping).  A 2-day window over the 30-day
+    table opens ~2/16 buckets; at 100 TB the same plan opens ~1/8760 of
+    a year-partitioned table.  The result is exactly the SQL BETWEEN.
+    """
+    import datetime as dt
+    import tempfile
+
+    from srag_spark.sources.tables import (
+        rewrite_table,
+        scan_range,
+        upsert_by_key,
+    )
+
+    path = tempfile.mkdtemp(prefix="srag_rangescan_") + "/events"
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_id", "ts", "user_id", "value",
+    )
+    upsert_by_key(
+        spark, path, ev, ["day", "event_id"],
+        n_buckets=16, persist_incoming=False,
+    )
+    rewrite_table(spark, path, sort_by=["ts"])
+    return (
+        scan_range(
+            spark, path, "ts",
+            dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 12),
+        )
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("event_id")
+    )
+
+
 def q_s6_point_lookup(spark, sf_dir):
     """S6: point lookup (PostgresTranscriptRepository.scala:69-75)."""
     return (
@@ -3627,6 +3670,7 @@ def _bm25_filtered_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s5_scan_sorted": q_s5_scan_sorted,
+        "s5_range_scan": q_s5_range_scan,
         "s6_point_lookup": q_s6_point_lookup,
         "q9_listing_filter_sort": q_q9_listing_filter_sort,
         "q10_topk_orders": q_q10_topk_orders,
@@ -3718,6 +3762,12 @@ def oracle_sql() -> dict[str, str]:
         "s5_scan_sorted": (
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 50"
+        ),
+        "s5_range_scan": (
+            "SELECT event_id, ts, user_id, value FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
+            "AND ts <= TIMESTAMP '2024-01-12 00:00:00' "
+            "ORDER BY event_id"
         ),
         "s6_point_lookup": (
             "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42 LIMIT 1"

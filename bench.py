@@ -75,6 +75,7 @@ HEADLINE_QUERY_NAMES = [
     "dedup_semdedup",
     "ngram_topk",
     "events_asof_join",
+    "s5_range_scan",
 ]
 
 

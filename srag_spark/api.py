@@ -505,11 +505,18 @@ class SragEngine:
             )
         return total
 
-    def optimize(self, n_buckets: int | None = None) -> dict:
+    def optimize(
+        self,
+        n_buckets: int | None = None,
+        sort_by: dict[str, list[str]] | None = None,
+    ) -> dict:
         """Compact all four tables (one file per bucket; optionally
         re-bucket to ``n_buckets`` — tables.rewrite_table's layout
         evolution) and publish a fresh engine snapshot pinning the
-        compacted versions.  Logical content is untouched; readers on
+        compacted versions.  ``sort_by`` maps table name → in-bucket
+        sort columns (tables.rewrite_table's sort order + zone-map
+        stats) for the tables that benefit, e.g. ``{"metrics":
+        ["ingested_at"]}``.  Logical content is untouched; readers on
         older engine snapshots keep time-traveling until :meth:`vacuum`.
         Run out-of-band, like vacuum — a maintenance pass for tables
         that accumulated many per-ingest commit dirs or outgrew their
@@ -528,9 +535,42 @@ class SragEngine:
         stats = {}
         for name, path in self._table_paths.items():
             if table_exists(self.spark, path):
-                stats[name] = rewrite_table(self.spark, path, n_buckets=n_buckets)
+                stats[name] = rewrite_table(
+                    self.spark, path, n_buckets=n_buckets,
+                    sort_by=(sort_by or {}).get(name),
+                )
         self._publish_engine_snapshot()
         return stats
+
+    def rollback(self, snapshot: int) -> int:
+        """Restore a previous ENGINE snapshot as the new latest (Iceberg
+        rollback): rolls every table back to the version that snapshot
+        pinned (tables.rollback — a manifest-only re-publish, instant at
+        any table size) and publishes a fresh engine snapshot, so every
+        reader — :meth:`query`, :meth:`list_transcripts` — sees the old
+        state again AND subsequent ingests continue from it.  Nothing on
+        any data path moves; the rolled-back-over snapshots stay
+        time-travelable until vacuumed.  The bad-ingest undo button.
+        Returns the new engine snapshot version."""
+        from srag_spark.sources.tables import rollback as table_rollback
+
+        pins = self._pinned(snapshot)  # raises if the snapshot is vacuumed
+        for name, v in pins.items():
+            # every pinned table version must still be readable
+            read_manifest(self.spark, self._table_paths[name], version=v)
+        for name, path in self._table_paths.items():
+            if table_exists(self.spark, path) and name not in pins:
+                raise ValueError(
+                    f"table {name!r} did not exist at engine snapshot "
+                    f"{snapshot}; cannot roll it back"
+                )
+        # roll every TABLE back too (manifest-only, instant), so writes
+        # after the rollback continue from the restored state — not from
+        # the rolled-back-over one
+        for name, v in pins.items():
+            table_rollback(self.spark, self._table_paths[name], v)
+        self._publish_engine_snapshot()
+        return latest_manifest_version(self.spark, self.engine_meta_path)
 
     def changelog(
         self, table: str, from_snapshot: int, to_snapshot: int | None = None

@@ -372,6 +372,7 @@ def _upsert_once(
             "bucket_col": bcol,
             "key_cols": manifest.get("key_cols", list(key_cols)),
             "sort_by": manifest.get("sort_by"),
+            "stats": _carry_stats(manifest, touched),
             "schema": merged.json(),
             "buckets": buckets,
         },
@@ -453,6 +454,7 @@ def _commit_touched_rewrite(
             "bucket_col": manifest["bucket_col"],
             "key_cols": manifest.get("key_cols"),
             "sort_by": manifest.get("sort_by"),
+            "stats": _carry_stats(manifest, touched),
             "schema": manifest["schema"],
             "buckets": buckets,
         },
@@ -634,6 +636,7 @@ def rewrite_table(
     path: str,
     n_buckets: int | None = None,
     sort_by: list[str] | None = None,
+    stats_for: list[str] | None = None,
     max_commit_retries: int = 2,
 ) -> dict:
     """Compaction + bucket-layout evolution in one snapshot-atomic
@@ -667,6 +670,15 @@ def rewrite_table(
     layout change.  Recorded in the manifest (``sort_by``) so later
     compactions can preserve it.
 
+    ``stats_for`` names columns whose per-bucket [min, max] are recorded
+    in the manifest as ZONE MAPS (defaults to the sort columns — the
+    ones compaction just range-clustered, where pruning pays most):
+    :func:`scan_range` then eliminates whole buckets from the manifest
+    dict alone, before any Spark task launches.  Incremental commits
+    drop rewritten buckets' entries (conservative, never wrong); the
+    next compaction re-records them.  Stats cost one columnar read-back
+    of only the stat columns over the freshly written files.
+
     Returns ``{"version": <new>, "n_buckets": <layout>, "buckets": N}``.
 
     Scale shape: one linear read of the live snapshot + one shuffle
@@ -676,7 +688,7 @@ def rewrite_table(
     """
     for attempt in range(max_commit_retries + 1):
         try:
-            return _rewrite_once(spark, path, n_buckets, sort_by)
+            return _rewrite_once(spark, path, n_buckets, sort_by, stats_for)
         except ManifestCommitRace:
             if attempt == max_commit_retries:
                 raise
@@ -687,6 +699,7 @@ def _rewrite_once(
     path: str,
     n_buckets: int | None,
     sort_by: list[str] | None = None,
+    stats_for: list[str] | None = None,
 ) -> dict:
     manifest = read_manifest(spark, path)
     if manifest is None:
@@ -715,6 +728,8 @@ def _rewrite_once(
         str(b): f"data/{commit_id}/{BUCKET_COL}={b}"
         for b in _buckets_in_commit(spark, data_dir)
     }
+    stat_cols = list(stats_for) if stats_for is not None else list(sort_by or [])
+    stats = _compute_stats(spark, data_dir, stat_cols) if stat_cols else {}
     commit_manifest(
         spark,
         path,
@@ -723,6 +738,7 @@ def _rewrite_once(
             "bucket_col": bcol,
             "key_cols": manifest.get("key_cols"),
             "sort_by": list(sort_by) if sort_by else None,
+            "stats": stats,
             "schema": manifest["schema"],
             "buckets": buckets,
         },
@@ -786,6 +802,164 @@ def list_tags(spark: SparkSession, path: str) -> dict[str, int]:
 
 def delete_tag(spark: SparkSession, path: str, name: str) -> None:
     fsio.delete(spark, _tag_path(path, name), recursive=False)
+
+
+# ---------------------------------------------------------------------------
+# zone maps (manifest-level per-bucket column stats) + stats-pruned scans
+# ---------------------------------------------------------------------------
+# Stat-able types: totally ordered, JSON-round-trippable with an encoding
+# whose Python comparison agrees with the column's SQL ordering (ISO-8601
+# strings compare lexicographically in timestamp order).
+_STATS_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "string", "date", "timestamp", "timestamp_ntz", "boolean",
+)
+
+
+def _stats_encode(v):
+    """A collected min/max value as a JSON-safe, order-preserving scalar."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if hasattr(v, "isoformat"):  # datetime.datetime / datetime.date
+        return v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
+    return str(v)
+
+
+def _carry_stats(manifest: dict, touched) -> dict:
+    """Propagate zone-map stats across an incremental commit: stats stay
+    valid for every bucket the commit does NOT rewrite; rewritten
+    buckets' entries are dropped (stale stats would prune wrongly — a
+    missing entry only means 'cannot prune', never a wrong result)."""
+    touched_set = {int(b) for b in touched}
+    return {
+        b: s
+        for b, s in (manifest.get("stats") or {}).items()
+        if int(b) not in touched_set
+    }
+
+
+def _compute_stats(spark: SparkSession, data_dir: str, cols: list[str]) -> dict:
+    """Per-bucket min/max for ``cols``, read back from the freshly
+    committed commit dir — a columnar footer-cheap pass over only the
+    stat columns, never a re-execution of the rewrite plan.  Returns
+    ``{bucket: {col: [min, max]}}`` (all-null buckets store [None,
+    None] — a range predicate cannot match null, so pruning them is
+    exact)."""
+    df = spark.read.parquet(data_dir)  # _kb discovered as partition column
+    by_name = {f.name: f for f in df.schema.fields}
+    stat_cols = [
+        c
+        for c in cols
+        if c in by_name and by_name[c].dataType.simpleString() in _STATS_TYPES
+    ]
+    if not stat_cols:
+        return {}
+    aggs = []
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"__lo_{c}"))
+        aggs.append(F.max(c).alias(f"__hi_{c}"))
+    rows = (
+        df.groupBy(BUCKET_COL)
+        .agg(*aggs)
+        .collect()  # bounded: one row per bucket
+    )
+    return {
+        str(r[BUCKET_COL]): {
+            c: [_stats_encode(r[f"__lo_{c}"]), _stats_encode(r[f"__hi_{c}"])]
+            for c in stat_cols
+        }
+        for r in rows
+    }
+
+
+def _prune_for_range(manifest: dict, col: str, lo, hi) -> tuple[list[int], int]:
+    """The bucket ids a ``col BETWEEN lo AND hi`` scan must read, plus
+    how many the zone map eliminated.  Buckets without a stats entry
+    are always read (missing stats are conservative, never wrong)."""
+    stats = manifest.get("stats") or {}
+    lo_e, hi_e = _stats_encode(lo), _stats_encode(hi)
+    keep, pruned = [], 0
+    for b in manifest["buckets"]:
+        s = (stats.get(b) or {}).get(col)
+        if s is None:
+            keep.append(int(b))
+            continue
+        bmin, bmax = s
+        if bmin is None:  # all-null bucket: a range predicate never matches
+            pruned += 1
+            continue
+        if (hi_e is not None and bmin > hi_e) or (
+            lo_e is not None and bmax < lo_e
+        ):
+            pruned += 1
+            continue
+        keep.append(int(b))
+    return keep, pruned
+
+
+def scan_range(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+    tag: str | None = None,
+) -> DataFrame:
+    """Range scan with manifest-level zone-map pruning: buckets whose
+    recorded [min, max] for ``col`` (written by :func:`rewrite_table`
+    ``sort_by=``/``stats_for=``) cannot intersect [lo, hi] are never
+    opened — file skipping ABOVE the parquet layer, the Iceberg
+    manifest-stats read path.  Bounds are inclusive; pass ``lo=None``
+    / ``hi=None`` for a half-open range.  The residual predicate is
+    still applied, so the result is exactly ``read_table(...).filter(
+    lo <= col <= hi)`` whether or not any stats exist.
+
+    At 100 TB: a time-range query over an hour of a year-long
+    ts-sorted table opens ~1/8760 of the files; everything else is
+    eliminated from the manifest dict alone, before any task launches.
+    """
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version= or tag=, not both")
+        version = resolve_tag(spark, path, tag)
+    manifest = read_manifest(spark, path, version=version)
+    if manifest is None:
+        raise FileNotFoundError(f"no table (no committed manifest) at {path}")
+    keep, _ = _prune_for_range(manifest, col, lo, hi)
+    df = read_table(spark, path, buckets=keep, version=manifest["version"])
+    if lo is not None:
+        df = df.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(col) <= F.lit(hi))
+    return df
+
+
+def rollback(
+    spark: SparkSession,
+    path: str,
+    to_version: int,
+    max_commit_retries: int = 2,
+) -> int:
+    """Restore a previous snapshot as the NEW latest (Iceberg
+    ``rollback_to_snapshot``): re-publishes ``to_version``'s manifest
+    content under the next version number.  Nothing on the data path
+    moves — the new manifest references the old snapshot's directories,
+    so the rollback is instant at any table size and the rolled-back-
+    over history stays time-travelable until vacuumed.  Same optimistic
+    compare-and-publish as every commit.  Returns the new version."""
+    m = read_manifest(spark, path, version=to_version)  # raises if vacuumed
+    if m is None:
+        raise FileNotFoundError(f"no table (no committed manifest) at {path}")
+    body = {k: v for k, v in m.items() if k != "version"}
+    for attempt in range(max_commit_retries + 1):
+        prev = latest_manifest_version(spark, path) or 0
+        try:
+            commit_manifest(spark, path, body, expected_prev=prev)
+            return prev + 1
+        except ManifestCommitRace:
+            if attempt == max_commit_retries:
+                raise
 
 
 def vacuum(
