@@ -43,6 +43,9 @@ manifest versions, so TIME TRAVEL works across whole-engine snapshots
 
 from __future__ import annotations
 
+import json
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,8 +58,11 @@ from srag_spark.operators.transcripts import (
 )
 from srag_spark.plans.indexing import build_chunks, build_embeddings
 from srag_spark.schema import TRANSCRIPTS_SCHEMA
+from srag_spark.sources import fsio
 from srag_spark.sources.tables import (
+    _MANIFEST_DIR,
     ManifestCommitRace,
+    StagedConflict,
     commit_manifest,
     delete_by_key,
     latest_manifest_version,
@@ -170,7 +176,19 @@ class SragEngine:
         ingest publishes between the per-table reads."""
         if pins is None:
             pins = self._pinned(version)
-        pinned_v = pins.get(name) if pins is not None else None
+        if pins is None:
+            pinned_v = None  # pre-engine-manifest tables: latest snapshot
+        elif name not in pins:
+            # an engine manifest exists but does not pin this table: the
+            # table is ABSENT at this snapshot (e.g. while an initial
+            # ingest is staged, or time-traveling to before the table's
+            # first publish) — falling back to table-latest here would
+            # leak unpublished state
+            raise FileNotFoundError(
+                f"table {name!r} is not part of this engine snapshot"
+            )
+        else:
+            pinned_v = pins[name]
         return read_table(
             self.spark, self._table_paths[name], version=pinned_v
         )
@@ -198,6 +216,7 @@ class SragEngine:
         docs: DataFrame,
         metadata: dict[str, str] | None = None,
         doc_counter=None,
+        _publish: bool = True,
     ) -> dict:
         """Extract, build transcripts, chunk, embed, and upsert — the full
         ingestion worker for a batch of interleaved documents
@@ -224,6 +243,10 @@ class SragEngine:
         rows written by THIS call (no full-table re-scan; embeddings is
         row-for-row the chunk count — build_embeddings is a per-row
         projection).
+
+        ``_publish=False`` is internal (used by :meth:`stage_ingest`):
+        the table commits land but the engine snapshot is NOT published,
+        so readers stay on the previous quadruple.
         """
         from pyspark import StorageLevel
 
@@ -307,7 +330,9 @@ class SragEngine:
             )
             # atomic visibility point: readers switch from the old to the
             # new four-table state HERE, never between the commits above
-            self._publish_engine_snapshot()
+            # (skipped by stage_ingest, whose publish IS this publish)
+            if _publish:
+                self._publish_engine_snapshot()
             n_chunks = chunks.count()
             return {
                 "documents": doc_ids.count(),
@@ -318,6 +343,154 @@ class SragEngine:
             chunks.unpersist(blocking=False)
             docs.unpersist(blocking=False)
             extracted.unpersist(blocking=False)
+
+    # -- write–audit–publish ingest (Iceberg WAP at engine scope) ----------
+    # The engine manifest is already the atomic visibility point, so a
+    # staged ingest is the normal ingest MINUS the engine publish: the
+    # four table commits land (invisible — every reader resolves through
+    # the engine manifest), a staging record pins the base and candidate
+    # quadruples, audits read the candidate, and publish/abandon flips or
+    # unwinds.  Single-writer like every engine-level mutation.
+    def _wap_path(self, staging_id: str) -> str:
+        if not staging_id or "/" in staging_id:
+            raise ValueError(f"invalid staging id {staging_id!r}")
+        return f"{self.engine_meta_path}/{_MANIFEST_DIR}/ingest-{staging_id}.json"
+
+    def _wap_record(self, staging_id: str) -> dict:
+        txt = fsio.read_text_or_none(self.spark, self._wap_path(staging_id))
+        if txt is None:
+            raise FileNotFoundError(
+                f"no staged ingest {staging_id!r} at {self.root} "
+                "(published, abandoned, or never staged)"
+            )
+        return json.loads(txt)
+
+    def _table_versions(self) -> dict[str, int | None]:
+        return {
+            name: latest_manifest_version(self.spark, path)
+            for name, path in self._table_paths.items()
+        }
+
+    def stage_ingest(
+        self,
+        docs: DataFrame,
+        metadata: dict[str, str] | None = None,
+        doc_counter=None,
+    ) -> dict:
+        """Write–audit–publish ingest, step 1: run the FULL ingestion
+        pipeline (extract → transcripts → chunks → embed → four table
+        commits) but do not publish the engine snapshot — every reader
+        (:meth:`query`, :meth:`transcripts`, ...) keeps seeing the
+        pre-batch state.  Audit the candidate via :meth:`staged_tables`,
+        then :meth:`publish_ingest` or :meth:`abandon_ingest`.
+
+        The training-data gate at engine scope: land a batch, run
+        contamination / quality / volume audits against exactly the
+        transcripts+chunks+embeddings that would go live, and only then
+        flip — a failed audit unwinds with manifest-only rollbacks,
+        never a rewrite of live data.
+
+        Returns the :meth:`ingest` counts plus ``staging_id``.
+        Single-writer: stage/publish/abandon must not interleave with
+        other engine mutations (same contract as optimize/delete_where).
+        """
+        # a virgin engine has no manifest to pin the (empty) base state —
+        # publish one first so readers cannot fall back to table-latest
+        # and observe the staged tables mid-audit
+        if latest_manifest_version(self.spark, self.engine_meta_path) is None:
+            self._publish_engine_snapshot()
+        base = self._table_versions()
+        counts = self.ingest(
+            docs, metadata=metadata, doc_counter=doc_counter, _publish=False
+        )
+        staged = self._table_versions()
+        staging_id = uuid.uuid4().hex
+        fsio.write_text(
+            self.spark,
+            self._wap_path(staging_id),
+            json.dumps({"base": base, "staged": staged}, sort_keys=True),
+        )
+        return {"staging_id": staging_id, **counts}
+
+    def staged_ingests(self) -> dict[str, dict]:
+        """Pending staged ingests: ``{staging_id: {"base": {...},
+        "staged": {...}}}`` (per-table manifest versions)."""
+        prefix_dir = f"{self.engine_meta_path}/{_MANIFEST_DIR}"
+        out = {}
+        for n in fsio.list_names(self.spark, prefix_dir):
+            if n.startswith("ingest-") and n.endswith(".json"):
+                txt = fsio.read_text_or_none(self.spark, f"{prefix_dir}/{n}")
+                if txt is not None:
+                    out[n[7:-5]] = json.loads(txt)
+        return out
+
+    def staged_tables(self, staging_id: str) -> dict[str, DataFrame]:
+        """The AUDIT read: all four tables exactly as they would look if
+        the staged ingest were published now."""
+        rec = self._wap_record(staging_id)
+        return {
+            name: read_table(
+                self.spark, self._table_paths[name], version=v
+            )
+            for name, v in rec["staged"].items()
+            if v is not None
+        }
+
+    def publish_ingest(self, staging_id: str) -> None:
+        """Write–audit–publish, step 3: atomically make the staged
+        ingest visible by publishing the engine snapshot.  Raises
+        :class:`~srag_spark.sources.tables.StagedConflict` if any table
+        moved past its staged version (a concurrent mutation violated
+        the single-writer contract) — nothing is published then."""
+        rec = self._wap_record(staging_id)
+        current = self._table_versions()
+        for name, v in rec["staged"].items():
+            if current.get(name) != v:
+                raise StagedConflict(
+                    f"table {name!r} moved from staged v{v} to "
+                    f"v{current.get(name)} — the engine was mutated while "
+                    "this ingest was staged; audit and publish cannot "
+                    "proceed safely"
+                )
+        self._publish_engine_snapshot()
+        fsio.delete(self.spark, self._wap_path(staging_id), recursive=False)
+
+    def abandon_ingest(self, staging_id: str) -> None:
+        """Write–audit–publish, the failed-audit exit: unwind every table
+        the staged ingest touched back to its base content via
+        manifest-only rollbacks (instant at any table size — nothing on
+        the data path moves; a table the stage CREATED rolls to an empty
+        snapshot).  The staged commit dirs become vacuumable garbage.
+        Raises StagedConflict if a table moved past its staged version."""
+        from srag_spark.sources.tables import rollback as table_rollback
+
+        rec = self._wap_record(staging_id)
+        current = self._table_versions()
+        for name, v in rec["staged"].items():
+            if v is not None and current.get(name) != v:
+                raise StagedConflict(
+                    f"table {name!r} moved from staged v{v} to "
+                    f"v{current.get(name)} — cannot unwind the staged "
+                    "ingest safely"
+                )
+        for name, path in self._table_paths.items():
+            sv, bv = rec["staged"].get(name), rec["base"].get(name)
+            if sv is None or sv == bv:
+                continue  # table untouched by the stage
+            if bv is not None:
+                table_rollback(self.spark, path, bv)
+            else:
+                # the stage created this table: roll forward to an EMPTY
+                # snapshot (same layout/schema, no live buckets)
+                m = read_manifest(self.spark, path, version=sv)
+                body = {
+                    k: v for k, v in m.items() if k not in ("version", "buckets")
+                }
+                body["buckets"] = {}
+                commit_manifest(self.spark, path, body, expected_prev=sv)
+        # re-pin so readers and vacuum track the unwound latest versions
+        self._publish_engine_snapshot()
+        fsio.delete(self.spark, self._wap_path(staging_id), recursive=False)
 
     # -- table accessors ---------------------------------------------------
     # All accessors resolve through the engine manifest (the pinned

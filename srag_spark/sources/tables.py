@@ -301,13 +301,23 @@ def upsert_by_key(
             incoming.unpersist(blocking=False)
 
 
-def _upsert_once(
+def _prepare_upsert(
     spark: SparkSession,
     path: str,
     incoming: DataFrame,
     key_cols: list[str],
     n_buckets: int,
-) -> None:
+) -> dict:
+    """The shared write half of an upsert: merge ``incoming`` against the
+    current snapshot and land the merged buckets under a fresh commit dir,
+    WITHOUT publishing.  Returns everything a publisher (direct commit or
+    WAP staging) needs::
+
+        {"body": <manifest body>, "expected_prev": <base version>,
+         "touched": [bucket ids], "base_touched_dirs": {bucket: dir|None}}
+
+    The data dirs are invisible to readers until some manifest references
+    them — this is exactly the property write–audit–publish exploits."""
     manifest = read_manifest(spark, path)
     expected_prev = manifest["version"] if manifest is not None else 0
     n_buckets, bcol = _layout(manifest, key_cols, n_buckets)
@@ -318,22 +328,22 @@ def _upsert_once(
         # initial load: write once, derive the bucket set from the
         # committed directories (no second execution of the incoming plan)
         data_dir = _write_buckets(inc, path, commit_id)
-        commit_manifest(
-            spark,
-            path,
-            {
-                "n_buckets": n_buckets,
-                "bucket_col": bcol,
-                "key_cols": list(key_cols),
-                "schema": incoming.schema.json(),
-                "buckets": {
-                    str(b): f"data/{commit_id}/{BUCKET_COL}={b}"
-                    for b in _buckets_in_commit(spark, data_dir)
-                },
+        touched = _buckets_in_commit(spark, data_dir)
+        body = {
+            "n_buckets": n_buckets,
+            "bucket_col": bcol,
+            "key_cols": list(key_cols),
+            "schema": incoming.schema.json(),
+            "buckets": {
+                str(b): f"data/{commit_id}/{BUCKET_COL}={b}" for b in touched
             },
-            expected_prev=expected_prev,
-        )
-        return
+        }
+        return {
+            "body": body,
+            "expected_prev": expected_prev,
+            "touched": sorted(touched),
+            "base_touched_dirs": {str(b): None for b in touched},
+        }
     # incremental: the touched-bucket set drives manifest-level pruning of
     # the read side, so it must be known BEFORE the merge (one pass over
     # incoming's bucket column — tiny projection)
@@ -362,21 +372,36 @@ def _upsert_once(
     )
     _write_buckets(kept.unionByName(inc_aligned), path, commit_id)
     buckets = dict(manifest["buckets"])
+    base_touched_dirs = {str(b): buckets.get(str(b)) for b in touched}
     for b in touched:  # every touched bucket has ≥1 incoming row
         buckets[str(b)] = f"data/{commit_id}/{BUCKET_COL}={b}"
+    body = {
+        "n_buckets": n_buckets,
+        "bucket_col": bcol,
+        "key_cols": manifest.get("key_cols", list(key_cols)),
+        "sort_by": manifest.get("sort_by"),
+        "stats": _carry_stats(manifest, touched),
+        "schema": merged.json(),
+        "buckets": buckets,
+    }
+    return {
+        "body": body,
+        "expected_prev": expected_prev,
+        "touched": touched,
+        "base_touched_dirs": base_touched_dirs,
+    }
+
+
+def _upsert_once(
+    spark: SparkSession,
+    path: str,
+    incoming: DataFrame,
+    key_cols: list[str],
+    n_buckets: int,
+) -> None:
+    prep = _prepare_upsert(spark, path, incoming, key_cols, n_buckets)
     commit_manifest(
-        spark,
-        path,
-        {
-            "n_buckets": n_buckets,
-            "bucket_col": bcol,
-            "key_cols": manifest.get("key_cols", list(key_cols)),
-            "sort_by": manifest.get("sort_by"),
-            "stats": _carry_stats(manifest, touched),
-            "schema": merged.json(),
-            "buckets": buckets,
-        },
-        expected_prev=expected_prev,
+        spark, path, prep["body"], expected_prev=prep["expected_prev"]
     )
 
 
@@ -962,6 +987,210 @@ def rollback(
                 raise
 
 
+# ---------------------------------------------------------------------------
+# write–audit–publish (WAP): staged commits
+# ---------------------------------------------------------------------------
+class StagedConflict(RuntimeError):
+    """The table changed since this snapshot was staged in a way that
+    cannot be rebased: a concurrent commit rewrote one of the staged
+    buckets, changed the bucket layout, or evolved a column type.  The
+    staged snapshot stays intact — re-stage the batch against the fresh
+    table (the audit must rerun anyway: its subject changed)."""
+
+
+def _staged_path(path: str, staging_id: str) -> str:
+    if not staging_id or "/" in staging_id:
+        raise ValueError(f"invalid staging id {staging_id!r}")
+    return f"{path}/{_MANIFEST_DIR}/staged-{staging_id}.json"
+
+
+def stage_upsert(
+    spark: SparkSession,
+    path: str,
+    incoming: DataFrame,
+    key_cols: list[str],
+    n_buckets: int = DEFAULT_KEY_BUCKETS,
+    persist_incoming: bool = True,
+) -> str:
+    """Write–audit–publish, step 1 (Iceberg's WAP workflow): run the full
+    :func:`upsert_by_key` merge and land the merged bucket dirs, but
+    record the would-be manifest as a STAGED snapshot
+    (``_manifests/staged-<id>.json``) instead of publishing it.  Readers
+    of the table see nothing; auditors read the candidate state via
+    :func:`read_staged`, then either :func:`publish_staged` (atomic, with
+    disjoint-bucket rebase) or :func:`abandon_staged`.  Returns the
+    staging id.
+
+    This is the training-data ingest gate: land a 10 TB batch, run
+    contamination / quality / volume audits against exactly the bytes
+    that would go live, and only then flip the snapshot — a failed audit
+    costs one vacuum, never a rollback of live data.
+
+    Scale shape: identical to ``upsert_by_key`` (the data write IS the
+    upsert write); staging adds one small JSON object.  Staged data dirs
+    are protected from :func:`vacuum` until the stage is published or
+    abandoned."""
+    from pyspark import StorageLevel
+
+    incoming = incoming.dropDuplicates(key_cols)
+    if persist_incoming:
+        incoming.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        prep = _prepare_upsert(spark, path, incoming, key_cols, n_buckets)
+    finally:
+        if persist_incoming:
+            incoming.unpersist(blocking=False)
+    staging_id = uuid.uuid4().hex
+    staged = {
+        "base_version": prep["expected_prev"],
+        "touched": [int(b) for b in prep["touched"]],
+        "base_touched_dirs": prep["base_touched_dirs"],
+        "body": prep["body"],
+    }
+    tmp = f"{path}/{_MANIFEST_DIR}/.tmp-{uuid.uuid4().hex}.json"
+    fsio.write_text(spark, tmp, json.dumps(staged, sort_keys=True))
+    if not fsio.rename_atomic(spark, tmp, _staged_path(path, staging_id)):
+        fsio.delete(spark, tmp, recursive=False)
+        raise RuntimeError(f"could not record staged snapshot at {path}")
+    return staging_id
+
+
+def _read_staged_record(spark: SparkSession, path: str, staging_id: str) -> dict:
+    txt = fsio.read_text_or_none(spark, _staged_path(path, staging_id))
+    if txt is None:
+        raise FileNotFoundError(
+            f"no staged snapshot {staging_id!r} at {path} (published, "
+            "abandoned, or never staged)"
+        )
+    return json.loads(txt)
+
+
+def list_staged(spark: SparkSession, path: str) -> dict[str, dict]:
+    """Pending staged snapshots: ``{staging_id: {"base_version": int,
+    "touched": [bucket ids]}}``."""
+    out = {}
+    for n in fsio.list_names(spark, f"{path}/{_MANIFEST_DIR}"):
+        if n.startswith("staged-") and n.endswith(".json"):
+            txt = fsio.read_text_or_none(spark, f"{path}/{_MANIFEST_DIR}/{n}")
+            if txt is not None:
+                st = json.loads(txt)
+                out[n[7:-5]] = {
+                    "base_version": st["base_version"],
+                    "touched": st["touched"],
+                }
+    return out
+
+
+def read_staged(
+    spark: SparkSession,
+    path: str,
+    staging_id: str,
+    buckets: list[int] | None = None,
+) -> DataFrame:
+    """The AUDIT read: the table exactly as it would look if the staged
+    snapshot were published now (as of its base version).  Pass
+    ``buckets=touched`` (from :func:`list_staged`) to audit only the
+    buckets the staged batch rewrote — the usual shape for per-batch
+    quality gates on a table far larger than any one batch."""
+    st = _read_staged_record(spark, path, staging_id)
+    body = st["body"]
+    schema = StructType.fromJson(json.loads(body["schema"]))
+    dirs = _bucket_dirs(path, body, buckets)
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
+
+
+def publish_staged(
+    spark: SparkSession,
+    path: str,
+    staging_id: str,
+    max_commit_retries: int = 2,
+) -> int:
+    """Write–audit–publish, step 3: atomically make the staged snapshot
+    the table's latest.  If the table has not moved since staging, the
+    recorded manifest body publishes as-is.  If concurrent commits landed
+    in DISJOINT buckets, the stage is REBASED onto the latest snapshot
+    (Iceberg cherry-pick validation): the staged buckets' dirs overlay
+    the latest manifest, schemas merge additively, and both writers'
+    rows survive.  A concurrent rewrite of a staged bucket, a layout
+    change, or a column-type conflict raises :class:`StagedConflict` —
+    the staged data is untouched and the batch must be re-staged.
+    Returns the published version; the staged record is removed."""
+    st = _read_staged_record(spark, path, staging_id)
+    for attempt in range(max_commit_retries + 1):
+        latest = read_manifest(spark, path)
+        latest_v = latest["version"] if latest is not None else 0
+        if latest_v == st["base_version"]:
+            body = st["body"]
+        else:
+            body = _rebase_staged(latest, st, path)
+        try:
+            commit_manifest(spark, path, body, expected_prev=latest_v)
+        except ManifestCommitRace:
+            if attempt == max_commit_retries:
+                raise
+            continue
+        fsio.delete(spark, _staged_path(path, staging_id), recursive=False)
+        return latest_v + 1
+
+
+def _rebase_staged(latest: dict | None, st: dict, path: str) -> dict:
+    """Overlay a staged snapshot onto a manifest newer than its base.
+    Sound exactly when no concurrent commit touched a staged bucket:
+    the staged dirs were merged from base-version bucket contents, so if
+    those buckets are byte-identical in ``latest`` (same dirs — dirs are
+    immutable once written), overlaying reproduces what staging against
+    ``latest`` would have produced, bucket by bucket."""
+    staged_body = st["body"]
+    if latest is None:
+        raise StagedConflict(
+            f"staged snapshot was derived from v{st['base_version']} of "
+            f"{path}, but the table no longer exists"
+        )
+    if (
+        latest["n_buckets"] != staged_body["n_buckets"]
+        or latest["bucket_col"] != staged_body["bucket_col"]
+    ):
+        raise StagedConflict(
+            f"bucket layout of {path} changed since staging "
+            f"(v{st['base_version']} → v{latest['version']}) — re-stage"
+        )
+    base_dirs = st["base_touched_dirs"]
+    for b in st["touched"]:
+        if latest["buckets"].get(str(b)) != base_dirs.get(str(b)):
+            raise StagedConflict(
+                f"bucket {b} of {path} was rewritten since staging "
+                f"(v{st['base_version']} → v{latest['version']}) — re-stage"
+            )
+    try:
+        merged = _merge_schemas(
+            StructType.fromJson(json.loads(latest["schema"])),
+            StructType.fromJson(json.loads(staged_body["schema"])),
+        )
+    except ValueError as exc:
+        raise StagedConflict(f"schema conflict rebasing onto {path}: {exc}")
+    buckets = dict(latest["buckets"])
+    for b in st["touched"]:
+        buckets[str(b)] = staged_body["buckets"][str(b)]
+    return {
+        "n_buckets": latest["n_buckets"],
+        "bucket_col": latest["bucket_col"],
+        "key_cols": latest.get("key_cols") or staged_body.get("key_cols"),
+        "sort_by": latest.get("sort_by"),
+        "stats": _carry_stats(latest, st["touched"]),
+        "schema": merged.json(),
+        "buckets": buckets,
+    }
+
+
+def abandon_staged(spark: SparkSession, path: str, staging_id: str) -> None:
+    """Write–audit–publish, the failed-audit exit: drop the staged
+    record.  The table never saw the batch; the staged data dirs become
+    ordinary vacuumable garbage."""
+    fsio.delete(spark, _staged_path(path, staging_id), recursive=False)
+
+
 def vacuum(
     spark: SparkSession,
     path: str,
@@ -999,6 +1228,13 @@ def vacuum(
         # carry no data dirs — only their manifest files age out
         for d in m.get("buckets", {}).values():
             live_commits.add(d.split("/")[1])  # data/<commit>/_kb=N
+    # pending WAP stages (stage_upsert) pin every dir their candidate
+    # snapshot references — the staged commit itself plus the base dirs
+    # their audit read still needs — until published or abandoned
+    for sid in list_staged(spark, path):
+        st = _read_staged_record(spark, path, sid)
+        for d in st["body"].get("buckets", {}).values():
+            live_commits.add(d.split("/")[1])
     cutoff = fsio.current_time_ms(spark) - int(min_age_seconds * 1000)
     removed = 0
     for name in fsio.list_names(spark, f"{path}/data"):

@@ -336,27 +336,34 @@ def test_sink_model_based_random_op_sequences(spark, tmp_path):
     """Property test: any sequence of upsert/delete/rewrite batches must
     leave the table equal to a dict model with right-biased upsert
     semantics (rewrite_table — compaction or bucket-count evolution —
-    is a logical no-op anywhere in the sequence)."""
+    is a logical no-op anywhere in the sequence; a staged upsert equals
+    a plain upsert when published and a no-op when abandoned)."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
-    from srag_spark.sources.tables import rewrite_table
+    from srag_spark.sources.tables import (
+        abandon_staged,
+        publish_staged,
+        rewrite_table,
+        stage_upsert,
+    )
 
     schema = "doc_id string, segment_index int, text string"
     keys = st.sampled_from([f"k{i}" for i in range(6)])
-    upsert_op = st.tuples(
-        st.just("upsert"),
-        st.lists(st.tuples(keys, st.integers(0, 2), st.text("abc", min_size=1, max_size=4)),
-                 min_size=1, max_size=4),
+    batch = st.lists(
+        st.tuples(keys, st.integers(0, 2), st.text("abc", min_size=1, max_size=4)),
+        min_size=1, max_size=4,
     )
+    upsert_op = st.tuples(st.just("upsert"), batch)
     delete_op = st.tuples(st.just("delete"), st.lists(keys, min_size=1, max_size=3))
     rewrite_op = st.tuples(st.just("rewrite"), st.sampled_from([None, 2, 8]))
+    wap_op = st.tuples(st.just("wap"), st.tuples(st.booleans(), batch))
 
     counter = [0]
 
     @settings(max_examples=6, deadline=None,
               suppress_health_check=list(HealthCheck))
-    @given(ops=st.lists(st.one_of(upsert_op, delete_op, rewrite_op),
+    @given(ops=st.lists(st.one_of(upsert_op, delete_op, rewrite_op, wap_op),
                         min_size=1, max_size=5))
     def run(ops):
         counter[0] += 1
@@ -375,6 +382,22 @@ def test_sink_model_based_random_op_sequences(spark, tmp_path):
                 )
                 model.update(dedup)
                 wrote = True
+            elif kind == "wap":
+                publish, rows = payload
+                dedup = {(k, s): t for k, s, t in rows}
+                sid = stage_upsert(
+                    spark, path,
+                    spark.createDataFrame(
+                        [(k, s, t) for (k, s), t in dedup.items()], schema
+                    ),
+                    ["doc_id", "segment_index"], n_buckets=4,
+                )
+                if publish:
+                    publish_staged(spark, path, sid)
+                    model.update(dedup)
+                    wrote = True
+                else:
+                    abandon_staged(spark, path, sid)
             elif kind == "rewrite":
                 if wrote:  # rewrite of a never-written table is undefined
                     rewrite_table(spark, path, n_buckets=payload)
