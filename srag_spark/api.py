@@ -771,6 +771,25 @@ class SragEngine:
             self.spark, self._table_paths[table], pin_from, to_version=pin_to
         )
 
+    def refresh_from(
+        self,
+        source_path: str,
+        to_version: int | None = None,
+        metadata: dict[str, str] | None = None,
+    ) -> dict:
+        """Incremental extraction refresh: bring this engine up to date
+        with the manifest table of interleaved documents at
+        ``source_path``, processing ONLY what changed since the last
+        refresh (CDC diff → retract deleted docs → re-extract inserted/
+        updated ones → one atomic publish → durable watermark advance).
+        First call ingests the whole snapshot; reruns are idempotent.
+        See :func:`srag_spark.plans.incremental.incremental_refresh`."""
+        from srag_spark.plans.incremental import incremental_refresh
+
+        return incremental_refresh(
+            self, source_path, to_version=to_version, metadata=metadata
+        )
+
     def tag(
         self, name: str, snapshot: int | None = None, overwrite: bool = False
     ) -> int:
