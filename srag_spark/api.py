@@ -436,6 +436,30 @@ class SragEngine:
             if v is not None
         }
 
+    def staged_changelog(self, staging_id: str, table: str) -> DataFrame:
+        """What a staged ingest CHANGED in one table (the audit's usual
+        subject): snapshot_diff between the table's base and staged
+        versions — insert/update/delete rows exactly like
+        :meth:`changelog`, but for a not-yet-published state.  A table
+        the stage created diffs against empty (all inserts)."""
+        from srag_spark.sources.tables import snapshot_diff
+
+        if table not in self._table_paths:
+            raise KeyError(f"unknown table {table!r}")
+        rec = self._wap_record(staging_id)
+        base_v, staged_v = rec["base"].get(table), rec["staged"].get(table)
+        if staged_v is None:
+            raise FileNotFoundError(
+                f"table {table!r} does not exist in staged ingest {staging_id!r}"
+            )
+        path = self._table_paths[table]
+        if base_v is None:
+            # the stage CREATED the table: everything is an insert
+            return read_table(self.spark, path, version=staged_v).withColumn(
+                "change_type", F.lit("insert")
+            )
+        return snapshot_diff(self.spark, path, base_v, staged_v)
+
     def publish_ingest(self, staging_id: str) -> None:
         """Write–audit–publish, step 3: atomically make the staged
         ingest visible by publishing the engine snapshot.  Raises
