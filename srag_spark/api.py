@@ -562,8 +562,24 @@ class SragEngine:
 
     # -- transcripts endpoints (GET/DELETE /api/v1/transcripts*) -----------
     def get_transcript(self, doc_id: str) -> DataFrame:
-        """Point lookup (S6)."""
-        return self.transcripts().filter(F.col("doc_id") == doc_id).limit(1)
+        """Point lookup (S6), bucket-pruned: the manifest's key layout
+        maps doc_id to its hash bucket driver-side, so the scan opens
+        ~1/n_buckets of the table instead of all of it
+        (:func:`srag_spark.sources.tables.lookup_by_key`)."""
+        from srag_spark.sources.tables import lookup_by_key
+
+        pins = self._pinned()
+        if pins is None:
+            v = None
+        elif "transcripts" not in pins:
+            raise FileNotFoundError(
+                "table 'transcripts' is not part of this engine snapshot"
+            )
+        else:
+            v = pins["transcripts"]
+        return lookup_by_key(
+            self.spark, self.transcripts_path, [doc_id], version=v
+        ).limit(1)
 
     def list_transcripts(
         self,

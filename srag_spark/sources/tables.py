@@ -176,6 +176,37 @@ def read_table(
     return spark.read.schema(schema).parquet(*dirs)
 
 
+def lookup_by_key(
+    spark: SparkSession,
+    path: str,
+    values: list[str],
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup (S6) that PRUNES to the key buckets: the manifest's
+    bucket layout (``pmod(xxhash64(key), n)``) is evaluated for the
+    requested key values in one single-row Spark job, and only those
+    buckets' dirs are scanned — a lookup on a 100 TB table reads
+    ~1/n_buckets of it (then parquet row-group stats narrow further),
+    instead of the full scan a plain ``read_table().filter()`` plans.
+    Returns the matching rows (all rows of a multi-row key).  Keys are
+    matched on the table's FIRST key column (the bucket column)."""
+    manifest = read_manifest(spark, path, version=version)
+    if manifest is None:
+        raise FileNotFoundError(f"no table (no committed manifest) at {path}")
+    bcol = manifest["bucket_col"]
+    n = manifest["n_buckets"]
+    vals = sorted(set(values))
+    buckets = [
+        r[0]
+        for r in spark.createDataFrame([(v,) for v in vals], f"{bcol} string")
+        .select(_key_bucket(bcol, n))
+        .collect()
+    ]
+    return read_table(
+        spark, path, buckets=sorted(set(buckets)), version=manifest["version"]
+    ).filter(F.col(bcol).isin(vals))
+
+
 # ---------------------------------------------------------------------------
 # write path
 # ---------------------------------------------------------------------------

@@ -672,3 +672,37 @@ def test_rename_atomic_claim_is_owner_verified(spark, tmp_path, monkeypatch):
     # nothing was published and the source survived for a retry
     assert not fsio.exists(spark, dst2)
     assert fsio.exists(spark, f"{base}/t2")
+
+
+def test_lookup_by_key_prunes_and_matches_full_scan(spark, tmp_path):
+    """Point lookup must return exactly the full-scan filter's rows while
+    opening only the key's hash bucket(s) — the S6 path that keeps a
+    100 TB lookup from scanning the table."""
+    from srag_spark.sources.tables import lookup_by_key
+
+    path = str(tmp_path / "t")
+    schema = "doc_id string, segment_index int, text string"
+    rows = [(f"d{i}", s, f"t{i}.{s}") for i in range(12) for s in range(2)]
+    upsert_by_key(spark, path, spark.createDataFrame(rows, schema),
+                  ["doc_id", "segment_index"], n_buckets=8)
+
+    full = read_table(spark, path)
+    for key in ("d0", "d7", "d11"):
+        got = sorted(
+            (r["doc_id"], r["segment_index"], r["text"])
+            for r in lookup_by_key(spark, path, [key]).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["segment_index"], r["text"])
+            for r in full.filter(f"doc_id = '{key}'").collect()
+        )
+        assert got == want and len(got) == 2
+        # pruning: the lookup's scan opens a strict subset of the files
+        lk_files = set(lookup_by_key(spark, path, [key]).inputFiles())
+        all_files = set(full.inputFiles())
+        assert lk_files and lk_files < all_files
+
+    # absent key: empty, not an error; multi-key lookup unions buckets
+    assert lookup_by_key(spark, path, ["nope"]).count() == 0
+    multi = lookup_by_key(spark, path, ["d1", "d2", "d3"])
+    assert multi.count() == 6
