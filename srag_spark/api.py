@@ -816,6 +816,7 @@ class SragEngine:
         source_path: str,
         to_version: int | None = None,
         metadata: dict[str, str] | None = None,
+        audits: list | None = None,
     ) -> dict:
         """Incremental extraction refresh: bring this engine up to date
         with the manifest table of interleaved documents at
@@ -823,11 +824,15 @@ class SragEngine:
         refresh (CDC diff → retract deleted docs → re-extract inserted/
         updated ones → one atomic publish → durable watermark advance).
         First call ingests the whole snapshot; reruns are idempotent.
-        See :func:`srag_spark.plans.incremental.incremental_refresh`."""
+        ``audits=[...]`` gates the refresh write–audit–publish style: a
+        failing panel unwinds the whole diff and leaves the watermark
+        untouched.  See
+        :func:`srag_spark.plans.incremental.incremental_refresh`."""
         from srag_spark.plans.incremental import incremental_refresh
 
         return incremental_refresh(
-            self, source_path, to_version=to_version, metadata=metadata
+            self, source_path, to_version=to_version, metadata=metadata,
+            audits=audits,
         )
 
     def tag(

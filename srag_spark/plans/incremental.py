@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import uuid
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -80,6 +81,7 @@ def incremental_refresh(
     to_version: int | None = None,
     metadata: dict[str, str] | None = None,
     key_cols: list[str] | None = None,
+    audits: list | None = None,
 ) -> dict:
     """Bring ``engine`` up to date with the manifest table of interleaved
     documents at ``source_path`` by processing only what changed since
@@ -95,6 +97,15 @@ def incremental_refresh(
     tagged one) instead of latest — successive refreshes then replay the
     source's history deterministically.  ``metadata`` flows to the
     ingested docs like :meth:`SragEngine.ingest`.
+
+    ``audits=[...]`` (the :mod:`srag_spark.plans.audits` gates) turns the
+    refresh into write–audit–publish: the whole diff (deletes AND the
+    re-ingest) is applied invisibly, the gates run against the staged
+    changelog, and a failing panel unwinds EVERYTHING — the deletes too —
+    via manifest-only rollbacks, leaving the watermark untouched.  The
+    nightly-CDC production gate: a poisoned upstream batch never reaches
+    readers and never advances the checkpoint.  The result then carries
+    ``published`` and ``audits``.
 
     Returns ``{"from_version", "to_version", "inserted", "updated",
     "deleted", ...ingest counts}``.  Single-writer like every engine
@@ -118,10 +129,25 @@ def incremental_refresh(
     if from_v is None:
         # initial load: the whole source snapshot is the diff
         docs = read_table(spark, source_path, version=to_v)
-        counts = engine.ingest(docs, metadata=metadata)
-        n_docs = counts.pop("documents")
-        _write_checkpoint(engine, source_path, to_v)
-        return {**result, "inserted": n_docs, "updated": 0, "deleted": 0, **counts}
+        if audits is None:
+            counts = engine.ingest(docs, metadata=metadata)
+            n_docs = counts.pop("documents")
+            _write_checkpoint(engine, source_path, to_v)
+            return {
+                **result, "inserted": n_docs, "updated": 0, "deleted": 0,
+                **counts,
+            }
+        from srag_spark.plans.audits import audited_ingest
+
+        report = audited_ingest(engine, docs, audits, metadata=metadata)
+        n_docs = report.pop("documents")
+        report.pop("staging_id", None)
+        if report["published"]:
+            _write_checkpoint(engine, source_path, to_v)
+        return {
+            **result, "inserted": n_docs, "updated": 0, "deleted": 0,
+            **report,
+        }
 
     if to_v == from_v:
         return {**result, "inserted": 0, "updated": 0, "deleted": 0}
@@ -141,6 +167,14 @@ def incremental_refresh(
             updated=by_type.get("update", 0),
             deleted=by_type.get("delete", 0),
         )
+        if not (result["inserted"] or result["updated"] or result["deleted"]):
+            # versions differ but no row changed (layout-only commits):
+            # nothing to gate — advance the watermark and stop
+            _write_checkpoint(engine, source_path, to_v)
+            if audits is not None:
+                result.update(published=True, audits=[])
+            return result
+        base = engine._table_versions() if audits is not None else None
         if result["deleted"]:
             gone = diff.filter(F.col("change_type") == "delete").select("doc_id")
             for path in engine._table_paths.values():
@@ -153,9 +187,33 @@ def incremental_refresh(
             counts = engine.ingest(changed, metadata=metadata, _publish=False)
             counts.pop("documents")
             result.update(counts)
-        # one visibility point for the whole refresh (deletes + ingest)
-        engine._publish_engine_snapshot()
-        _write_checkpoint(engine, source_path, to_v)
+        if audits is None:
+            # one visibility point for the whole refresh (deletes + ingest)
+            engine._publish_engine_snapshot()
+            _write_checkpoint(engine, source_path, to_v)
+            return result
+        # write–audit–publish: pin the (base, candidate) quadruples as a
+        # staged-ingest record so the gates read the refresh's changelog
+        # through the normal staged_changelog machinery, then flip or
+        # unwind.  abandon_ingest rolls EVERY touched table back to base
+        # — the deletes too — and the watermark stays put.
+        staging_id = uuid.uuid4().hex
+        fsio.write_text(
+            spark,
+            engine._wap_path(staging_id),
+            json.dumps(
+                {"base": base, "staged": engine._table_versions()},
+                sort_keys=True,
+            ),
+        )
+        audit_results = [a(engine, staging_id) for a in audits]
+        ok = all(r.ok for r in audit_results)
+        if ok:
+            engine.publish_ingest(staging_id)
+            _write_checkpoint(engine, source_path, to_v)
+        else:
+            engine.abandon_ingest(staging_id)
+        result.update(published=ok, audits=audit_results)
         return result
     finally:
         diff.unpersist(blocking=False)

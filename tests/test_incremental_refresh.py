@@ -128,6 +128,68 @@ def test_refresh_to_pinned_version_replays_history(spark, tmp_path):
     _assert_engines_equal(eng, _scratch_engine(spark, tmp_path, src, "pin"))
 
 
+def test_audited_refresh_publishes_when_gates_pass(spark, tmp_path):
+    from srag_spark.plans.audits import max_parse_failure_rate, min_docs
+
+    src = str(tmp_path / "src")
+    _source(spark, src, n=6)
+    eng = SragEngine(spark, str(tmp_path / "kb"), n_buckets=4)
+    res = eng.refresh_from(src, audits=[min_docs(3), max_parse_failure_rate(1.0)])
+    assert res["published"] is True and len(res["audits"]) == 2
+    assert res["inserted"] == 6
+    assert refresh_checkpoint(eng, src) == latest_manifest_version(spark, src)
+    _assert_engines_equal(eng, _scratch_engine(spark, tmp_path, src, "aud-ok"))
+
+    # incremental leg: mutate, refresh with passing gates again
+    upsert_by_key(
+        spark, src, synth_documents_df(spark, 2, seed=41, mega_every=0),
+        ["doc_id"], n_buckets=4,
+    )
+    res2 = eng.refresh_from(src, audits=[min_docs(1)])
+    assert res2["published"] is True and res2["updated"] == 2
+    assert refresh_checkpoint(eng, src) == latest_manifest_version(spark, src)
+    _assert_engines_equal(eng, _scratch_engine(spark, tmp_path, src, "aud-ok2"))
+
+
+def test_audited_refresh_failure_unwinds_diff_and_watermark(spark, tmp_path):
+    """A failing gate must unwind the WHOLE diff — the deletes too — and
+    leave the watermark where it was, so readers never see the poisoned
+    batch and the next refresh re-processes the same changelog."""
+    from srag_spark.plans.audits import min_docs
+
+    src = str(tmp_path / "src")
+    _source(spark, src, n=6, seed=5)
+    eng = SragEngine(spark, str(tmp_path / "kb"), n_buckets=4)
+    eng.refresh_from(src)
+    wm = refresh_checkpoint(eng, src)
+    before = {n: _table_rows(getattr(eng, n)()) for n in ("transcripts", "chunks")}
+
+    # poisoned upstream batch: 1 insert + 1 delete, gated on min_docs(5)
+    upsert_by_key(
+        spark, src, synth_documents_df(spark, 1, seed=88, mega_every=0),
+        ["doc_id"], n_buckets=4,
+    )
+    delete_by_key(
+        spark, src,
+        spark.createDataFrame([("doc-00000003",)], "doc_id string"),
+        ["doc_id"],
+    )
+    res = eng.refresh_from(src, audits=[min_docs(5)])
+    assert res["published"] is False
+    assert [r.ok for r in res["audits"]] == [False]
+    # nothing moved: deleted doc still visible, no new doc, watermark put
+    assert refresh_checkpoint(eng, src) == wm
+    for n, rows in before.items():
+        assert _table_rows(getattr(eng, n)()) == rows
+    assert eng.staged_ingests() == {}  # failed stage fully resolved
+
+    # the same changelog replays cleanly once the gate passes
+    res2 = eng.refresh_from(src, audits=[min_docs(1)])
+    assert res2["published"] is True and res2["deleted"] == 1
+    assert refresh_checkpoint(eng, src) == latest_manifest_version(spark, src)
+    _assert_engines_equal(eng, _scratch_engine(spark, tmp_path, src, "aud-fail"))
+
+
 def test_crash_rerun_converges(spark, tmp_path, monkeypatch):
     """A refresh that dies AFTER applying the diff but BEFORE the
     checkpoint write must converge on rerun (idempotent re-application
