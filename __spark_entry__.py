@@ -627,6 +627,18 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4, dim=64)
 
 
+def q_ann_knn_graph(spark, sf_dir):
+    """Self-kNN graph over embeddings (similarity.knn_graph): every
+    vector's top-3 cosine neighbors via the LSH-banded directed candidate
+    join (16 planes, 4 bands) — the neighborhood artifact SemDeDup-style
+    curation and diversity sampling start from.  The oracle reproduces
+    the exact banded candidate set and re-rank in SQL."""
+    from srag_spark.operators.similarity import knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return knn_graph(emb, k=3, method="lsh", n_planes=16, bands=4, dim=64)
+
+
 def q_lang_id(spark, sf_dir):
     """Marker-word language ID over documents."""
     from srag_spark.operators.textstats import language_id
@@ -1982,6 +1994,95 @@ def _sample_stratified_sql() -> str:
 
 NGRAM_TOPK_N = 3
 NGRAM_TOPK_K = 50
+PMI_K = 50
+PMI_MIN_COUNT = 5
+
+
+def q_pmi_pairs(spark, sf_dir):
+    """Adjacent-word collocations by PMI (textstats.pmi_pairs): the 50
+    most statistically-bound word pairs with pair count ≥ 5 — the
+    co-occurrence half of phrase discovery next to ngram_topk's raw
+    frequency census.  Two linear explodes, vocab-keyed count joins,
+    TakeOrderedAndProject top-k."""
+    from srag_spark.operators.textstats import pmi_pairs
+
+    return pmi_pairs(
+        _t(spark, sf_dir, "documents"), k=PMI_K, min_count=PMI_MIN_COUNT
+    )
+
+
+def _pmi_pairs_sql() -> str:
+    k, mc = PMI_K, PMI_MIN_COUNT
+    return f"""
+        WITH w AS (SELECT doc_id, {_NORM_W_SQL} AS w FROM documents),
+        tot AS (
+          SELECT sum(len(w))::DOUBLE AS n_uni,
+                 sum(greatest(len(w) - 1, 0))::DOUBLE AS n_big
+          FROM w
+        ),
+        bc AS (
+          SELECT word_a, word_b, CAST(count(*) AS BIGINT) AS n_pair
+          FROM (
+            SELECT w[i] AS word_a, w[i + 1] AS word_b
+            FROM (
+              SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+              FROM w WHERE len(w) >= 2
+            )
+          ) GROUP BY word_a, word_b HAVING count(*) >= {mc}
+        ),
+        uc AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS c_w
+          FROM (SELECT unnest(w) AS word FROM w) GROUP BY word
+        )
+        SELECT word_a, word_b, n_pair,
+               round(ln(n_pair::DOUBLE * (SELECT n_uni FROM tot)
+                        * (SELECT n_uni FROM tot)
+                        / ((SELECT n_big FROM tot) * ca.c_w::DOUBLE
+                           * cb.c_w::DOUBLE)), 6) AS pmi_r
+        FROM bc
+        JOIN uc ca ON ca.word = bc.word_a
+        JOIN uc cb ON cb.word = bc.word_b
+        ORDER BY pmi_r DESC, word_a ASC, word_b ASC
+        LIMIT {k}
+    """
+
+
+def _knn_graph_sql() -> str:
+    return f"""
+        WITH coded AS (
+          SELECT vec_id, embedding,
+                 {_bucket_sql('embedding', n_planes=16, dim=64)} AS code
+          FROM embeddings
+        ),
+        banded AS (
+          {" UNION ALL ".join(
+              f"SELECT vec_id, {b} AS band_id, substring(code, {b * 4 + 1}, 4) AS block FROM coded"
+              for b in range(4)
+          )}
+        ),
+        cands AS (
+          SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+          FROM banded a JOIN banded b
+            ON a.band_id = b.band_id AND a.block = b.block
+           AND a.vec_id <> b.vec_id
+        ),
+        scored AS (
+          SELECT src_id AS vec_id, nbr_id,
+                 round(list_sum(list_transform(range(1, len(va.embedding) + 1),
+                   i -> va.embedding[i]::DOUBLE * vb.embedding[i]::DOUBLE)), 6) AS score_r
+          FROM cands
+          JOIN embeddings va ON va.vec_id = src_id
+          JOIN embeddings vb ON vb.vec_id = nbr_id
+        ),
+        ranked AS (
+          SELECT vec_id, nbr_id, score_r,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY score_r DESC, nbr_id) AS rank
+          FROM scored
+        )
+        SELECT vec_id, nbr_id, score_r, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+    """
 
 
 def q_ngram_topk(spark, sf_dir):
@@ -3706,6 +3807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_recursive_chunks": q_p7_recursive_chunks,
         "extract_spans": q_extract_spans,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_knn_graph": q_ann_knn_graph,
         "curate_corpus": q_curate_corpus,
         "curate_corpus_cc": q_curate_corpus_cc,
         "dedup_lines": q_dedup_lines,
@@ -3737,6 +3839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shards": q_corpus_shards,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "ngram_topk": q_ngram_topk,
+        "pmi_pairs": q_pmi_pairs,
         "corpus_profile": q_corpus_profile,
         "corpus_length_quantiles": q_corpus_length_quantiles,
         "tfidf_keywords": q_tfidf_keywords,
@@ -4088,6 +4191,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, session_id
         """,
         "ann_ivf_topk": _ivf_sql(16, 4, 5),
+        "ann_knn_graph": _knn_graph_sql(),
         "curate_corpus": _curate_sql(),
         "curate_corpus_cc": _curate_sql(mode="cc"),
         "dedup_lines": _dedup_lines_sql(),
@@ -4115,6 +4219,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shards": _shards_sql(),
         "corpus_sample_stratified": _sample_stratified_sql(),
         "ngram_topk": _ngram_topk_sql(),
+        "pmi_pairs": _pmi_pairs_sql(),
         "corpus_profile": _corpus_profile_sql(),
         "corpus_length_quantiles": _corpus_length_quantiles_sql(),
         "tfidf_keywords": _tfidf_keywords_sql(),

@@ -234,6 +234,112 @@ def ivf_topk(
     )
 
 
+def knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    method: str = "lsh",
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    materialize: bool = True,
+    persisted: list | None = None,
+) -> DataFrame:
+    """Self-kNN graph over an embedding table: for every vector, its (up
+    to) ``k`` nearest neighbors by cosine — ``(vec_id, nbr_id, score_r,
+    rank)``, self-edges excluded, ranks deterministic (score desc,
+    nbr_id asc).  The kNN graph is the input artifact of the
+    embedding-curation family — SemDeDup-style cluster pruning, dataset
+    cartography, graph-based diversity sampling all start from it
+    (Abbas et al. 2023 build exactly this neighborhood structure).
+
+    ``method="lsh"`` (the scale path) mirrors
+    :func:`~srag_spark.operators.dedup.embedding_neardup_pairs`:
+    ``n_planes`` signed hyperplane projections banded into ``bands``
+    blocks, DIRECTED candidate pairs share ≥1 block (an equi-join keyed
+    on short block strings — never an all-pairs product), exact cosine
+    re-rank inside each node's candidate set.  Recall < 1 by LSH
+    construction (a true neighbor differing in every band is missed);
+    raise ``n_planes``/``bands`` with log N to hold candidate density —
+    the per-block population is N/2^(n_planes/bands) in expectation, so
+    band width is the knob that keeps the join linear at 10⁹ vectors.
+
+    ``method="brute"`` is the exact quadratic baseline (the oracle
+    twin): full self-product + per-node window top-k — correct at any
+    recall cost, usable only at audit scale.
+
+    Output is O(N·k) rows either way — the graph, not a score matrix.
+    Assumes unit-norm vectors (dot = cosine).  ``dim`` is REQUIRED for
+    the LSH path (a wrong dim degenerates every bucket code to all-'0'
+    and the band join to a silent all-pairs product — fail loudly)."""
+    from srag_spark.operators.dedup import _persist
+
+    e_src = emb.select(
+        F.col(id_col).alias("src_id"), F.col(vec_col).alias("sv")
+    )
+    e_nbr = emb.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nv")
+    )
+    if method == "brute":
+        cands = e_src.crossJoin(e_nbr).filter(
+            F.col("src_id") != F.col("nbr_id")
+        )
+    elif method == "lsh":
+        if dim is None:
+            raise ValueError("knn_graph(method='lsh') requires an explicit dim=")
+        planes = make_hyperplanes(n_planes, dim)
+        width = n_planes // bands
+        coded = emb.select(
+            F.col(id_col).alias("doc_id"),
+            hyperplane_bucket_col(vec_col, planes).alias("code"),
+        )
+        if materialize:
+            # both self-join sides consume the banded codes; without this
+            # the n_planes×dim dot-product projection runs twice
+            coded = _persist(coded, persisted)
+        banded = coded.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.substring("code", b * width + 1, width)
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_id", "block"),
+        )
+        a = banded.alias("a")
+        b = banded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.block") == F.col("b.block"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("src_id"),
+                F.col("b.doc_id").alias("nbr_id"),
+            )
+            .distinct()
+        )
+        cands = pairs.join(e_src, "src_id").join(e_nbr, "nbr_id")
+    else:
+        raise ValueError(f"unknown knn_graph method {method!r}")
+    scored = cands.select(
+        F.col("src_id").alias("vec_id"),
+        "nbr_id",
+        F.round(dot_col(F.col("sv"), F.col("nv")), 6).alias("score_r"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score_r"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "nbr_id", "score_r", "rank")
+    )
+
+
 def probe_buckets_col(bucket_col, n_planes: int, probes: int) -> "F.Column":
     """Array of probe bucket codes for a query: the bucket itself, plus —
     when ``probes`` ≥ 2 — every Hamming-1 neighbor (one bit flipped).

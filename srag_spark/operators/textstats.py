@@ -461,6 +461,100 @@ def ngram_topk(
     )
 
 
+def pmi_pairs(
+    docs: DataFrame,
+    k: int = 100,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by pointwise mutual
+    information: ``(word_a, word_b, n_pair, pmi_r)`` — the corpus's
+    statistically-bound word pairs (named entities, technical terms,
+    templated phrases), the other half of the boilerplate/phrase
+    DISCOVERY story next to :func:`ngram_topk`'s raw-frequency census
+    (frequency finds what repeats; PMI finds what co-occurs far above
+    chance even when rare).
+
+    ``pmi = ln( p(a,b) / (p(a)·p(b)) )`` with ``p(a,b)`` over adjacent
+    bigram positions and ``p(·)`` over unigram positions, both on the
+    shared normalized tokenizer (``dedup.words_col`` — the same frozen
+    normalization every dedup/census operator uses).  ``min_count``
+    floors the bigram count first (PMI's classic failure mode is rare
+    pairs saturating the top); ranking is deterministic: pmi (rounded to
+    6 before the rank, so the boundary is engine-independent) desc, then
+    (word_a, word_b) asc.
+
+    Scale shape: two linear explodes; unigram and bigram counts are each
+    ONE map-side-combinable groupBy (keys = vocab / surviving bigrams);
+    the corpus totals come from a separate one-row agg of per-doc token
+    counts (two driver scalars, no row data); the final joins key on
+    single words — vocab-bounded, AQE picks broadcast when the pruned
+    bigram side is small; top-k is TakeOrderedAndProject, never a global
+    sort.  Nothing quadratic, nothing driver-side beyond 2 scalars + k
+    result rows."""
+    from srag_spark.operators.dedup import words_col
+
+    w = words_col(F.col(text_col))
+    totals = (
+        docs.select(F.size(w).alias("n"))
+        .agg(
+            F.sum("n").alias("n_uni"),
+            F.sum(F.greatest(F.col("n") - 1, F.lit(0))).alias("n_big"),
+        )
+        .first()
+    )
+    n_uni = float(totals["n_uni"] or 0)
+    n_big = float(totals["n_big"] or 0)
+    if not n_big:
+        schema = "word_a string, word_b string, n_pair bigint, pmi_r double"
+        return docs.sparkSession.createDataFrame([], schema)
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.struct(
+                F.get(w, i).alias("word_a"), F.get(w, i + 1).alias("word_b")
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<word_a:string,word_b:string>>")
+    )
+    big_counts = (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .select("bg.word_a", "bg.word_b")
+        .groupBy("word_a", "word_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    uni_counts = (
+        docs.select(F.explode(w).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_w"))
+    )
+    ca = uni_counts.select(F.col("word").alias("word_a"), F.col("c_w").alias("c_a"))
+    cb = uni_counts.select(F.col("word").alias("word_b"), F.col("c_w").alias("c_b"))
+    pmi = F.log(
+        F.col("n_pair").cast("double")
+        * F.lit(n_uni)
+        * F.lit(n_uni)
+        / (
+            F.lit(n_big)
+            * F.col("c_a").cast("double")
+            * F.col("c_b").cast("double")
+        )
+    )
+    return (
+        big_counts.join(ca, "word_a")
+        .join(cb, "word_b")
+        .select(
+            "word_a", "word_b", "n_pair", F.round(pmi, 6).alias("pmi_r")
+        )
+        .orderBy(F.desc("pmi_r"), F.asc("word_a"), F.asc("word_b"))
+        .limit(k)
+    )
+
+
 def _starts_with_bullet(line: "F.Column") -> "F.Column":
     t = F.trim(line)
     out = None

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from srag_spark.operators.textstats import corpus_profile, tfidf_keywords
@@ -154,3 +156,50 @@ def test_new_census_ops_are_partition_independent(spark):
         a = sorted(map(str, op(docs.repartition(1)).collect()))
         b = sorted(map(str, op(docs.repartition(13)).collect()))
         assert a == b
+
+
+def test_pmi_pairs_hand_computed(spark):
+    from srag_spark.operators.textstats import pmi_pairs
+
+    # corpus: "new york" appears 3x and its words appear ONLY together;
+    # "the cat" words also co-occur but "the" is everywhere
+    docs = spark.createDataFrame(
+        [
+            (0, "new york new york the cat"),
+            (1, "new york the dog the cat"),
+            (2, "the cat the dog the bird"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["word_a"], r["word_b"]): (r["n_pair"], r["pmi_r"])
+        for r in pmi_pairs(docs, k=10, min_count=2).collect()
+    }
+    # totals: 6 + 6 + 6 = 18 unigram positions, 15 bigram positions
+    n_uni, n_big = 18.0, 15.0
+    c = {"new": 3, "york": 3, "the": 5, "cat": 3, "dog": 2, "bird": 1}
+    ny = out[("new", "york")]
+    assert ny[0] == 3
+    assert ny[1] == pytest.approx(
+        math.log(3 * n_uni * n_uni / (n_big * c["new"] * c["york"])), abs=1e-6
+    )
+    tc = out[("the", "cat")]
+    assert tc[0] == 3
+    # "new york" is the tighter collocation despite equal pair count
+    assert ny[1] > tc[1]
+    # min_count prunes singleton pairs
+    assert ("the", "bird") not in out
+
+
+def test_pmi_pairs_deterministic_order_and_empty(spark):
+    from srag_spark.operators.textstats import pmi_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta alpha beta gamma delta gamma delta")],
+        "doc_id long, text string",
+    )
+    rows = pmi_pairs(docs, k=10, min_count=2).collect()
+    keys = [(r["pmi_r"], r["word_a"], r["word_b"]) for r in rows]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1], t[2]))
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pmi_pairs(empty, k=5).count() == 0

@@ -570,3 +570,53 @@ def test_embedding_cross_pairs_decontamination(spark):
     assert all(r != 1002 for (_, r) in got)
     with pytest.raises(ValueError):
         embedding_cross_pairs(tdf, edf)
+
+
+def test_knn_graph_brute_excludes_self_and_ranks(spark):
+    from srag_spark.operators.similarity import knn_graph
+
+    emb = _emb_df(spark, [f"doc {i}" for i in range(20)])
+    out = knn_graph(emb, k=4, method="brute").collect()
+    by_src = {}
+    for r in out:
+        assert r["vec_id"] != r["nbr_id"]  # no self-edges
+        by_src.setdefault(r["vec_id"], []).append((r["rank"], r["score_r"]))
+    assert set(by_src) == set(range(20))
+    for rows in by_src.values():
+        rows.sort()
+        assert [rk for rk, _ in rows] == [1, 2, 3, 4]
+        scores = [s for _, s in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_knn_graph_lsh_subset_of_brute_and_finds_planted_dup(spark):
+    from srag_spark.operators.similarity import knn_graph
+
+    base = [f"doc {i}" for i in range(30)]
+    emb = _emb_df(spark, base)
+    # planted exact duplicate of vec 0 (id 30): identical codes share all
+    # bands, so each must be the other's rank-1 neighbor at cosine 1.0
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 30).alias("vec_id"), "embedding"
+    )
+    emb = emb.unionByName(dup)
+    brute = {
+        (r["vec_id"], r["nbr_id"]): r["score_r"]
+        for r in knn_graph(emb, k=31, method="brute").collect()
+    }
+    lsh = knn_graph(emb, k=3, method="lsh", n_planes=16, bands=4, dim=32).collect()
+    for r in lsh:
+        assert brute[(r["vec_id"], r["nbr_id"])] == r["score_r"]
+    firsts = {r["vec_id"]: (r["nbr_id"], r["score_r"]) for r in lsh if r["rank"] == 1}
+    assert firsts[0] == (30, pytest.approx(1.0, abs=1e-5))
+    assert firsts[30] == (0, pytest.approx(1.0, abs=1e-5))
+
+
+def test_knn_graph_requires_dim_and_rejects_bad_method(spark):
+    from srag_spark.operators.similarity import knn_graph
+
+    emb = _emb_df(spark, ["a", "b"])
+    with pytest.raises(ValueError, match="dim"):
+        knn_graph(emb, method="lsh")
+    with pytest.raises(ValueError, match="method"):
+        knn_graph(emb, method="cosine-tree", dim=32)
