@@ -653,6 +653,41 @@ class SragEngine:
             keys.unpersist(blocking=False)
 
     # -- maintenance -------------------------------------------------------
+    def describe(self, version: int | None = None) -> DataFrame:
+        """Engine-snapshot inventory (the DESCRIBE/metadata-table read):
+        one row per table pinned by the engine snapshot — ``(table,
+        version, n_buckets, n_live_buckets, n_files, size_bytes)`` — the
+        operational surface a 100 TB operator reads before deciding to
+        :meth:`optimize` or :meth:`vacuum`.  Metadata-only: manifests +
+        O(live buckets) directory listings on the driver, never a data
+        file opened."""
+        from srag_spark.sources.tables import read_manifest as _read_m
+        from srag_spark.sources.tables import table_files
+
+        pins = self._pinned(version) or {}
+        rows = []
+        for name, path in self._table_paths.items():
+            v = pins.get(name)
+            if v is None:
+                continue
+            m = _read_m(self.spark, path, version=v)
+            files = table_files(self.spark, path, version=v).collect()
+            rows.append(
+                (
+                    name,
+                    v,
+                    m.get("n_buckets"),
+                    len(m.get("buckets") or {}),
+                    len(files),
+                    sum(r["size_bytes"] for r in files),
+                )
+            )
+        return self.spark.createDataFrame(
+            sorted(rows),
+            "table string, version int, n_buckets int, "
+            "n_live_buckets int, n_files long, size_bytes long",
+        )
+
     def health(self) -> list:
         """J8/J9 parity (HealthCheckService.scala:62-75): aggregated
         health over the three table roots — every latest snapshot

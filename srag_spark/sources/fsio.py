@@ -54,6 +54,25 @@ def list_names(spark: SparkSession, path: str) -> list[str]:
     return [st.getPath().getName() for st in fs.listStatus(p)]
 
 
+def list_status(spark: SparkSession, path: str) -> list[dict]:
+    """Child entries of a directory with metadata: ``[{"name", "size",
+    "is_dir", "mtime_ms"}, ...]``; [] if absent.  One namenode RPC like
+    :func:`list_names` — object-store-safe."""
+    fs = _fs(spark, path)
+    p = _jpath(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        {
+            "name": st.getPath().getName(),
+            "size": st.getLen(),
+            "is_dir": st.isDirectory(),
+            "mtime_ms": st.getModificationTime(),
+        }
+        for st in fs.listStatus(p)
+    ]
+
+
 def write_text(spark: SparkSession, path: str, data: str) -> None:
     """Create/overwrite a small text file through the FS API."""
     fs = _fs(spark, path)

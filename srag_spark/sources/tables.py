@@ -991,6 +991,80 @@ def scan_range(
     return df
 
 
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """Snapshot-history metadata table (Iceberg's ``snapshots``/
+    ``history`` read path): one row per SURVIVING snapshot —
+    ``(version, n_buckets, bucket_col, key_cols, sort_by,
+    n_live_buckets, n_fields, tags)`` — so layout evolution, schema
+    growth and tag placement are queryable without touching a byte of
+    data.  Metadata-only: O(versions) manifest reads on the driver,
+    vacuumed snapshots silently absent, no Spark job until the result
+    is consumed."""
+    latest = latest_manifest_version(spark, path)
+    if latest is None:
+        raise FileNotFoundError(f"no table (no committed manifest) at {path}")
+    tag_by_v: dict[int, list[str]] = {}
+    for name, v in sorted(list_tags(spark, path).items()):
+        tag_by_v.setdefault(v, []).append(name)
+    rows = []
+    for v in range(1, latest + 1):
+        try:
+            m = read_manifest(spark, path, version=v)
+        except FileNotFoundError:
+            continue  # vacuumed
+        n_fields = len(json.loads(m["schema"])["fields"]) if m.get("schema") else None
+        rows.append(
+            (
+                v,
+                m.get("n_buckets"),
+                m.get("bucket_col"),
+                m.get("key_cols"),
+                m.get("sort_by"),
+                len(m.get("buckets") or {}),
+                n_fields,
+                tag_by_v.get(v, []),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, n_buckets int, bucket_col string, "
+        "key_cols array<string>, sort_by array<string>, "
+        "n_live_buckets int, n_fields int, tags array<string>",
+    )
+
+
+def table_files(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Files metadata table (Iceberg's ``files`` read path): one row per
+    LIVE data file of a snapshot — ``(bucket, file, size_bytes,
+    mtime_ms, stats)`` with ``file`` relative to the table root and
+    ``stats`` the bucket's zone-map entry as a JSON string (null when no
+    stats were recorded).  The small-file diagnosis surface: feed the
+    per-bucket file counts/sizes straight into a
+    :func:`rewrite_table` decision.  Cost is O(live buckets) directory
+    listings on the driver (the same class as vacuum) — metadata-only,
+    never opens a data file."""
+    manifest = read_manifest(spark, path, version=version)
+    if manifest is None:
+        raise FileNotFoundError(f"no table (no committed manifest) at {path}")
+    stats = manifest.get("stats") or {}
+    rows = []
+    for b, rel in sorted(manifest["buckets"].items(), key=lambda kv: int(kv[0])):
+        st_json = json.dumps(stats[b], sort_keys=True) if b in stats else None
+        for entry in fsio.list_status(spark, f"{path}/{rel}"):
+            name = entry["name"]
+            if entry["is_dir"] or not name.endswith(".parquet"):
+                continue
+            rows.append(
+                (int(b), f"{rel}/{name}", entry["size"], entry["mtime_ms"], st_json)
+            )
+    return spark.createDataFrame(
+        rows,
+        "bucket int, file string, size_bytes long, mtime_ms long, stats string",
+    )
+
+
 def rollback(
     spark: SparkSession,
     path: str,
