@@ -1997,6 +1997,104 @@ NGRAM_TOPK_K = 50
 PMI_K = 50
 PMI_MIN_COUNT = 5
 
+# Frozen BPE merge artifact: trained ONCE offline (operators/bpe.train_bpe,
+# n_merges=32, max_words=50000 over the sf0.01 documents corpus) and
+# committed, the way production ships a tokenizer file — every later job
+# (packing, token accounting) must tokenize identically, so the entry
+# applies the artifact rather than retraining.  Training itself is
+# iterative (no SQL replay) and is pinned by tests/test_bpe.py goldens.
+BPE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+    ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"), ("c", "o"),
+]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE subword encoding of every document with the frozen merge
+    artifact (operators/bpe.apply_bpe): greedy lowest-rank-first merges,
+    Sennrich </w> terminal convention, Arrow-batched UDF with per-batch
+    word memoization.  One row per (doc_id, token_index, token).  The
+    oracle replays the encoder as a DuckDB recursive CTE over the same
+    frozen merges — leftmost-lowest-rank merging to fixpoint."""
+    from srag_spark.operators.bpe import apply_bpe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        apply_bpe(docs, BPE_MERGES)
+        .select(
+            "doc_id",
+            F.posexplode("bpe_tokens").alias("token_index", "token"),
+        )
+        .withColumn("token_index", (F.col("token_index") + 1).cast("int"))
+    )
+
+
+def _bpe_rank_case(l: str, r: str) -> str:
+    whens = " ".join(
+        f"WHEN {l} = '{a}' AND {r} = '{b}' THEN {i}"
+        for i, (a, b) in enumerate(BPE_MERGES)
+    )
+    return f"(CASE {whens} ELSE NULL END)"
+
+
+def _bpe_encode_sql() -> str:
+    rank = _bpe_rank_case("s[i]", "s[i+1]")
+    return f"""
+        WITH RECURSIVE
+        w AS (SELECT doc_id, {_NORM_W_SQL} AS w FROM documents),
+        wp AS (
+          SELECT doc_id, i AS widx, w[i] AS word
+          FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+                FROM w WHERE len(w) >= 1)
+        ),
+        base AS (
+          SELECT doc_id, widx,
+                 list_append(list_transform(range(1, len(word) + 1),
+                                            j -> word[j]), '</w>') AS s
+          FROM wp
+        ),
+        enc AS (
+          SELECT doc_id, widx, s FROM base
+          UNION ALL
+          SELECT doc_id, widx,
+                 list_concat(list_concat(list_slice(s, 1, pos - 1),
+                                         [s[pos] || s[pos + 1]]),
+                             list_slice(s, pos + 2, len(s))) AS s
+          FROM (
+            SELECT doc_id, widx, s,
+                   list_position(pr, list_aggregate(
+                     list_filter(pr, x -> x IS NOT NULL), 'min')) AS pos
+            FROM (
+              SELECT doc_id, widx, s,
+                     list_transform(range(1, len(s)), i -> {rank}) AS pr
+              FROM enc
+            )
+          ) WHERE pos IS NOT NULL
+        ),
+        done AS (
+          SELECT doc_id, widx, s FROM (
+            SELECT doc_id, widx, s,
+                   list_transform(range(1, len(s)), i -> {rank}) AS pr
+            FROM enc
+          ) WHERE len(list_filter(pr, x -> x IS NOT NULL)) = 0
+        ),
+        tok AS (
+          SELECT doc_id, widx, j AS tpos, s[j] AS token
+          FROM (SELECT doc_id, widx, s,
+                       unnest(generate_series(1, len(s))) AS j FROM done)
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY widx, tpos) AS INT) AS token_index,
+               token
+        FROM tok
+    """
+
 
 def q_pmi_pairs(spark, sf_dir):
     """Adjacent-word collocations by PMI (textstats.pmi_pairs): the 50
@@ -3840,6 +3938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "ngram_topk": q_ngram_topk,
         "pmi_pairs": q_pmi_pairs,
+        "bpe_encode": q_bpe_encode,
         "corpus_profile": q_corpus_profile,
         "corpus_length_quantiles": q_corpus_length_quantiles,
         "tfidf_keywords": q_tfidf_keywords,
@@ -4220,6 +4319,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample_stratified": _sample_stratified_sql(),
         "ngram_topk": _ngram_topk_sql(),
         "pmi_pairs": _pmi_pairs_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         "corpus_profile": _corpus_profile_sql(),
         "corpus_length_quantiles": _corpus_length_quantiles_sql(),
         "tfidf_keywords": _tfidf_keywords_sql(),
