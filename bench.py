@@ -76,6 +76,9 @@ HEADLINE_QUERY_NAMES = [
     "ngram_topk",
     "events_asof_join",
     "s5_range_scan",
+    "ann_knn_graph",
+    "pmi_pairs",
+    "bpe_encode",
 ]
 
 
