@@ -399,18 +399,43 @@ class SragEngine:
         # and observe the staged tables mid-audit
         if latest_manifest_version(self.spark, self.engine_meta_path) is None:
             self._publish_engine_snapshot()
-        base = self._table_versions()
+        # base = what READERS see, not table-latest: a crashed earlier
+        # stage may have left unpublished table commits, and an abandon
+        # must unwind to the published state — rolling back to (and then
+        # re-pinning) crash leftovers would make them visible
+        base = self._published_versions()
         counts = self.ingest(
             docs, metadata=metadata, doc_counter=doc_counter, _publish=False
         )
-        staged = self._table_versions()
+        staging_id = self._write_wap_record(base)
+        return {"staging_id": staging_id, **counts}
+
+    def _write_wap_record(self, base: dict) -> str:
+        """Pin a (base, staged=current) version quadruple as a staged-
+        ingest record — the single producer of the WAP record format
+        (consumed by staged_tables/staged_changelog/publish/abandon).
+        ``base`` is the state an abandon unwinds to."""
         staging_id = uuid.uuid4().hex
         fsio.write_text(
             self.spark,
             self._wap_path(staging_id),
-            json.dumps({"base": base, "staged": staged}, sort_keys=True),
+            json.dumps(
+                {"base": base, "staged": self._table_versions()},
+                sort_keys=True,
+            ),
         )
-        return {"staging_id": staging_id, **counts}
+        return staging_id
+
+    def _published_versions(self) -> dict[str, int | None]:
+        """The per-table versions READERS currently resolve to: the
+        engine-pinned quadruple when an engine manifest exists (tables
+        it does not pin are absent → None), else each table's latest.
+        This — not :meth:`_table_versions` — is the correct WAP base
+        after a crash may have left unpublished table commits."""
+        pins = self._pinned()
+        if pins is None:
+            return self._table_versions()
+        return {name: pins.get(name) for name in self._table_paths}
 
     def staged_ingests(self) -> dict[str, dict]:
         """Pending staged ingests: ``{staging_id: {"base": {...},
@@ -661,8 +686,8 @@ class SragEngine:
         :meth:`optimize` or :meth:`vacuum`.  Metadata-only: manifests +
         O(live buckets) directory listings on the driver, never a data
         file opened."""
+        from srag_spark.sources.tables import _file_rows
         from srag_spark.sources.tables import read_manifest as _read_m
-        from srag_spark.sources.tables import table_files
 
         pins = self._pinned(version) or {}
         rows = []
@@ -671,7 +696,7 @@ class SragEngine:
             if v is None:
                 continue
             m = _read_m(self.spark, path, version=v)
-            files = table_files(self.spark, path, version=v).collect()
+            files = _file_rows(self.spark, path, v)
             rows.append(
                 (
                     name,
@@ -679,7 +704,7 @@ class SragEngine:
                     m.get("n_buckets"),
                     len(m.get("buckets") or {}),
                     len(files),
-                    sum(r["size_bytes"] for r in files),
+                    sum(f[2] for f in files),
                 )
             )
         return self.spark.createDataFrame(

@@ -84,9 +84,11 @@ def word_frequencies(
     )
     if min_count > 1:
         freqs = freqs.filter(F.col("count") >= min_count)
-    freqs = freqs.orderBy(F.desc("count"), F.asc("word"))
     if max_words is not None:
-        freqs = freqs.limit(max_words)
+        # orderBy+limit → TakeOrderedAndProject; without a cap the sort
+        # is skipped entirely (learn_bpe re-aggregates and never depends
+        # on input order)
+        freqs = freqs.orderBy(F.desc("count"), F.asc("word")).limit(max_words)
     return freqs
 
 

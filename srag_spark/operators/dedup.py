@@ -632,14 +632,17 @@ def embedding_neardup_pairs(
     sibling ANN operators): a wrong dim would make ``zip_with`` pad with
     nulls, every bucket code degenerate to all-'0', and the band join
     blow up to a silent all-pairs product — fail loudly instead."""
-    from srag_spark.operators.similarity import hyperplane_bucket_col, make_hyperplanes
+    from srag_spark.operators.similarity import (
+        band_width, hyperplane_bucket_col, make_hyperplanes,
+    )
 
     if dim is None:
         raise ValueError(
             "embedding_neardup_pairs requires an explicit dim= (vector length)"
         )
+
+    width = band_width(n_planes, bands)
     planes = make_hyperplanes(n_planes, dim)
-    width = n_planes // bands
     # code computed once per row (n_planes dot products), then banded with
     # literal-position substrings — CollapseProject keeps the non-cheap
     # code expression from being inlined per band
@@ -1006,12 +1009,15 @@ def embedding_cross_pairs(
     codes broadcast, so at corpus scale this is one map-side join plus
     the verify joins.  Same recall caveat near the threshold (raise
     n_planes/bands); exact copies always collide in every band."""
-    from srag_spark.operators.similarity import hyperplane_bucket_col, make_hyperplanes
+    from srag_spark.operators.similarity import (
+        band_width, hyperplane_bucket_col, make_hyperplanes,
+    )
 
     if dim is None:
         raise ValueError("embedding_cross_pairs requires an explicit dim=")
+
+    width = band_width(n_planes, bands)
     planes = make_hyperplanes(n_planes, dim)
-    width = n_planes // bands
 
     def _banded(df, side):
         coded = df.select(

@@ -74,6 +74,20 @@ def hyperplane_bucket_col(vec_sql: str, hyperplanes: list[list[float]]) -> "F.Co
     return F.expr(f"concat({cases[2:]})")
 
 
+def band_width(n_planes: int, bands: int) -> int:
+    """Validated LSH band width.  A zero width (bands > n_planes) makes
+    every band block the empty string — the band equi-join silently
+    degenerates to an all-pairs product; a non-dividing ``bands`` drops
+    the trailing bits from every code.  Both are configuration errors at
+    any scale: fail loudly."""
+    if bands <= 0 or n_planes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must be a positive divisor of n_planes={n_planes} "
+            "(zero-width or truncated band blocks degenerate the LSH join)"
+        )
+    return n_planes // bands
+
+
 def make_hyperplanes(n_planes: int, dim: int, seed_prefix: str = "lsh-plane") -> list[list[float]]:
     """Deterministic hyperplanes from the hash embedder (engine-agnostic:
     derivable from the same seed strings anywhere)."""
@@ -288,8 +302,8 @@ def knn_graph(
     elif method == "lsh":
         if dim is None:
             raise ValueError("knn_graph(method='lsh') requires an explicit dim=")
+        width = band_width(n_planes, bands)
         planes = make_hyperplanes(n_planes, dim)
-        width = n_planes // bands
         coded = emb.select(
             F.col(id_col).alias("doc_id"),
             hyperplane_bucket_col(vec_col, planes).alias("code"),

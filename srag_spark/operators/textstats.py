@@ -497,7 +497,9 @@ def pmi_pairs(
 
     w = words_col(F.col(text_col))
     totals = (
-        docs.select(F.size(w).alias("n"))
+        # size(NULL array) is -1 under non-ANSI semantics — a NULL-text
+        # doc must contribute 0 positions, not subtract one
+        docs.select(F.greatest(F.size(w), F.lit(0)).alias("n"))
         .agg(
             F.sum("n").alias("n_uni"),
             F.sum(F.greatest(F.col("n") - 1, F.lit(0))).alias("n_big"),

@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import hashlib
 import json
-import uuid
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -107,6 +106,13 @@ def incremental_refresh(
     readers and never advances the checkpoint.  The result then carries
     ``published`` and ``audits``.
 
+    Choose refresh gates for CHANGELOG semantics: a legitimate CDC batch
+    may contain only deletions, which absolute-count gates like
+    ``min_docs`` (designed for ingest batches) would reject forever
+    under the stream's retry posture — prefer rate gates
+    (``max_parse_failure_rate``, ``min_quality``,
+    ``max_contamination``) for refresh panels.
+
     Returns ``{"from_version", "to_version", "inserted", "updated",
     "deleted", ...ingest counts}``.  Single-writer like every engine
     mutation.
@@ -150,7 +156,12 @@ def incremental_refresh(
         }
 
     if to_v == from_v:
-        return {**result, "inserted": 0, "updated": 0, "deleted": 0}
+        result.update(inserted=0, updated=0, deleted=0)
+        if audits is not None:
+            # keep the audited result shape stable for on_result hooks
+            # (an idle tick is a successful, trivially-clean refresh)
+            result.update(published=True, audits=[])
+        return result
 
     diff = snapshot_diff(
         spark, source_path, from_v, to_v, key_cols=key_cols
@@ -174,7 +185,14 @@ def incremental_refresh(
             if audits is not None:
                 result.update(published=True, audits=[])
             return result
-        base = engine._table_versions() if audits is not None else None
+        # WAP base = what READERS currently see (the engine-pinned
+        # quadruple), NOT table-latest: a tick that crashed after
+        # applying the diff but before recording the stage leaves
+        # unpublished table commits, and a later failing audit must
+        # unwind to the published state — a table-latest base would
+        # roll back to (and then re-pin) the poisoned leftovers,
+        # publishing the very batch the gates rejected
+        base = engine._published_versions() if audits is not None else None
         if result["deleted"]:
             gone = diff.filter(F.col("change_type") == "delete").select("doc_id")
             for path in engine._table_paths.values():
@@ -197,15 +215,7 @@ def incremental_refresh(
         # through the normal staged_changelog machinery, then flip or
         # unwind.  abandon_ingest rolls EVERY touched table back to base
         # — the deletes too — and the watermark stays put.
-        staging_id = uuid.uuid4().hex
-        fsio.write_text(
-            spark,
-            engine._wap_path(staging_id),
-            json.dumps(
-                {"base": base, "staged": engine._table_versions()},
-                sort_keys=True,
-            ),
-        )
+        staging_id = engine._write_wap_record(base)
         audit_results = [a(engine, staging_id) for a in audits]
         ok = all(r.ok for r in audit_results)
         if ok:

@@ -1033,18 +1033,10 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def table_files(
-    spark: SparkSession, path: str, version: int | None = None
-) -> DataFrame:
-    """Files metadata table (Iceberg's ``files`` read path): one row per
-    LIVE data file of a snapshot — ``(bucket, file, size_bytes,
-    mtime_ms, stats)`` with ``file`` relative to the table root and
-    ``stats`` the bucket's zone-map entry as a JSON string (null when no
-    stats were recorded).  The small-file diagnosis surface: feed the
-    per-bucket file counts/sizes straight into a
-    :func:`rewrite_table` decision.  Cost is O(live buckets) directory
-    listings on the driver (the same class as vacuum) — metadata-only,
-    never opens a data file."""
+def _file_rows(spark: SparkSession, path: str, version: int | None) -> list:
+    """Driver-side rows behind :func:`table_files` (shared with callers
+    like ``SragEngine.describe`` that consume the listing without a
+    DataFrame round-trip)."""
     manifest = read_manifest(spark, path, version=version)
     if manifest is None:
         raise FileNotFoundError(f"no table (no committed manifest) at {path}")
@@ -1059,8 +1051,23 @@ def table_files(
             rows.append(
                 (int(b), f"{rel}/{name}", entry["size"], entry["mtime_ms"], st_json)
             )
+    return rows
+
+
+def table_files(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Files metadata table (Iceberg's ``files`` read path): one row per
+    LIVE data file of a snapshot — ``(bucket, file, size_bytes,
+    mtime_ms, stats)`` with ``file`` relative to the table root and
+    ``stats`` the bucket's zone-map entry as a JSON string (null when no
+    stats were recorded).  The small-file diagnosis surface: feed the
+    per-bucket file counts/sizes straight into a
+    :func:`rewrite_table` decision.  Cost is O(live buckets) directory
+    listings on the driver (the same class as vacuum) — metadata-only,
+    never opens a data file."""
     return spark.createDataFrame(
-        rows,
+        _file_rows(spark, path, version),
         "bucket int, file string, size_bytes long, mtime_ms long, stats string",
     )
 

@@ -203,3 +203,18 @@ def test_pmi_pairs_deterministic_order_and_empty(spark):
     assert keys == sorted(keys, key=lambda t: (-t[0], t[1], t[2]))
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert pmi_pairs(empty, k=5).count() == 0
+
+
+def test_pmi_pairs_null_text_contributes_nothing(spark):
+    from srag_spark.operators.textstats import pmi_pairs
+
+    base = [(0, "new york new york"), (1, "new york new york")]
+    with_null = base + [(2, None), (3, None)]
+    a = pmi_pairs(
+        spark.createDataFrame(base, "doc_id long, text string"), k=5, min_count=2
+    ).collect()
+    b = pmi_pairs(
+        spark.createDataFrame(with_null, "doc_id long, text string"),
+        k=5, min_count=2,
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -620,3 +620,19 @@ def test_knn_graph_requires_dim_and_rejects_bad_method(spark):
         knn_graph(emb, method="lsh")
     with pytest.raises(ValueError, match="method"):
         knn_graph(emb, method="cosine-tree", dim=32)
+
+
+def test_band_width_validation_across_lsh_operators(spark):
+    from srag_spark.operators.dedup import embedding_neardup_pairs
+    from srag_spark.operators.similarity import band_width, knn_graph
+
+    with pytest.raises(ValueError, match="divisor"):
+        band_width(4, 8)  # zero-width blocks
+    with pytest.raises(ValueError, match="divisor"):
+        band_width(16, 5)  # truncated trailing bits
+    assert band_width(16, 4) == 4
+    emb = _emb_df(spark, ["a", "b"])
+    with pytest.raises(ValueError, match="divisor"):
+        knn_graph(emb, method="lsh", n_planes=4, bands=8, dim=32)
+    with pytest.raises(ValueError, match="divisor"):
+        embedding_neardup_pairs(emb, n_planes=16, bands=5, dim=32)

@@ -225,3 +225,58 @@ def test_crash_rerun_converges(spark, tmp_path, monkeypatch):
     assert res["deleted"] == 1 and res["updated"] == 2
     assert refresh_checkpoint(eng, src) == latest_manifest_version(spark, src)
     _assert_engines_equal(eng, _scratch_engine(spark, tmp_path, src, "crash"))
+
+
+def test_audited_refresh_crash_before_stage_record_never_exposes_batch(
+    spark, tmp_path, monkeypatch
+):
+    """A tick that dies AFTER applying the diff but BEFORE recording the
+    stage leaves unpublished table commits.  The rerun's WAP base must
+    be the PUBLISHED state readers see — a failing gate then unwinds
+    the crashed leftovers too, and the poisoned batch never becomes
+    visible (the review-found crash window)."""
+    from srag_spark.api import SragEngine as _Eng
+    from srag_spark.plans.audits import min_docs
+
+    src = str(tmp_path / "src")
+    _source(spark, src, n=6, seed=5)
+    eng = SragEngine(spark, str(tmp_path / "kb"), n_buckets=4)
+    eng.refresh_from(src)
+    wm = refresh_checkpoint(eng, src)
+    before = _table_rows(eng.transcripts())
+
+    upsert_by_key(
+        spark, src, synth_documents_df(spark, 1, seed=88, mega_every=0),
+        ["doc_id"], n_buckets=4,
+    )
+    delete_by_key(
+        spark, src,
+        spark.createDataFrame([("doc-00000002",)], "doc_id string"),
+        ["doc_id"],
+    )
+
+    real = _Eng._write_wap_record
+
+    def boom(self, base):
+        raise RuntimeError("injected crash before stage record")
+
+    monkeypatch.setattr(_Eng, "_write_wap_record", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        eng.refresh_from(src, audits=[min_docs(5)])
+    monkeypatch.setattr(_Eng, "_write_wap_record", real)
+
+    # readers still on the pre-batch snapshot despite the crashed commits
+    assert _table_rows(eng.transcripts()) == before
+
+    # rerun with the (still failing) gate: the WHOLE batch — crashed
+    # leftovers included — must stay invisible and roll back
+    res = eng.refresh_from(src, audits=[min_docs(5)])
+    assert res["published"] is False
+    assert _table_rows(eng.transcripts()) == before
+    assert refresh_checkpoint(eng, src) == wm
+    assert eng.staged_ingests() == {}
+
+    # once the gate passes the same changelog applies cleanly
+    res2 = eng.refresh_from(src, audits=[min_docs(1)])
+    assert res2["published"] is True and res2["deleted"] == 1
+    _assert_engines_equal(eng, _scratch_engine(spark, tmp_path, src, "crashwap"))
