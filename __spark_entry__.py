@@ -639,6 +639,27 @@ def q_ann_knn_graph(spark, sf_dir):
     return knn_graph(emb, k=3, method="lsh", n_planes=16, bands=4, dim=64)
 
 
+def q_ann_lsh_recall(spark, sf_dir):
+    """Recall@5 of the multi-probe LSH ANN against the exact scan
+    (similarity.recall_at_k) — the tuning measurement behind every
+    n_planes/probes choice, per query over the vec_id<5 query sample
+    (recall evaluation always runs on a sampled query set; the exact
+    side is the quadratic input)."""
+    from srag_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        recall_at_k,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    approx = lsh_topk(emb, queries, k=5, n_planes=8, dim=64, probes=2)
+    exact = brute_force_topk(emb, queries, k=5)
+    return recall_at_k(approx, exact, k=5)
+
+
 def q_lang_id(spark, sf_dir):
     """Marker-word language ID over documents."""
     from srag_spark.operators.textstats import language_id
@@ -3906,6 +3927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": q_extract_spans,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_knn_graph": q_ann_knn_graph,
+        "ann_lsh_recall": q_ann_lsh_recall,
         "curate_corpus": q_curate_corpus,
         "curate_corpus_cc": q_curate_corpus_cc,
         "dedup_lines": q_dedup_lines,
@@ -3960,6 +3982,28 @@ _LEX_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x
 
 def oracle_sql() -> dict[str, str]:
     bm25_terms = "('filter','join','spark','table')"
+    d = _oracle_sql_base(bm25_terms)
+    # recall@5 of the LSH ANN vs the exact scan: reuse the two sides'
+    # oracle bodies VERBATIM as subqueries so the three entries can
+    # never drift apart
+    d["ann_lsh_recall"] = f"""
+        WITH approx AS (SELECT * FROM ({d['ann_lsh_topk']})),
+             exact AS (SELECT * FROM ({d['ann_brute_topk']})),
+             hits AS (
+               SELECT a.query_id, CAST(count(*) AS BIGINT) AS hits
+               FROM approx a JOIN exact e
+                 ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+               GROUP BY a.query_id
+             )
+        SELECT q.query_id, coalesce(h.hits, 0) AS hits,
+               round(coalesce(h.hits, 0) / 5.0, 6) AS recall_r
+        FROM (SELECT DISTINCT query_id FROM exact) q
+        LEFT JOIN hits h ON h.query_id = q.query_id
+    """
+    return d
+
+
+def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
     return {
         "s5_scan_sorted": (
             "SELECT doc_id, n_chars FROM documents "

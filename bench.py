@@ -79,6 +79,7 @@ HEADLINE_QUERY_NAMES = [
     "ann_knn_graph",
     "pmi_pairs",
     "bpe_encode",
+    "ann_lsh_recall",
 ]
 
 

@@ -354,6 +354,44 @@ def knn_graph(
     )
 
 
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the
+    exact one — the tuning measurement behind every n_planes/probes/
+    nprobe choice (``(query_id, hits, recall_r)``, recall = |approx ∩
+    exact|/k).  Both inputs use the ANN contract ``(query_id, vec_id,
+    score_r, rank)`` with rank ≤ k (:func:`brute_force_topk` /
+    :func:`lsh_topk` / :func:`ivf_topk` / :func:`knn_graph` renamed).
+
+    One inner join on (query_id, vec_id) + one tiny groupBy keyed by
+    query — the exact side is the expensive input (quadratic by
+    construction), so at scale this runs over a SAMPLED query set, which
+    is standard recall-evaluation practice.  Queries the approximate
+    side missed entirely still appear (recall 0) via the exact side's
+    query census."""
+    hits = (
+        approx.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    queries = exact.select("query_id").distinct()
+    return (
+        queries.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.round(F.coalesce("hits", F.lit(0)) / F.lit(float(k)), 6).alias(
+                "recall_r"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 def probe_buckets_col(bucket_col, n_planes: int, probes: int) -> "F.Column":
     """Array of probe bucket codes for a query: the bucket itself, plus —
     when ``probes`` ≥ 2 — every Hamming-1 neighbor (one bit flipped).

@@ -636,3 +636,29 @@ def test_band_width_validation_across_lsh_operators(spark):
         knn_graph(emb, method="lsh", n_planes=4, bands=8, dim=32)
     with pytest.raises(ValueError, match="divisor"):
         embedding_neardup_pairs(emb, n_planes=16, bands=5, dim=32)
+
+
+def test_recall_at_k_counts_and_missing_queries(spark):
+    from srag_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        recall_at_k,
+    )
+
+    emb = _emb_df(spark, [f"doc {i}" for i in range(40)])
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    # exact vs itself: recall 1.0 everywhere
+    perfect = recall_at_k(exact, exact, k=5).collect()
+    assert [r["recall_r"] for r in perfect] == [1.0] * 4
+    # approximate side: recall in [0, 1], every exact query present
+    approx = lsh_topk(emb, queries, k=5, n_planes=4, dim=32)
+    out = recall_at_k(approx, exact, k=5).collect()
+    assert [r["query_id"] for r in out] == [0, 1, 2, 3]
+    for r in out:
+        assert 0.0 <= r["recall_r"] <= 1.0 and r["hits"] == round(r["recall_r"] * 5)
+    # a query with no approx rows at all still appears with recall 0
+    empty = recall_at_k(approx.limit(0), exact, k=5).collect()
+    assert [(r["query_id"], r["hits"]) for r in empty] == [(0, 0), (1, 0), (2, 0), (3, 0)]
