@@ -100,3 +100,32 @@ def test_merges_df_roundtrip(spark):
         for r in df.orderBy("rank").collect()
     ]
     assert back == merges
+
+
+def test_bpe_properties_roundtrip_and_determinism():
+    """Pure-Python property sweep (no Spark): for ANY corpus, (1) the
+    learned merges applied greedily reconstruct each word exactly when
+    concatenated (BPE is a segmentation, never a rewrite), (2) training
+    is deterministic, (3) every emitted token is non-empty."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(words)
+    def check(ws):
+        counts = [(w, 1 + i % 3) for i, w in enumerate(ws)]
+        merges = learn_bpe(counts, n_merges=8, min_pair_count=2)
+        assert merges == learn_bpe(counts, n_merges=8, min_pair_count=2)
+        ranks = {m: i for i, m in enumerate(merges)}
+        for w, _ in counts:
+            toks = encode_word(w, ranks)
+            assert all(toks)
+            assert "".join(toks) == w + END_OF_WORD
+
+    check()
