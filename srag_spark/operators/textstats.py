@@ -467,6 +467,8 @@ def pmi_pairs(
     min_count: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Top-``k`` adjacent-word collocations by pointwise mutual
     information: ``(word_a, word_b, n_pair, pmi_r)`` — the corpus's
@@ -493,13 +495,20 @@ def pmi_pairs(
     bigram side is small; top-k is TakeOrderedAndProject, never a global
     sort.  Nothing quadratic, nothing driver-side beyond 2 scalars + k
     result rows."""
-    from srag_spark.operators.dedup import words_col
+    from srag_spark.operators.dedup import _persist, words_col
 
-    w = words_col(F.col(text_col))
+    toks = docs.select(words_col(F.col(text_col)).alias("w"))
+    if materialize:
+        # three consumers (totals, bigram counts, unigram counts) share
+        # the tokenized relation — persist it so the regex normalization
+        # runs once per corpus, not three times (persisted=[] + release
+        # for caller-controlled lifetime)
+        toks = _persist(toks, persisted)
+    w = F.col("w")
     totals = (
         # size(NULL array) is -1 under non-ANSI semantics — a NULL-text
         # doc must contribute 0 positions, not subtract one
-        docs.select(F.greatest(F.size(w), F.lit(0)).alias("n"))
+        toks.select(F.greatest(F.size(w), F.lit(0)).alias("n"))
         .agg(
             F.sum("n").alias("n_uni"),
             F.sum(F.greatest(F.col("n") - 1, F.lit(0))).alias("n_big"),
@@ -523,14 +532,14 @@ def pmi_pairs(
         F.array().cast("array<struct<word_a:string,word_b:string>>")
     )
     big_counts = (
-        docs.select(F.explode(bigrams).alias("bg"))
+        toks.select(F.explode(bigrams).alias("bg"))
         .select("bg.word_a", "bg.word_b")
         .groupBy("word_a", "word_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
         .filter(F.col("n_pair") >= min_count)
     )
     uni_counts = (
-        docs.select(F.explode(w).alias("word"))
+        toks.select(F.explode(w).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("c_w"))
     )
