@@ -120,6 +120,51 @@ def q_s5_range_scan(spark, sf_dir):
     )
 
 
+def q_s5_zorder_scan(spark, sf_dir):
+    """S5c: TWO-dimensional data skipping via Z-ORDER compaction.
+
+    Same day-keyed events lake table as s5_range_scan, but compacted
+    with ``zorder_by=["ts", "value"]`` (tables.rewrite_table — Iceberg's
+    ``zorder(a, b)`` rewrite / Delta OPTIMIZE ZORDER BY: quantile-binned
+    interleaved-bit Morton keys as one native BIGINT expression,
+    srag_spark/functions/zorder.py).  A lexicographic ts-sort serves
+    only ts predicates; the Z curve clusters every contiguous row run
+    tightly in BOTH dimensions, so the conjunctive (ts window AND value
+    band) query skips manifest buckets on ts (zone maps recorded for
+    both z-columns) and row groups on either column.  The result is
+    exactly the SQL conjunction — layout changes WHAT IS READ, never
+    what is returned.
+    """
+    import datetime as dt
+    import tempfile
+
+    from srag_spark.sources.tables import (
+        rewrite_table,
+        scan_range,
+        upsert_by_key,
+    )
+
+    path = tempfile.mkdtemp(prefix="srag_zorderscan_") + "/events"
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_id", "ts", "user_id", "value",
+    )
+    upsert_by_key(
+        spark, path, ev, ["day", "event_id"],
+        n_buckets=16, persist_incoming=False,
+    )
+    rewrite_table(spark, path, zorder_by=["ts", "value"])
+    return (
+        scan_range(
+            spark, path, "ts",
+            dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 15),
+        )
+        .filter((F.col("value") >= 50.0) & (F.col("value") <= 150.0))
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("event_id")
+    )
+
+
 def q_s6_point_lookup(spark, sf_dir):
     """S6: point lookup (PostgresTranscriptRepository.scala:69-75)."""
     return (
@@ -3891,6 +3936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s5_scan_sorted": q_s5_scan_sorted,
         "s5_range_scan": q_s5_range_scan,
+        "s5_zorder_scan": q_s5_zorder_scan,
         "s6_point_lookup": q_s6_point_lookup,
         "q9_listing_filter_sort": q_q9_listing_filter_sort,
         "q10_topk_orders": q_q10_topk_orders,
@@ -4013,6 +4059,13 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
             "SELECT event_id, ts, user_id, value FROM events "
             "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
             "AND ts <= TIMESTAMP '2024-01-12 00:00:00' "
+            "ORDER BY event_id"
+        ),
+        "s5_zorder_scan": (
+            "SELECT event_id, ts, user_id, value FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' "
+            "AND ts <= TIMESTAMP '2024-01-15 00:00:00' "
+            "AND value >= 50.0 AND value <= 150.0 "
             "ORDER BY event_id"
         ),
         "s6_point_lookup": (

@@ -782,6 +782,7 @@ class SragEngine:
         self,
         n_buckets: int | None = None,
         sort_by: dict[str, list[str]] | None = None,
+        zorder_by: dict[str, list[str]] | None = None,
     ) -> dict:
         """Compact all four tables (one file per bucket; optionally
         re-bucket to ``n_buckets`` — tables.rewrite_table's layout
@@ -789,7 +790,10 @@ class SragEngine:
         compacted versions.  ``sort_by`` maps table name → in-bucket
         sort columns (tables.rewrite_table's sort order + zone-map
         stats) for the tables that benefit, e.g. ``{"metrics":
-        ["ingested_at"]}``.  Logical content is untouched; readers on
+        ["ingested_at"]}``; ``zorder_by`` maps table name → Z-curve
+        cluster columns instead (multi-dimensional row-group skipping —
+        tables.rewrite_table ``zorder_by=``).  Logical content is
+        untouched; readers on
         older engine snapshots keep time-traveling until :meth:`vacuum`.
         Run out-of-band, like vacuum — a maintenance pass for tables
         that accumulated many per-ingest commit dirs or outgrew their
@@ -811,6 +815,7 @@ class SragEngine:
                 stats[name] = rewrite_table(
                     self.spark, path, n_buckets=n_buckets,
                     sort_by=(sort_by or {}).get(name),
+                    zorder_by=(zorder_by or {}).get(name),
                 )
         self._publish_engine_snapshot()
         return stats

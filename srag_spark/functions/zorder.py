@@ -1,0 +1,135 @@
+"""Z-ORDER clustering expressions — multi-column interleaved-bit sort keys.
+
+Iceberg's ``rewrite_data_files(strategy => 'sort', sort_order =>
+'zorder(a, b)')`` and Delta's ``OPTIMIZE ... ZORDER BY`` re-cluster data
+files so that per-file (and per-row-group) min/max statistics are tight
+on EVERY named column simultaneously, instead of only the leading column
+of a lexicographic sort.  The mechanism is a space-filling curve: each
+column value is quantized to a small fixed-width integer bin, the bins'
+bits are interleaved into one integer z-value, and rows are sorted by
+that z-value.  Points close on the Z curve are close in every dimension,
+so any contiguous run of rows (a parquet row group) spans a small
+min/max rectangle — range predicates on ANY z-column skip most row
+groups, where a lexicographic sort only serves its leading column.
+
+This module provides the two pieces as pure, scale-safe building blocks:
+
+* :func:`compute_boundaries` — per-column quantile bin edges via
+  ``DataFrame.approxQuantile`` (Greenwald-Khanna sketch: one linear,
+  map-side-combinable pass; driver state = ``2^bits - 1`` floats per
+  column, never row data).  Quantile binning makes the curve immune to
+  value skew — equal-POPULATION bins, exactly how Delta's
+  ``range_partition_id`` quantizes.
+* :func:`zvalue_col` — the z-value as ONE native column expression:
+  bin lookup is a binary-search-free ``size(filter(boundaries, b ->
+  b <= x))`` over a broadcast literal array, bit interleaving is a sum
+  of ``shiftleft``/``shiftright`` terms.  Whole-stage-codegen'd, zero
+  Python, zero shuffles — the sort that consumes it rides whatever
+  exchange the caller already has.
+
+Supported column types: numeric, date, timestamp (normalized to double
+before quantization).  Strings are rejected — hash-mapping them would
+destroy the range locality z-ordering exists to create (Delta truncates
+string prefixes instead; out of scope here).  NULLs bin to 0 and
+therefore cluster at the front of the curve, mirroring NULLS FIRST.
+
+Used by :func:`srag_spark.sources.tables.rewrite_table` (``zorder_by=``)
+to cluster each bucket's file at compaction; see there for the zone-map
+integration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MAX_COLS = 4
+_ZBIN = "__zbin"
+
+
+def _as_double(col: str, dtype: str):
+    """The column normalized to a double for quantile math; None if the
+    type cannot be z-ordered."""
+    s = dtype
+    if s in ("tinyint", "smallint", "int", "bigint", "float", "double") or s.startswith(
+        "decimal"
+    ):
+        return F.col(col).cast("double")
+    if s == "timestamp":
+        return F.col(col).cast("double")
+    if s in ("timestamp_ntz", "date"):
+        # no direct double cast: route via timestamp (session-tz anchored;
+        # boundaries and z-values share the normalization, so the binning
+        # is internally consistent whatever the session timezone)
+        return F.col(col).cast("timestamp").cast("double")
+    return None
+
+
+def compute_boundaries(
+    df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0.01
+) -> dict[str, list[float]]:
+    """Per-column ascending quantile boundaries for ``2^bits`` bins —
+    one GK-sketch pass over ``df`` (``approxQuantile`` on all columns at
+    once).  Duplicate edges (heavy values) collapse, so a column's bin
+    count adapts to its actual cardinality.  Raises on unsupported
+    column types so callers fail before rewriting anything."""
+    if not 1 <= len(cols) <= _MAX_COLS:
+        raise ValueError(f"zorder_by takes 1..{_MAX_COLS} columns, got {len(cols)}")
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    exprs = []
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"zorder column {c!r} not in schema")
+        e = _as_double(c, by_name[c])
+        if e is None:
+            raise ValueError(
+                f"zorder column {c!r} has unsupported type {by_name[c]!r} "
+                "(numeric/date/timestamp only)"
+            )
+        exprs.append(e.alias(f"{_ZBIN}_{c}"))
+    proj = df.select(*exprs)
+    n_edges = (1 << bits) - 1
+    probs = [(i + 1) / (1 << bits) for i in range(n_edges)]
+    quants = proj.approxQuantile([f"{_ZBIN}_{c}" for c in cols], probs, rel_err)
+    out = {}
+    for c, qs in zip(cols, quants):
+        edges: list[float] = []
+        for q in qs:  # approxQuantile drops nulls; qs may be [] on all-null
+            if not edges or q > edges[-1]:
+                edges.append(float(q))
+        out[c] = edges
+    return out
+
+
+def zvalue_col(
+    boundaries: dict[str, list[float]], dtypes: dict[str, str], bits: int = 8
+):
+    """The interleaved-bit z-value over ``boundaries``' columns as one
+    native BIGINT column expression.  Column j's bit i lands at position
+    ``i * ncols + (ncols - 1 - j)`` so equal-significance bits of all
+    columns are adjacent — the standard Morton layout.  NULL bins to 0."""
+    cols = list(boundaries)
+    ncols = len(cols)
+    if not 1 <= ncols <= _MAX_COLS:
+        raise ValueError(f"zvalue_col takes 1..{_MAX_COLS} columns, got {ncols}")
+    if bits * ncols > 62:
+        raise ValueError("bits * ncols must fit a signed 64-bit z-value")
+    z = F.lit(0).cast("bigint")
+    for j, c in enumerate(cols):
+        edges = boundaries[c]
+        x = _as_double(c, dtypes[c])
+        if x is None:
+            raise ValueError(f"unsupported zorder column type for {c!r}")
+        if edges:
+            arr = F.array(*[F.lit(e) for e in edges])
+            bin_ = F.coalesce(
+                F.size(F.filter(arr, lambda b: b <= x)).cast("bigint"), F.lit(0)
+            )
+        else:  # all-null or empty column: everything bins to 0
+            bin_ = F.lit(0).cast("bigint")
+        for i in range(bits):
+            pos = i * ncols + (ncols - 1 - j)
+            z = z + F.shiftleft(
+                F.shiftright(bin_, i).bitwiseAND(F.lit(1)), pos
+            ).cast("bigint")
+    return z

@@ -411,6 +411,7 @@ def _prepare_upsert(
         "bucket_col": bcol,
         "key_cols": manifest.get("key_cols", list(key_cols)),
         "sort_by": manifest.get("sort_by"),
+        "zorder_by": manifest.get("zorder_by"),
         "stats": _carry_stats(manifest, touched),
         "schema": merged.json(),
         "buckets": buckets,
@@ -510,6 +511,7 @@ def _commit_touched_rewrite(
             "bucket_col": manifest["bucket_col"],
             "key_cols": manifest.get("key_cols"),
             "sort_by": manifest.get("sort_by"),
+            "zorder_by": manifest.get("zorder_by"),
             "stats": _carry_stats(manifest, touched),
             "schema": manifest["schema"],
             "buckets": buckets,
@@ -693,6 +695,7 @@ def rewrite_table(
     n_buckets: int | None = None,
     sort_by: list[str] | None = None,
     stats_for: list[str] | None = None,
+    zorder_by: list[str] | None = None,
     max_commit_retries: int = 2,
 ) -> dict:
     """Compaction + bucket-layout evolution in one snapshot-atomic
@@ -726,9 +729,24 @@ def rewrite_table(
     layout change.  Recorded in the manifest (``sort_by``) so later
     compactions can preserve it.
 
+    ``zorder_by`` clusters each bucket's file on a Z space-filling curve
+    over SEVERAL columns instead of a lexicographic sort (Iceberg's
+    ``zorder(a, b)`` rewrite strategy, Delta's ``OPTIMIZE ... ZORDER
+    BY``): column values are quantile-binned (one GK-sketch pass over
+    the live snapshot, skew-immune equal-population bins) and the bins'
+    bits interleaved into one BIGINT sort key — all native expressions,
+    see :mod:`srag_spark.functions.zorder`.  A lexicographic sort makes
+    row-group min/max tight on its LEADING column only; the Z curve
+    makes contiguous row runs span a small rectangle in EVERY named
+    dimension, so range predicates on any z-column skip row groups.
+    Mutually exclusive with ``sort_by``; recorded in the manifest
+    (``zorder_by``) and preserved by later compactions; zone-map stats
+    default to the z-columns.  Numeric/date/timestamp columns only.
+
     ``stats_for`` names columns whose per-bucket [min, max] are recorded
-    in the manifest as ZONE MAPS (defaults to the sort columns — the
-    ones compaction just range-clustered, where pruning pays most):
+    in the manifest as ZONE MAPS (defaults to the sort or z-order
+    columns — the ones compaction just range-clustered, where pruning
+    pays most):
     :func:`scan_range` then eliminates whole buckets from the manifest
     dict alone, before any Spark task launches.  Incremental commits
     drop rewritten buckets' entries (conservative, never wrong); the
@@ -744,7 +762,9 @@ def rewrite_table(
     """
     for attempt in range(max_commit_retries + 1):
         try:
-            return _rewrite_once(spark, path, n_buckets, sort_by, stats_for)
+            return _rewrite_once(
+                spark, path, n_buckets, sort_by, stats_for, zorder_by
+            )
         except ManifestCommitRace:
             if attempt == max_commit_retries:
                 raise
@@ -756,6 +776,7 @@ def _rewrite_once(
     n_buckets: int | None,
     sort_by: list[str] | None = None,
     stats_for: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     manifest = read_manifest(spark, path)
     if manifest is None:
@@ -768,11 +789,30 @@ def _rewrite_once(
     )
     commit_id = f"c{uuid.uuid4().hex}"
     # one task per bucket → one file per bucket dir (the compaction);
-    # the optional in-bucket sort clusters each file for parquet
-    # row-group stats skipping
-    sort_by = sort_by if sort_by is not None else manifest.get("sort_by")
+    # the optional in-bucket (z-)sort clusters each file for parquet
+    # row-group stats skipping.  Passing an explicit [] clears an
+    # inherited order; passing one order clears the other kind.
+    inherit = sort_by is None and zorder_by is None
+    sort_by = manifest.get("sort_by") if inherit else sort_by
+    zorder_by = manifest.get("zorder_by") if inherit else zorder_by
+    if sort_by and zorder_by:
+        raise ValueError("pass sort_by= or zorder_by=, not both")
     laid = rows.repartition(new_n, F.col(BUCKET_COL))
-    if sort_by:
+    zv = "__zv"
+    if zorder_by:
+        from srag_spark.functions import zorder as _zorder
+
+        # one GK-sketch pass over the live snapshot for the bin edges
+        # (driver state: 255 floats per column), then the z-value as a
+        # single codegen'd expression riding the compaction exchange
+        bnds = _zorder.compute_boundaries(rows, list(zorder_by))
+        dtypes = {f.name: f.dataType.simpleString() for f in rows.schema.fields}
+        laid = (
+            laid.withColumn(zv, _zorder.zvalue_col(bnds, dtypes))
+            .sortWithinPartitions(BUCKET_COL, zv)
+            .drop(zv)  # projection: preserves the in-partition order
+        )
+    elif sort_by:
         # lead with the bucket column: the parquet writer requires task
         # rows ordered by the partition column and would otherwise
         # re-sort (destroying the secondary order); with _kb leading,
@@ -784,7 +824,11 @@ def _rewrite_once(
         str(b): f"data/{commit_id}/{BUCKET_COL}={b}"
         for b in _buckets_in_commit(spark, data_dir)
     }
-    stat_cols = list(stats_for) if stats_for is not None else list(sort_by or [])
+    stat_cols = (
+        list(stats_for)
+        if stats_for is not None
+        else list(sort_by or zorder_by or [])
+    )
     stats = _compute_stats(spark, data_dir, stat_cols) if stat_cols else {}
     commit_manifest(
         spark,
@@ -794,6 +838,7 @@ def _rewrite_once(
             "bucket_col": bcol,
             "key_cols": manifest.get("key_cols"),
             "sort_by": list(sort_by) if sort_by else None,
+            "zorder_by": list(zorder_by) if zorder_by else None,
             "stats": stats,
             "schema": manifest["schema"],
             "buckets": buckets,
@@ -994,7 +1039,7 @@ def scan_range(
 def table_history(spark: SparkSession, path: str) -> DataFrame:
     """Snapshot-history metadata table (Iceberg's ``snapshots``/
     ``history`` read path): one row per SURVIVING snapshot —
-    ``(version, n_buckets, bucket_col, key_cols, sort_by,
+    ``(version, n_buckets, bucket_col, key_cols, sort_by, zorder_by,
     n_live_buckets, n_fields, tags)`` — so layout evolution, schema
     growth and tag placement are queryable without touching a byte of
     data.  Metadata-only: O(versions) manifest reads on the driver,
@@ -1020,6 +1065,7 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
                 m.get("bucket_col"),
                 m.get("key_cols"),
                 m.get("sort_by"),
+                m.get("zorder_by"),
                 len(m.get("buckets") or {}),
                 n_fields,
                 tag_by_v.get(v, []),
@@ -1029,6 +1075,7 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
         rows,
         "version int, n_buckets int, bucket_col string, "
         "key_cols array<string>, sort_by array<string>, "
+        "zorder_by array<string>, "
         "n_live_buckets int, n_fields int, tags array<string>",
     )
 
@@ -1290,6 +1337,7 @@ def _rebase_staged(latest: dict | None, st: dict, path: str) -> dict:
         "bucket_col": latest["bucket_col"],
         "key_cols": latest.get("key_cols") or staged_body.get("key_cols"),
         "sort_by": latest.get("sort_by"),
+        "zorder_by": latest.get("zorder_by"),
         "stats": _carry_stats(latest, st["touched"]),
         "schema": merged.json(),
         "buckets": buckets,
