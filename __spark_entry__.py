@@ -1986,6 +1986,50 @@ def _pack_sequences_sql() -> str:
     """
 
 
+def q_corpus_cluster_sample(spark, sf_dir):
+    """Cluster-balanced diversity sampling (selection.
+    cluster_balanced_sample — the DataComp / Vo et al. 2024 recipe):
+    nearest-centroid assignment over 16 deterministic cells (the
+    SemDeDup/IVF codegen'd argmax expression), then an EXACT 5-per-cell
+    quota via the stratified md5(id:seed) rank — dominant embedding
+    modes cannot swamp the selection.  Pure function of (ids,
+    centroids, seed); assignment row-local, quota via bounded census +
+    prefiltered window."""
+    from srag_spark.operators.selection import cluster_balanced_sample
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cluster_balanced_sample(
+        emb, k_per_cluster=5, n_clusters=16, dim=64, seed=42
+    )
+
+
+def _cluster_sample_sql(n_clusters: int = 16, k: int = 5, seed: int = 42) -> str:
+    from srag_spark.operators.similarity import make_centroids
+
+    centroids = make_centroids(n_clusters, 64)
+    dots = "[" + ", ".join(_plane_dot_sql("embedding", c) for c in centroids) + "]"
+    return f"""
+        WITH d AS (
+          SELECT vec_id, {dots} AS dots FROM embeddings
+        ),
+        a AS (
+          SELECT vec_id,
+                 CAST(list_position(dots, list_max(dots)) AS INT) AS cell,
+                 round(list_max(dots), 6) AS csim_r
+          FROM d
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY cell
+                   ORDER BY md5(vec_id::VARCHAR || ':{seed}'), vec_id
+                 ) AS rk
+          FROM a
+        )
+        SELECT vec_id, cell, csim_r, rk::BIGINT AS sample_rank
+        FROM r WHERE rk <= {k}
+    """
+
+
 def q_corpus_sample_mixture(spark, sf_dir):
     """Deterministic per-language mixture sampling
     (corpus.sample_mixture): md5(doc_id:seed) hex-threshold verdicts —
@@ -3983,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_extract_features": q_mm_extract_features,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_sample_mixture": q_corpus_sample_mixture,
+        "corpus_cluster_sample": q_corpus_cluster_sample,
         "corpus_repeat_epochs": q_corpus_repeat_epochs,
         "url_filter": q_url_filter,
         "corpus_decontaminate": q_corpus_decontaminate,
@@ -4394,6 +4439,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "dedup_lines_agg": _dedup_lines_sql(),
         "corpus_pack_sequences": _pack_sequences_sql(),
         "corpus_sample_mixture": _sample_mixture_sql(),
+        "corpus_cluster_sample": _cluster_sample_sql(),
         "corpus_repeat_epochs": _repeat_epochs_sql(),
         "url_filter": _url_filter_sql(),
         "corpus_decontaminate": _decontaminate_sql(),

@@ -149,3 +149,76 @@ def dsir_weights(
         )
     )
     return scored
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    k_per_cluster: int,
+    n_clusters: int = 16,
+    dim: int | None = None,
+    centroids: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    oversample: float = 4.0,
+    persisted: list | None = None,
+) -> DataFrame:
+    """Cluster-balanced diversity sampling over an embedding column —
+    the k-means-then-equal-quota selection recipe of DataComp-class
+    curation and Vo et al. 2024 ("Automatic Data Curation for
+    Self-Supervised Learning": cluster the pool, draw a FLAT quota per
+    cluster so dominant modes — boilerplate, one mega-domain, one
+    language register — cannot swamp the training budget the way an
+    i.i.d. sample of a skewed corpus does).
+
+    Composition of two existing audited pieces, no new distributed
+    machinery:
+
+      1. nearest-centroid assignment — the same row-local codegen'd
+         argmax-of-literal-dots expression SemDeDup and IVF use
+         (``similarity._centroid_dots_sql``; pass ``centroids=`` from
+         ``similarity.train_centroids_kmeans`` for trained cells, or
+         default to the deterministic hash-seeded ``make_centroids``);
+      2. an EXACT ``k_per_cluster`` quota per cell via
+         ``corpus.sample_stratified`` (md5(id:seed) rank — the selected
+         set is a pure function of (ids, centroids, seed), independent
+         of partitioning and engine; clusters with ≤ k members are
+         returned whole).
+
+    Returns ``(id, cell, csim_r, sample_rank)`` — ``csim_r`` is the
+    rounded similarity-to-centroid (prototype closeness, useful for
+    downstream inspection), ``sample_rank`` the 1-based hash rank
+    within the cell.
+
+    Scale shape: assignment is row-local (n_clusters × dim literal
+    dots, whole-stage codegen); the sampler is a bounded cell census
+    (≤ n_clusters rows to the driver), a row-local hex-threshold
+    prefilter, and a per-cell top-k window over ~oversample·k
+    survivors — never a full per-cell sort.  Nothing quadratic, no
+    self-joins; malformed vectors (null / wrong dim) are dropped like
+    the ANN operators do.
+    """
+    from srag_spark.operators.corpus import sample_stratified
+    from srag_spark.operators.similarity import _centroid_dots_sql, make_centroids
+
+    if dim is None:
+        raise ValueError("cluster_balanced_sample requires an explicit dim=")
+    cents = centroids if centroids is not None else make_centroids(n_clusters, dim)
+    v = F.col(vec_col)
+    dots = _centroid_dots_sql(vec_col, cents)
+    assigned = emb.filter(v.isNotNull() & (F.size(v) == dim)).select(
+        F.col(id_col),
+        F.expr(f"CAST(array_position({dots}, array_max({dots})) AS INT)").alias(
+            "cell"
+        ),
+        F.round(F.expr(f"array_max({dots})"), 6).alias("csim_r"),
+    )
+    return sample_stratified(
+        assigned,
+        k_per_cluster,
+        group_col="cell",
+        seed=seed,
+        id_col=id_col,
+        oversample=oversample,
+        persisted=persisted,
+    )

@@ -126,3 +126,81 @@ def test_entry_matches_duckdb_oracle(spark):
         assert srows[k][1] == pytest.approx(orows[k][1], abs=1e-4), k
     # weights genuinely separate: multiple distinct values
     assert len({v[1] for v in srows.values()}) > 10
+
+
+# ---------------------------------------------------------------------------
+# cluster_balanced_sample — flat per-cell quota over embedding clusters
+# ---------------------------------------------------------------------------
+
+def _emb_df(spark, n=400, dim=8, skew_cell_frac=0.7):
+    """Deterministic embeddings engineered so one direction dominates:
+    ~70% of vectors point near e0, the rest spread over other axes."""
+    import math as _m
+
+    rows = []
+    for i in range(n):
+        v = [0.0] * dim
+        if i < n * skew_cell_frac:
+            v[0] = 1.0
+            v[1 + (i % (dim - 1))] = 0.05 * ((i % 7) + 1)
+        else:
+            v[1 + (i % (dim - 1))] = 1.0
+            v[0] = 0.01 * (i % 5)
+        norm = _m.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / norm for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cluster_sample_exact_flat_quota(spark):
+    from srag_spark.operators.selection import cluster_balanced_sample
+
+    emb = _emb_df(spark)
+    out = cluster_balanced_sample(emb, k_per_cluster=3, n_clusters=8, dim=8).collect()
+    per_cell = {}
+    for r in out:
+        per_cell.setdefault(r["cell"], []).append(r)
+    # every populated cell contributes EXACTLY min(k, |cell|) rows
+    assigned = cluster_balanced_sample(
+        emb, k_per_cluster=10**9, n_clusters=8, dim=8
+    ).collect()  # k huge → whole assignment
+    sizes = {}
+    for r in assigned:
+        sizes[r["cell"]] = sizes.get(r["cell"], 0) + 1
+    assert set(per_cell) == set(sizes)
+    for c, rows in per_cell.items():
+        assert len(rows) == min(3, sizes[c]), c
+        assert sorted(r["sample_rank"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+    # the dominant mode is capped at k like every other cell
+    assert max(len(v) for v in per_cell.values()) <= 3
+
+
+def test_cluster_sample_partitioning_invariant_and_drops_malformed(spark):
+    from srag_spark.operators.selection import cluster_balanced_sample
+
+    emb = _emb_df(spark, n=120)
+    bad = spark.createDataFrame(
+        [(9001, None), (9002, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    a = {
+        (r["vec_id"], r["cell"], r["sample_rank"])
+        for r in cluster_balanced_sample(
+            emb.unionByName(bad), 4, n_clusters=8, dim=8
+        ).collect()
+    }
+    b = {
+        (r["vec_id"], r["cell"], r["sample_rank"])
+        for r in cluster_balanced_sample(
+            emb.repartition(17), 4, n_clusters=8, dim=8
+        ).collect()
+    }
+    assert a == b  # malformed rows dropped; layout-independent selection
+    assert all(v < 9000 for v, _, _ in a)
+
+
+def test_cluster_sample_requires_dim(spark):
+    from srag_spark.operators.selection import cluster_balanced_sample
+
+    with pytest.raises(ValueError, match="dim="):
+        cluster_balanced_sample(_emb_df(spark, n=8), 2)
