@@ -80,6 +80,8 @@ HEADLINE_QUERY_NAMES = [
     "pmi_pairs",
     "bpe_encode",
     "ann_lsh_recall",
+    "s5_zorder_scan",
+    "corpus_cluster_sample",
 ]
 
 
