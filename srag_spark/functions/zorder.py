@@ -66,13 +66,22 @@ def _as_double(col: str, dtype: str):
 
 
 def compute_boundaries(
-    df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0.01
+    df: DataFrame, cols: list[str], bits: int = 8, rel_err: float | None = None
 ) -> dict[str, list[float]]:
     """Per-column ascending quantile boundaries for ``2^bits`` bins —
     one GK-sketch pass over ``df`` (``approxQuantile`` on all columns at
     once).  Duplicate edges (heavy values) collapse, so a column's bin
     count adapts to its actual cardinality.  Raises on unsupported
-    column types so callers fail before rewriting anything."""
+    column types so callers fail before rewriting anything.
+
+    ``rel_err`` defaults to a QUARTER of the bin spacing (``1 / 2^(bits
+    + 2)``): the sketch error must be well under the 1/2^bits distance
+    between requested quantiles or adjacent edges come back equal /
+    inverted and the dedup collapses the design's bin count (a 0.01
+    error at bits=8 yields ~50-100 effective bins, not 256).  GK driver
+    state stays O(1/rel_err · log n) floats — trivial at 0.001."""
+    if rel_err is None:
+        rel_err = 1.0 / (1 << (bits + 2))
     if not 1 <= len(cols) <= _MAX_COLS:
         raise ValueError(f"zorder_by takes 1..{_MAX_COLS} columns, got {len(cols)}")
     by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}

@@ -199,7 +199,11 @@ def cluster_balanced_sample(
     the ANN operators do.
     """
     from srag_spark.operators.corpus import sample_stratified
-    from srag_spark.operators.similarity import _centroid_dots_sql, make_centroids
+    from srag_spark.operators.similarity import (
+        _centroid_dots_sql,
+        ivf_cell_col,
+        make_centroids,
+    )
 
     if dim is None:
         raise ValueError("cluster_balanced_sample requires an explicit dim=")
@@ -208,9 +212,9 @@ def cluster_balanced_sample(
     dots = _centroid_dots_sql(vec_col, cents)
     assigned = emb.filter(v.isNotNull() & (F.size(v) == dim)).select(
         F.col(id_col),
-        F.expr(f"CAST(array_position({dots}, array_max({dots})) AS INT)").alias(
-            "cell"
-        ),
+        # the one shared assignment expression — SemDeDup/IVF and this
+        # sampler must agree on cells by construction
+        ivf_cell_col(vec_col, cents).alias("cell"),
         F.round(F.expr(f"array_max({dots})"), 6).alias("csim_r"),
     )
     return sample_stratified(

@@ -52,6 +52,7 @@ WET_RECORDS_SCHEMA = StructType(
         StructField("warc_date", StringType(), True),
         StructField("content_type", StringType(), True),
         StructField("content_length", LongType(), True),
+        StructField("record_offset", LongType(), True),
         StructField("text", StringType(), True),
         StructField("source_file", StringType(), True),
     ]
@@ -97,8 +98,10 @@ def _parse_stream(data: bytes, name: str, strict: bool) -> Iterator[dict]:
                 return
             pos = nxt + 1
             continue
+        rec_off = pos
         pos = eol + 1
         headers: dict[str, str] = {}
+        last_key: str | None = None
         while pos < n:
             eol = data.find(b"\n", pos)
             if eol < 0:
@@ -109,19 +112,24 @@ def _parse_stream(data: bytes, name: str, strict: bool) -> Iterator[dict]:
             pos = eol + 1
             if not line:
                 break  # end of header block
-            if b":" in line:
+            if line[:1] in (b" ", b"\t") and last_key is not None:
+                # WARC grammar folded continuation line: append to the
+                # previous header's value
+                headers[last_key] += " " + line.strip().decode("utf-8", "replace")
+            elif b":" in line:
                 k, v = line.split(b":", 1)
-                headers[k.strip().decode("utf-8", "replace").lower()] = (
-                    v.strip().decode("utf-8", "replace")
-                )
+                last_key = k.strip().decode("utf-8", "replace").lower()
+                headers[last_key] = v.strip().decode("utf-8", "replace")
             elif strict:
                 raise WetFormatError(f"{name}: malformed header line {line[:60]!r}")
         try:
             clen = int(headers.get("content-length", ""))
+            if clen < 0:
+                raise ValueError("negative")
         except ValueError:
             if strict:
                 raise WetFormatError(
-                    f"{name}: record without numeric Content-Length"
+                    f"{name}: record without valid Content-Length"
                 )
             clen = None
         if clen is None:
@@ -130,8 +138,12 @@ def _parse_stream(data: bytes, name: str, strict: bool) -> Iterator[dict]:
             payload = data[pos : nxt + 1 if nxt >= 0 else n]
             pos = (nxt + 1) if nxt >= 0 else n
         else:
-            if pos + clen > n and strict:
-                raise WetFormatError(f"{name}: payload overruns file end")
+            if pos + clen > n:
+                if strict:
+                    raise WetFormatError(f"{name}: payload overruns file end")
+                # lenient: a truncated member costs its tail record, not
+                # the job — and never a short/garbage payload row
+                return
             payload = data[pos : pos + clen]
             pos += clen
         yield {
@@ -141,6 +153,7 @@ def _parse_stream(data: bytes, name: str, strict: bool) -> Iterator[dict]:
             "warc_date": headers.get("warc-date"),
             "content_type": headers.get("content-type"),
             "content_length": clen,
+            "record_offset": rec_off,
             "text": payload.decode("utf-8", "replace"),
             "source_file": name,
         }
@@ -202,11 +215,16 @@ def wet_to_documents(records: DataFrame) -> DataFrame:
     offset>>`` + the optional ``metadata`` map ``SragEngine.ingest``
     merges): one text span per record, URI/date/file provenance in
     metadata.  doc_id prefers the WARC-Record-ID (globally unique by
-    spec), falling back to uri#offset-hash.  Pure native expressions."""
+    spec), falling back to ``file#byte-offset`` — unique per record even
+    when uri AND record id are both missing (the lenient-parse damage
+    case), so upsert-by-key can never silently merge unrelated records.
+    Pure native expressions."""
     doc_id = F.coalesce(
         F.col("record_id"),
         F.concat_ws(
-            "#", F.col("target_uri"), F.md5(F.coalesce(F.col("text"), F.lit("")))
+            "#",
+            F.coalesce(F.col("target_uri"), F.col("source_file")),
+            F.col("record_offset"),
         ),
     )
     span = F.struct(

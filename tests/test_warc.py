@@ -58,7 +58,8 @@ def test_strict_raises_lenient_resyncs():
     truncated = _one_record(b"full payload")[:-20]
     with pytest.raises(WetFormatError):
         parse_wet_bytes(truncated)
-    assert parse_wet_bytes(truncated, strict=False) == [] or True
+    # lenient: the truncated tail record is dropped, never a short row
+    assert parse_wet_bytes(truncated, strict=False) == []
 
     # payload overrun only hurts its own record in lenient mode
     no_len = (
@@ -70,6 +71,48 @@ def test_strict_raises_lenient_resyncs():
         parse_wet_bytes(no_len)
     got = parse_wet_bytes(no_len, strict=False)
     assert [r["text"] for r in got][-1] == "tail"
+
+
+def test_negative_content_length_terminates():
+    # a negative length must not move the cursor backwards (strict: clear
+    # error; lenient: resync forward — NEVER an infinite loop)
+    bad = _one_record(b"ok").replace(
+        b"Content-Length: 2", b"Content-Length: -100"
+    ) + _one_record(b"after")
+    with pytest.raises(WetFormatError, match="Content-Length"):
+        parse_wet_bytes(bad)
+    got = parse_wet_bytes(bad, strict=False)
+    assert [r["text"] for r in got][-1] == "after"
+    assert all(r["content_length"] is None or r["content_length"] >= 0 for r in got)
+
+
+def test_folded_header_continuation():
+    # ISO 28500 allows folded header values (continuation lines start
+    # with whitespace) — legal in strict mode, joined with one space
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: https://x.test/very/long\r\n"
+        b"  /folded:path/tail\r\n"
+        b"Content-Length: 2\r\n\r\nok\r\n\r\n"
+    )
+    (r,) = parse_wet_bytes(rec)  # strict
+    assert r["target_uri"] == "https://x.test/very/long /folded:path/tail"
+    assert r["text"] == "ok"
+
+
+def test_doc_ids_unique_when_uri_and_id_missing(spark):
+    # two distinct damaged records with NO record id, NO uri and equal
+    # (empty-ish) text must still get distinct doc_ids (byte offset)
+    rec = b"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    parsed = parse_wet_bytes(rec + rec)
+    assert len(parsed) == 2
+    assert parsed[0]["record_offset"] != parsed[1]["record_offset"]
+    from srag_spark.sources.warc import WET_RECORDS_SCHEMA
+
+    df = spark.createDataFrame(parsed, WET_RECORDS_SCHEMA)
+    ids = [r["doc_id"] for r in wet_to_documents(df).collect()]
+    assert len(set(ids)) == 2
 
 
 def _one_record(payload: bytes) -> bytes:
@@ -120,12 +163,9 @@ def test_doc_id_fallback_without_record_id(spark):
         b"Content-Length: 5\r\n\r\nabcde\r\n\r\n"
     )
     parsed = parse_wet_bytes(rec)
-    df = spark.createDataFrame(
-        parsed,
-        "record_id string, warc_type string, target_uri string, "
-        "warc_date string, content_type string, content_length long, "
-        "text string, source_file string",
-    )
+    from srag_spark.sources.warc import WET_RECORDS_SCHEMA
+
+    df = spark.createDataFrame(parsed, WET_RECORDS_SCHEMA)
     out = wet_to_documents(df).collect()[0]
     assert out["doc_id"].startswith("https://no-id.test/#")
     assert "warc_date" not in out["metadata"]  # null-valued keys dropped
