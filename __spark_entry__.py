@@ -3142,6 +3142,65 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_bloom_probe(spark, sf_dir):
+    """Bloom membership sidecar (operators/bloom): one bitmap per md5
+    bucket over the base corpus's exact-dup keys (2/3 of documents),
+    probed by every document's key — the prefilter that lets
+    incremental dedup skip the base index join for bloom-miss (=
+    definitely-new) keys and prune base reads to hit buckets.  Oracle:
+    the position-set formulation the bitmap is equivalent to by
+    construction — all n_hash hex-prefix positions present in the
+    bucket's distinct position set (bucket twinned exactly via
+    DuckDB's 0x-prefix hex cast)."""
+    from srag_spark.operators.bloom import (
+        bloom_from_index,
+        bloom_probe,
+        md5_bucket_col,
+    )
+    from srag_spark.operators.dedup import norm_text_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    keys = docs.select(
+        "doc_id", F.md5(norm_text_col(F.col("text"))).alias("text_hash")
+    )
+    base = keys.filter(F.col("doc_id") % 3 != 0)
+    blooms = bloom_from_index(base, n_buckets=8, n_hash=3, hex_digits=4)
+    batch = keys.withColumn("bucket", md5_bucket_col(F.col("text_hash"), 8))
+    return (
+        bloom_probe(batch, blooms, "text_hash", "bucket", n_hash=3, hex_digits=4)
+        .select("doc_id", "bloom_hit")
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_probe_sql() -> str:
+    th = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+    bucket = "('0x' || substr(md5(th), 1, 12))::BIGINT % 8"
+    return f"""
+        WITH base AS (
+          SELECT DISTINCT {th} AS th FROM documents WHERE doc_id % 3 <> 0
+        ),
+        probe AS (
+          SELECT doc_id, {th} AS th FROM documents
+        ),
+        bpos AS (
+          SELECT DISTINCT {bucket} AS bucket,
+                 substr(md5(i::VARCHAR || ':' || th), 1, 4) AS p
+          FROM base, range(0, 3) t(i)
+        ),
+        pp AS (
+          SELECT doc_id, {bucket} AS bucket,
+                 substr(md5(i::VARCHAR || ':' || th), 1, 4) AS p
+          FROM probe, range(0, 3) t(i)
+        )
+        SELECT pp.doc_id, bool_and(b.p IS NOT NULL) AS bloom_hit
+        FROM pp LEFT JOIN bpos b
+          ON b.bucket = pp.bucket AND b.p = pp.p
+        GROUP BY pp.doc_id
+        ORDER BY pp.doc_id
+    """
+
+
 def _incremental_sql(n_hashes: int = 16, bands: int = 4, tau: float = 0.5) -> str:
     sig_cols = ",\n           ".join(
         f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(n_hashes)
@@ -4037,6 +4096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_temperature": q_corpus_mixture_temperature,
         "corpus_mixture_unimax": q_corpus_mixture_unimax,
         "dedup_incremental": q_dedup_incremental,
+        "bloom_probe": q_bloom_probe,
         "quality_classifier": q_quality_classifier,
         "corpus_decontaminate_scrub": q_corpus_decontaminate_scrub,
         "q3_bm25_filtered": q_q3_bm25_filtered,
@@ -4449,6 +4509,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "corpus_mixture_temperature": _mixture_temperature_sql(),
         "corpus_mixture_unimax": _mixture_unimax_sql(),
         "dedup_incremental": _incremental_sql(),
+        "bloom_probe": _bloom_probe_sql(),
         "corpus_decontaminate_scrub": _decontaminate_scrub_sql(),
         "q3_bm25_filtered": _bm25_filtered_sql(),
         "corpus_build": _corpus_build_sql(),
