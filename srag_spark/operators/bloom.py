@@ -199,6 +199,17 @@ def md5_bucket_col(key_col, n_buckets: int):
     ).cast("int")
 
 
+def table_bucket_col(key_col, n_buckets: int):
+    """The manifest table layer's physical bucket id
+    (``pmod(xxhash64(key), n_buckets)`` — ``sources.tables``) for
+    ``key_col``.  A bloom sidecar attached to a committed table MUST use
+    this bucket so probe-hit buckets are exactly the buckets
+    ``read_table(buckets=...)`` can prune to; use
+    :func:`md5_bucket_col` only for the oracle-reproducible standalone
+    form."""
+    return F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+
+
 def bloom_from_index(
     index: DataFrame,
     n_buckets: int = 32,

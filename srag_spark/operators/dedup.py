@@ -743,6 +743,7 @@ def incremental_dedup(
     persisted: list | None = None,
     persist_index: bool = False,
     max_band_df: int | None = None,
+    exact_index: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing :func:`build_dedup_index`
     table plus itself, touching base TEXT never and base SIGNATURES only
@@ -781,7 +782,17 @@ def incremental_dedup(
     sig join) — use it when ``index`` is NOT already a materialized
     table (e.g. built inline from raw docs); when the index comes from
     a committed table, leave it False — each consumer is then one
-    cheap table scan and caching it would only evict hotter data."""
+    cheap table scan and caching it would only evict hotter data.
+
+    ``exact_index`` (optional) substitutes the relation scanned by the
+    exact-hash path ONLY — the Bloom-prefilter hook
+    (:mod:`srag_spark.operators.bloom`): when the caller has probed the
+    batch's hashes against the index's bloom sidecar, passing the index
+    pruned to the probe-hit buckets here is semantics-preserving (a
+    bloom miss has no false negatives, so non-hit buckets cannot hold a
+    matching hash) and turns the exact path's base scan into a read of
+    only the hit buckets — zero base I/O for an all-new batch.  The
+    band (near-dup) path still scans ``index``."""
     new_idx = build_dedup_index(new_docs, n_hashes, shingle_n, text_col, id_col)
     new_idx = _persist(new_idx, persisted)
     if persist_index:
@@ -805,7 +816,7 @@ def incremental_dedup(
     rpb = n_hashes // bands
 
     exact_base = (
-        index.join(
+        (exact_index if exact_index is not None else index).join(
             F.broadcast(new_idx.select("text_hash").distinct()), "text_hash"
         )
         .select("text_hash")

@@ -112,3 +112,176 @@ def test_crash_between_commits_converges(spark, tmp_path):
     )
     assert _ids(spark, paths["corpus"]) == {1, 2}
     assert _ids(spark, paths["idx"]) == {1, 2}
+
+
+def test_bloom_sink_matches_plain_sink(spark, tmp_path):
+    """The bloom-sidecar sink (corpus → bloom → index) must keep and
+    drop exactly what the plain sink does — the prefilter is a pure
+    I/O optimization — while every committed key probes HIT."""
+    from pyspark.sql import functions as F
+
+    from srag_spark.operators.bloom import bloom_probe, table_bucket_col
+    from srag_spark.operators.dedup import norm_text_col
+
+    rounds = [
+        [(1, D1), (2, D2), (3, D1)],
+        [(4, D2), (5, D1_NEAR), (6, D6)],
+        [(7, D1), (8, D6)],
+    ]
+    plain = {k: str(tmp_path / f"p_{k}") for k in ("idx", "corpus", "stats")}
+    bloomy = {k: str(tmp_path / f"b_{k}") for k in ("idx", "corpus", "stats")}
+    bloom_path = str(tmp_path / "b_bloom")
+    for i, rows in enumerate(rounds):
+        batch = spark.createDataFrame(rows, SCHEMA)
+        dedup_batch_sink(
+            spark, batch, plain["idx"], plain["corpus"],
+            stats_path=plain["stats"], epoch_id=i, n_buckets=4,
+        )
+        dedup_batch_sink(
+            spark, batch, bloomy["idx"], bloomy["corpus"],
+            stats_path=bloomy["stats"], epoch_id=i, n_buckets=4,
+            bloom_path=bloom_path, bloom_hex_digits=4,
+        )
+    assert _ids(spark, bloomy["corpus"]) == _ids(spark, plain["corpus"])
+    assert _ids(spark, bloomy["idx"]) == _ids(spark, plain["idx"])
+    ps = {r["epoch_id"]: (r["n_kept"], r["n_dup_exact"], r["n_dup_near"])
+          for r in read_table(spark, plain["stats"]).collect()}
+    bs = {r["epoch_id"]: (r["n_kept"], r["n_dup_exact"], r["n_dup_near"])
+          for r in read_table(spark, bloomy["stats"]).collect()}
+    assert ps == bs
+    # the bloomed index is content-keyed for probe-bucket pruning
+    from srag_spark.sources.tables import read_manifest
+
+    assert read_manifest(spark, bloomy["idx"])["bucket_col"] == "text_hash"
+    # sidecar completeness: every committed index key probes hit
+    idx = read_table(spark, bloomy["idx"])
+    keys = idx.select("text_hash").withColumn(
+        "bucket", table_bucket_col(F.col("text_hash"), 4)
+    )
+    blooms = read_table(spark, bloom_path)
+    probed = bloom_probe(keys, blooms, "text_hash", "bucket",
+                         n_hash=3, hex_digits=4)
+    assert probed.filter(~F.col("bloom_hit")).count() == 0
+    # and a definitely-foreign key misses (the pruning actually prunes)
+    foreign = spark.createDataFrame(
+        [("zz-unseen-key-not-any-md5",)], "text_hash string"
+    ).withColumn("bucket", table_bucket_col(F.col("text_hash"), 4))
+    assert not bloom_probe(
+        foreign, blooms, "text_hash", "bucket", n_hash=3, hex_digits=4
+    ).first()["bloom_hit"]
+
+
+def test_bloom_sink_crash_orderings_converge(spark, tmp_path):
+    """Replay after every partial-commit crash point converges.  The
+    dangerous one is 'bloom committed, index not' — the replayed batch
+    probes HIT against an index that lacks the keys, must still keep
+    the docs, and must not double-drop."""
+    paths = {k: str(tmp_path / k) for k in ("idx", "corpus", "stats")}
+    bloom_path = str(tmp_path / "bloom")
+    b1 = spark.createDataFrame([(1, D1), (2, D2)], SCHEMA)
+    dedup_batch_sink(
+        spark, b1, paths["idx"], paths["corpus"], stats_path=paths["stats"],
+        epoch_id=0, n_buckets=4, bloom_path=bloom_path, bloom_hex_digits=4,
+    )
+
+    # simulate "crash after bloom, before index": merge batch-2 keys
+    # into the sidecar WITHOUT committing the index, then replay the
+    # full sink for batch 2
+    from pyspark.sql import functions as F
+
+    from srag_spark.operators.bloom import table_bucket_col
+    from srag_spark.operators.dedup import build_dedup_index
+    from srag_spark.streaming.dedup_ingest import _merge_bloom_sidecar
+
+    b2 = spark.createDataFrame([(3, D6), (4, D1)], SCHEMA)  # 4 is a dup
+    b2_keys = (
+        build_dedup_index(b2)
+        .select("text_hash")
+        .withColumn("bucket", table_bucket_col(F.col("text_hash"), 4))
+    )
+    _merge_bloom_sidecar(spark, bloom_path, b2_keys, 3, 4)
+
+    dedup_batch_sink(
+        spark, b2, paths["idx"], paths["corpus"], stats_path=paths["stats"],
+        epoch_id=1, n_buckets=4, bloom_path=bloom_path, bloom_hex_digits=4,
+    )
+    assert _ids(spark, paths["corpus"]) == {1, 2, 3}
+    assert _ids(spark, paths["idx"]) == {1, 2, 3}
+
+    # full replay of batch 2 (crash after all commits): state unchanged
+    dedup_batch_sink(
+        spark, b2, paths["idx"], paths["corpus"], stats_path=paths["stats"],
+        epoch_id=1, n_buckets=4, bloom_path=bloom_path, bloom_hex_digits=4,
+    )
+    assert _ids(spark, paths["corpus"]) == {1, 2, 3}
+    assert _ids(spark, paths["idx"]) == {1, 2, 3}
+
+
+def test_bloom_sink_onboarding_and_guards(spark, tmp_path):
+    """Enabling bloom over an existing text_hash-keyed index builds the
+    sidecar from committed keys (onboarding); a doc_id-keyed index or a
+    parameter change is refused rather than allowed to mis-prune."""
+    import pytest
+
+    from srag_spark.sources.tables import upsert_by_key as _up
+    from srag_spark.operators.dedup import build_dedup_index
+
+    paths = {k: str(tmp_path / k) for k in ("idx", "corpus", "stats")}
+    bloom_path = str(tmp_path / "bloom")
+
+    # seed a text_hash-keyed index WITHOUT a sidecar
+    seed = spark.createDataFrame([(1, D1), (2, D2)], SCHEMA)
+    _up(spark, paths["idx"], build_dedup_index(seed), ["text_hash"],
+        n_buckets=4)
+
+    # onboarding batch: dup of 1 must be caught via the fresh sidecar
+    b = spark.createDataFrame([(3, D1), (4, D6)], SCHEMA)
+    dedup_batch_sink(
+        spark, b, paths["idx"], paths["corpus"], epoch_id=0, n_buckets=4,
+        bloom_path=bloom_path, bloom_hex_digits=4,
+    )
+    assert _ids(spark, paths["corpus"]) == {4}
+    assert {r["doc_id"] for r in read_table(spark, paths["idx"]).collect()} \
+        == {1, 2, 4}
+
+    # parameter-change guard (would be a false-negative machine)
+    with pytest.raises(ValueError, match="n_hash"):
+        dedup_batch_sink(
+            spark, b, paths["idx"], paths["corpus"], epoch_id=1, n_buckets=4,
+            bloom_path=bloom_path, bloom_n_hash=5, bloom_hex_digits=4,
+        )
+
+    # doc_id-keyed index guard
+    other_idx = str(tmp_path / "idx_docid")
+    _up(spark, other_idx, build_dedup_index(seed), ["doc_id"], n_buckets=4)
+    with pytest.raises(ValueError, match="text_hash-keyed"):
+        dedup_batch_sink(
+            spark, b, other_idx, paths["corpus"], epoch_id=2, n_buckets=4,
+            bloom_path=str(tmp_path / "bloom2"), bloom_hex_digits=4,
+        )
+
+
+def test_bloom_stream_end_to_end(spark, tmp_path):
+    """The streaming wiring: two file-drop rounds through
+    start_dedup_stream with bloom_path — cross-batch dups dropped, the
+    sidecar current after each epoch."""
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    paths = {k: str(tmp_path / k) for k in ("idx", "corpus", "stats")}
+    bloom_path = str(tmp_path / "bloom")
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+        q = start_dedup_stream(
+            stream, paths["idx"], paths["corpus"], ckpt,
+            stats_path=paths["stats"], n_buckets=4, trigger_once=True,
+            bloom_path=bloom_path, bloom_hex_digits=4,
+        )
+        q.awaitTermination(180)
+
+    _drop(spark, in_dir, [(1, D1), (2, D2)], "overwrite")
+    run_once()
+    _drop(spark, in_dir, [(3, D1), (4, D6)], "append")
+    run_once()
+    assert _ids(spark, paths["corpus"]) == {1, 2, 4}
+    assert _ids(spark, paths["idx"]) == {1, 2, 4}
