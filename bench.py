@@ -82,6 +82,7 @@ HEADLINE_QUERY_NAMES = [
     "ann_lsh_recall",
     "s5_zorder_scan",
     "corpus_cluster_sample",
+    "bloom_probe",
 ]
 
 
