@@ -3201,6 +3201,98 @@ def _bloom_probe_sql() -> str:
     """
 
 
+def q_train_ict_pairs(spark, sf_dir):
+    """ICT pseudo-query mining (operators/mining.ict_pairs — Lee et al.
+    2019 at word-window granularity): per eligible document, a seeded
+    md5 draw picks one 8-word window as the pseudo-query and the
+    document minus that window is its positive passage.  Row-local,
+    zero shuffles; the pair set is a pure function of (doc_id, seed)."""
+    from srag_spark.operators.mining import ict_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ict_pairs(docs, query_words=8, min_words=16, seed=0).orderBy(
+        "doc_id"
+    )
+
+
+def _ict_pairs_sql(qw: int = 8, min_words: int = 16) -> str:
+    return f"""
+        WITH w AS (
+          SELECT doc_id, {_NORM_W_SQL} AS w FROM documents
+        ),
+        elig AS (
+          SELECT doc_id, w, len(w) AS n, (len(w) // {qw})::BIGINT AS nw
+          FROM w WHERE len(w) >= {min_words}
+        ),
+        picked AS (
+          SELECT doc_id, w, n,
+                 (('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
+                  % nw)::INT AS pick
+          FROM elig
+        )
+        SELECT doc_id, pick,
+               array_to_string(w[pick*{qw}+1 : pick*{qw}+{qw}], ' ') AS query,
+               array_to_string(
+                 list_concat(w[1 : pick*{qw}], w[pick*{qw}+{qw}+1 : n]),
+                 ' ') AS passage
+        FROM picked ORDER BY doc_id
+    """
+
+
+def q_train_hard_negatives(spark, sf_dir):
+    """DPR-style hard-negative mining (operators/mining
+    .mine_hard_negatives): for 5 (query, gold-positive) pairs over the
+    embeddings corpus, the top-5 highest-cosine non-positive vectors
+    scoring strictly below the positive (margin 0 — ties treated as
+    unlabeled positives).  Brute method (the exact oracle path); the
+    lsh method swaps the candidate generator for probe buckets."""
+    from srag_spark.operators.mining import mine_hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        (F.col("vec_id") + 1).alias("pos_id"),
+    )
+    return mine_hard_negatives(emb, pairs, k_neg=5, margin=0.0).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _hard_negatives_sql(k: int = 5) -> str:
+    dot = (
+        "round(list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)), 6)"
+    )
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv, vec_id + 1 AS pos_id
+          FROM embeddings WHERE vec_id < 5
+        ),
+        pos AS (
+          SELECT q.query_id, {dot} AS pos_score_r
+          FROM q JOIN embeddings e ON e.vec_id = q.pos_id
+        ),
+        scored AS (
+          SELECT q.query_id, q.pos_id, e.vec_id, {dot} AS score_r
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.pos_id
+        ),
+        ranked AS (
+          SELECT s.query_id, s.pos_id, s.vec_id AS neg_id, s.score_r,
+                 p.pos_score_r,
+                 row_number() OVER (PARTITION BY s.query_id
+                                    ORDER BY s.score_r DESC, s.vec_id) AS rank
+          FROM scored s JOIN pos p USING (query_id)
+          WHERE s.score_r < p.pos_score_r
+        )
+        SELECT query_id, pos_id, neg_id, score_r, pos_score_r,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
 def _incremental_sql(n_hashes: int = 16, bands: int = 4, tau: float = 0.5) -> str:
     sig_cols = ",\n           ".join(
         f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(n_hashes)
@@ -4097,6 +4189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_unimax": q_corpus_mixture_unimax,
         "dedup_incremental": q_dedup_incremental,
         "bloom_probe": q_bloom_probe,
+        "train_ict_pairs": q_train_ict_pairs,
+        "train_hard_negatives": q_train_hard_negatives,
         "quality_classifier": q_quality_classifier,
         "corpus_decontaminate_scrub": q_corpus_decontaminate_scrub,
         "q3_bm25_filtered": q_q3_bm25_filtered,
@@ -4510,6 +4604,8 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "corpus_mixture_unimax": _mixture_unimax_sql(),
         "dedup_incremental": _incremental_sql(),
         "bloom_probe": _bloom_probe_sql(),
+        "train_ict_pairs": _ict_pairs_sql(),
+        "train_hard_negatives": _hard_negatives_sql(),
         "corpus_decontaminate_scrub": _decontaminate_scrub_sql(),
         "q3_bm25_filtered": _bm25_filtered_sql(),
         "corpus_build": _corpus_build_sql(),

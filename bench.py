@@ -83,6 +83,8 @@ HEADLINE_QUERY_NAMES = [
     "s5_zorder_scan",
     "corpus_cluster_sample",
     "bloom_probe",
+    "train_ict_pairs",
+    "train_hard_negatives",
 ]
 
 

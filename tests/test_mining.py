@@ -1,0 +1,163 @@
+"""Retrieval-training-set mining (operators/mining.py): ICT window
+arithmetic (contiguity, multiset preservation, eligibility, seed
+sensitivity, partition independence), hard-negative invariants
+(positive/self exclusion, margin gate, exclusion set, LSH ⊆ brute),
+and the driver entries against their DuckDB oracles."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from srag_spark.operators.mining import ict_pairs, mine_hard_negatives
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _norm_words(text: str) -> list[str]:
+    return [w for w in re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ") if w]
+
+
+def test_ict_query_is_contiguous_window(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = {r["doc_id"]: r for r in ict_pairs(docs, 8, 16).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert pairs
+    for doc_id, r in list(pairs.items())[:25]:
+        words = _norm_words(texts[doc_id])
+        qw = r["query"].split(" ")
+        pw = r["passage"].split(" ") if r["passage"] else []
+        assert len(qw) == 8
+        assert words[r["pick"] * 8 : r["pick"] * 8 + 8] == qw
+        assert sorted(qw + pw) == sorted(words)
+        assert 0 <= r["pick"] < len(words) // 8
+
+
+def test_ict_eligibility_and_validation(spark):
+    docs = spark.createDataFrame(
+        [(1, "only five words right here now"),  # 6 words < 16: skipped
+         (2, " ".join(f"w{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    out = ict_pairs(docs, query_words=8, min_words=16).collect()
+    assert [r["doc_id"] for r in out] == [2]
+    with pytest.raises(ValueError):
+        ict_pairs(docs, query_words=0)
+    with pytest.raises(ValueError):
+        ict_pairs(docs, query_words=8, min_words=10)
+
+
+def test_ict_seed_and_partition_independence(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    a = {(r["doc_id"], r["pick"]) for r in ict_pairs(docs, 8, 16, seed=0).collect()}
+    b = {(r["doc_id"], r["pick"]) for r in ict_pairs(docs, 8, 16, seed=7).collect()}
+    assert {d for d, _ in a} == {d for d, _ in b}  # same eligibility
+    assert a != b  # picks move with the seed
+    one = {
+        tuple(r)
+        for r in ict_pairs(docs.repartition(1), 8, 16, seed=0).collect()
+    }
+    many = {
+        tuple(r)
+        for r in ict_pairs(docs.repartition(13), 8, 16, seed=0).collect()
+    }
+    assert one == many
+
+
+def _pairs(emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        (F.col("vec_id") + 1).alias("pos_id"),
+    )
+
+
+def test_hard_negatives_invariants(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = mine_hard_negatives(emb, _pairs(emb), k_neg=5).collect()
+    assert len(out) == 25
+    for r in out:
+        assert r["neg_id"] != r["pos_id"]
+        assert r["score_r"] < r["pos_score_r"]  # margin=0, strict
+        assert 1 <= r["rank"] <= 5
+    # per query: ranks contiguous and scores non-increasing
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, 6))
+        scores = [r["score_r"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_hard_negatives_margin_gate(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    loose = mine_hard_negatives(emb, _pairs(emb), k_neg=5, margin=0.0)
+    tight = mine_hard_negatives(emb, _pairs(emb), k_neg=5, margin=0.5)
+    lmax = loose.groupBy("query_id").agg(F.max("score_r").alias("m")).collect()
+    tmax = {r["query_id"]: r["m"] for r in
+            tight.groupBy("query_id").agg(F.max("score_r").alias("m")).collect()}
+    pos = {r["query_id"]: r["pos_score_r"] for r in loose.collect()}
+    for r in lmax:
+        qid = r["query_id"]
+        if qid in tmax:
+            assert tmax[qid] < round(pos[qid] - 0.5, 6)
+
+
+def test_hard_negatives_exclusion_set(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = mine_hard_negatives(emb, _pairs(emb), k_neg=3)
+    banned = base.filter(F.col("rank") == 1).select(
+        "query_id", F.col("neg_id").alias("vec_id")
+    )
+    out = mine_hard_negatives(emb, _pairs(emb), k_neg=3, exclude=banned)
+    banned_set = {(r["query_id"], r["vec_id"]) for r in banned.collect()}
+    for r in out.collect():
+        assert (r["query_id"], r["neg_id"]) not in banned_set
+    # the old rank-2 negative is the new rank-1
+    old = {(r["query_id"], r["rank"]): r["neg_id"] for r in base.collect()}
+    new = {(r["query_id"], r["rank"]): r["neg_id"] for r in out.collect()}
+    for (qid, rank), neg in new.items():
+        if (qid, rank + 1) in old:
+            assert old[(qid, rank + 1)] == neg
+
+
+def test_hard_negatives_lsh_subset_of_brute(spark):
+    """Every LSH-mined negative must appear in the brute candidate
+    ordering with the same score (the LSH path only PRUNES candidates,
+    never invents or rescores them)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    brute = mine_hard_negatives(emb, _pairs(emb), k_neg=500)
+    lsh = mine_hard_negatives(
+        emb, _pairs(emb), k_neg=5, method="lsh", dim=64, n_planes=8, probes=2
+    )
+    bscores = {(r["query_id"], r["neg_id"]): r["score_r"] for r in brute.collect()}
+    rows = lsh.collect()
+    assert rows  # 8 planes over 500 vecs: candidates exist
+    for r in rows:
+        assert bscores[(r["query_id"], r["neg_id"])] == r["score_r"]
+    with pytest.raises(ValueError, match="dim"):
+        mine_hard_negatives(emb, _pairs(emb), method="lsh")
+    with pytest.raises(ValueError, match="unknown method"):
+        mine_hard_negatives(emb, _pairs(emb), method="exact")
+
+
+def test_driver_entries_match_oracle(spark):
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    for name in ("train_ict_pairs", "train_hard_negatives"):
+        sdf = entrymod.queries()[name](spark, SF_DIR)
+        srows = [tuple(r) for r in sdf.collect()]
+        orows = [tuple(r) for r in con.execute(entrymod.oracle_sql()[name]).fetchall()]
+        assert srows == orows, name
+        assert srows
