@@ -2068,6 +2068,35 @@ def _sample_mixture_sql() -> str:
     """
 
 
+def q_corpus_sample_weighted(spark, sf_dir):
+    """Exact-k weighted sampling (corpus.sample_weighted — the
+    Efraimidis-Spirakis A-ES order statistic): the 50 documents with
+    the largest round(ln(u)/w, 6) keys, u drawn deterministically from
+    md5(doc_id:seed) and w = n_chars (length-proportional inclusion).
+    The top-k is TakeOrderedAndProject — never a global sort."""
+    from srag_spark.operators.corpus import sample_weighted
+
+    return sample_weighted(
+        _t(spark, sf_dir, "documents"), k=50, weight_col="n_chars", seed=0
+    ).select("doc_id", "n_chars", "sample_key")
+
+
+def _sample_weighted_sql(k: int = 50) -> str:
+    return f"""
+        WITH keyed AS (
+          SELECT doc_id, n_chars,
+                 round(
+                   ln((('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 12))::BIGINT
+                       + 1.0) / 281474976710656.0)
+                   / n_chars::DOUBLE, 6) AS sample_key
+          FROM documents
+          WHERE n_chars IS NOT NULL AND n_chars > 0
+        )
+        SELECT doc_id, n_chars, sample_key
+        FROM keyed ORDER BY sample_key DESC, doc_id LIMIT {k}
+    """
+
+
 STRAT_K = 40
 STRAT_SEED = 7
 
@@ -4178,6 +4207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_extract_features": q_mm_extract_features,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_sample_mixture": q_corpus_sample_mixture,
+        "corpus_sample_weighted": q_corpus_sample_weighted,
         "corpus_cluster_sample": q_corpus_cluster_sample,
         "corpus_repeat_epochs": q_corpus_repeat_epochs,
         "url_filter": q_url_filter,
@@ -4593,6 +4623,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "dedup_lines_agg": _dedup_lines_sql(),
         "corpus_pack_sequences": _pack_sequences_sql(),
         "corpus_sample_mixture": _sample_mixture_sql(),
+        "corpus_sample_weighted": _sample_weighted_sql(),
         "corpus_cluster_sample": _cluster_sample_sql(),
         "corpus_repeat_epochs": _repeat_epochs_sql(),
         "url_filter": _url_filter_sql(),

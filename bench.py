@@ -85,6 +85,7 @@ HEADLINE_QUERY_NAMES = [
     "bloom_probe",
     "train_ict_pairs",
     "train_hard_negatives",
+    "corpus_sample_weighted",
 ]
 
 

@@ -326,6 +326,62 @@ def sample_mixture(
     return docs.filter(hex8 < thr).withColumn("weight", wt)
 
 
+_HEX12_SPACE = float(16**12)
+
+
+def sample_weighted(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-``k`` weighted sample without replacement — the
+    Efraimidis–Spirakis A-ES scheme (2006): each row draws a
+    deterministic uniform ``u ∈ (0, 1]`` from
+    ``md5(id ':' seed)`` and ranks by ``key = ln(u) / w`` descending
+    (the order statistic of ``u^(1/w)``); the top ``k`` keys are the
+    sample, and inclusion probability scales with weight exactly as
+    weighted sampling without replacement requires.  This is the
+    quality- or length-proportional draw ``sample_mixture`` (Bernoulli,
+    group-rate) and ``sample_stratified`` (uniform per group) don't
+    cover.
+
+    Rows with a null or non-positive weight are ineligible.  The key is
+    rounded to 6 decimals before ranking with an ``id`` tie-break (the
+    corpus-wide rank-boundary convention), so the selected set is a
+    pure function of ``(ids, weights, seed)`` — engine- and
+    parallelism-independent, and replayable in ANSI SQL.
+
+    Plan shape: the key is row-local column work; the global top-k is
+    ``orderBy(...).limit(k)`` — Spark's TakeOrderedAndProject (per-
+    partition heaps + one k-row driver merge), never a full sort.
+    Returns the sampled rows plus ``sample_key``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    v = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col(id_col).cast("string"), F.lit(f":{int(seed)}"))
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(1.0)) / F.lit(_HEX12_SPACE)
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w, 6)
+    return (
+        docs.filter(w.isNotNull() & (w > 0))
+        .withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def sample_stratified(
     docs: DataFrame,
     k: int,

@@ -268,3 +268,83 @@ def test_repeat_epochs_counts_and_mixture_equivalence(spark):
 
     with _pytest.raises(ValueError):
         repeat_epochs(docs, {"web": -0.1}).collect()
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted — Efraimidis–Spirakis A-ES
+# ---------------------------------------------------------------------------
+def _aes_python(ids_weights, k, seed):
+    """Pure-python twin of corpus.sample_weighted's key formula."""
+    import hashlib
+    import math
+
+    keyed = []
+    for i, w in ids_weights:
+        if w is None or w <= 0:
+            continue
+        hx = hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:12]
+        u = (int(hx, 16) + 1.0) / float(16**12)
+        keyed.append((round(math.log(u) / w, 6), i))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    return [i for _, i in keyed[:k]]
+
+
+def test_sample_weighted_matches_python_twin(spark):
+    from srag_spark.operators.corpus import sample_weighted
+
+    rows = [(i, float(1 + (i * 37) % 100)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    for seed in (0, 7):
+        got = [
+            r["doc_id"]
+            for r in sample_weighted(df, k=40, weight_col="w", seed=seed)
+            .orderBy(F.desc("sample_key"), "doc_id")
+            .collect()
+        ]
+        assert got == _aes_python(rows, 40, seed), seed
+
+
+def test_sample_weighted_prefers_heavy_rows(spark):
+    """Inclusion probability must scale with weight: rows with weight
+    100 vs weight 1, k = half the corpus — the heavy half should take
+    the overwhelming share of the sample (python twin over many seeds
+    keeps the test one Spark job)."""
+    from srag_spark.operators.corpus import sample_weighted
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(100)]
+    heavy_share = []
+    for seed in range(30):
+        picked = _aes_python(rows, 20, seed)
+        heavy_share.append(sum(1 for i in picked if i < 50) / 20)
+    assert sum(heavy_share) / len(heavy_share) > 0.9
+    # and one Spark run agrees exactly with the twin
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {
+        r["doc_id"]
+        for r in sample_weighted(df, k=20, weight_col="w", seed=3).collect()
+    }
+    assert got == set(_aes_python(rows, 20, 3))
+
+
+def test_sample_weighted_edges(spark):
+    from srag_spark.operators.corpus import sample_weighted
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, None), (3, 0.0), (4, -1.0), (5, 5.0)],
+        "doc_id long, w double",
+    )
+    out = sample_weighted(df, k=10, weight_col="w", seed=0).collect()
+    assert {r["doc_id"] for r in out} == {1, 5}  # ineligibles dropped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample_weighted(df, k=0, weight_col="w")
+    # partition independence
+    big = spark.createDataFrame(
+        [(i, float(i % 9 + 1)) for i in range(200)], "doc_id long, w double"
+    )
+    a = {r["doc_id"] for r in
+         sample_weighted(big.repartition(1), 25, "w", seed=1).collect()}
+    b = {r["doc_id"] for r in
+         sample_weighted(big.repartition(16), 25, "w", seed=1).collect()}
+    assert a == b
