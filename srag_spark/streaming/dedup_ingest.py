@@ -166,6 +166,60 @@ def _merge_bloom_sidecar(
     )
 
 
+def rebuild_bloom_sidecar(
+    spark: SparkSession,
+    index_path: str,
+    bloom_path: str,
+    n_hash: int = 3,
+    hex_digits: int = 5,
+) -> dict:
+    """Rebuild the sidecar from the committed index — the maintenance
+    path for when merged ``n_keys`` outgrows the bit space (FP rate ≈
+    ``(1 - exp(-n_hash·n/m))^n_hash`` with ``m = 16^hex_digits``):
+    re-run at a larger ``hex_digits`` and probes regain selectivity.
+    Also the parameter-change path the sink's guard refuses to cross
+    silently.  One index scan; the result REPLACES the sidecar (same
+    snapshot-atomic upsert, readers see old or new, never a mix — and a
+    rebuild can only shrink the bitmap toward truth, so a reader on the
+    old sidecar merely keeps the old FP rate).  Returns per-bucket
+    ``n_keys`` for FP-rate monitoring."""
+    manifest = read_manifest(spark, index_path)
+    if manifest is None:
+        raise FileNotFoundError(f"no index at {index_path}")
+    if manifest["bucket_col"] != "text_hash":
+        raise ValueError(
+            f"{index_path} is bucketed by {manifest['bucket_col']!r}; a "
+            "bloom sidecar requires a text_hash-keyed index"
+        )
+    idx_buckets = manifest["n_buckets"]
+    keys = read_table(spark, index_path).select("text_hash").withColumn(
+        "bucket", table_bucket_col(F.col("text_hash"), idx_buckets)
+    )
+    blooms = _stamp_bloom_params(
+        build_bloom(keys, "text_hash", "bucket", n_hash, hex_digits),
+        n_hash,
+        hex_digits,
+    )
+    # delete-then-write would leave a probe window with NO sidecar;
+    # upsert replaces touched buckets and a stale EMPTY bucket row (its
+    # keys all deleted from the index) is only ever a false positive —
+    # but remove vanished buckets anyway so n_keys monitoring is honest
+    try:
+        old = read_table(spark, bloom_path).select("bucket")
+        gone = old.join(blooms.select("bucket"), "bucket", "left_anti")
+        if not gone.isEmpty():
+            from srag_spark.sources.tables import delete_by_key
+
+            delete_by_key(spark, bloom_path, gone, ["bucket"])
+    except FileNotFoundError:
+        pass
+    upsert_by_key(spark, bloom_path, blooms, ["bucket"], n_buckets=4)
+    return {
+        int(r["bucket"]): int(r["n_keys"])
+        for r in blooms.select("bucket", "n_keys").collect()
+    }
+
+
 def dedup_batch_sink(
     spark: SparkSession,
     batch_df: DataFrame,

@@ -285,3 +285,42 @@ def test_bloom_stream_end_to_end(spark, tmp_path):
     run_once()
     assert _ids(spark, paths["corpus"]) == {1, 2, 4}
     assert _ids(spark, paths["idx"]) == {1, 2, 4}
+
+
+def test_rebuild_bloom_sidecar(spark, tmp_path):
+    """Rebuilding at a larger hex_digits regrows selectivity, preserves
+    the no-false-negative contract, drops vanished buckets, and lets
+    the sink continue at the new parameters (the guard accepts them)."""
+    from pyspark.sql import functions as F
+
+    from srag_spark.operators.bloom import bloom_probe, table_bucket_col
+    from srag_spark.streaming.dedup_ingest import rebuild_bloom_sidecar
+
+    paths = {k: str(tmp_path / k) for k in ("idx", "corpus")}
+    bloom_path = str(tmp_path / "bloom")
+    b1 = spark.createDataFrame([(1, D1), (2, D2)], SCHEMA)
+    dedup_batch_sink(
+        spark, b1, paths["idx"], paths["corpus"], epoch_id=0, n_buckets=4,
+        bloom_path=bloom_path, bloom_hex_digits=4,
+    )
+    # old params refused, rebuild at hex_digits=5, then accepted
+    counts = rebuild_bloom_sidecar(
+        spark, paths["idx"], bloom_path, n_hash=3, hex_digits=5
+    )
+    assert sum(counts.values()) == 2
+    blooms = read_table(spark, bloom_path)
+    assert blooms.first()["hex_digits"] == 5
+    assert all(len(r["bitmap"]) == 16**5 // 64 for r in blooms.collect())
+    keys = read_table(spark, paths["idx"]).select("text_hash").withColumn(
+        "bucket", table_bucket_col(F.col("text_hash"), 4)
+    )
+    probed = bloom_probe(keys, blooms, "text_hash", "bucket",
+                         n_hash=3, hex_digits=5)
+    assert probed.filter(~F.col("bloom_hit")).count() == 0
+    # sink continues at the new params; a dup is still caught
+    b2 = spark.createDataFrame([(3, D1), (4, D6)], SCHEMA)
+    dedup_batch_sink(
+        spark, b2, paths["idx"], paths["corpus"], epoch_id=1, n_buckets=4,
+        bloom_path=bloom_path, bloom_hex_digits=5,
+    )
+    assert _ids(spark, paths["corpus"]) == {1, 2, 4}
