@@ -3268,6 +3268,69 @@ def _ict_pairs_sql(qw: int = 8, min_words: int = 16) -> str:
     """
 
 
+def q_train_paraphrase_pairs(spark, sf_dir):
+    """Cross-document paraphrase-positive mining (operators/mining
+    .paraphrase_pairs): banded MinHash candidates over the planted-dup
+    corpus whose estimate lands in [0.3, 1.0) with byte-identical
+    normalized texts excluded — the contrastive-positive complement to
+    ICT's within-document pairs."""
+    from srag_spark.operators.mining import paraphrase_pairs
+
+    return paraphrase_pairs(
+        _augmented_docs(spark, sf_dir), tau_lo=0.3, tau_hi=1.0
+    ).orderBy("doc_a", "doc_b")
+
+
+def _paraphrase_sql(
+    lo: float = 0.3, hi: float = 1.0, n_hashes: int = 16, bands: int = 4
+) -> str:
+    sig_cols = ",\n           ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(n_hashes)
+    )
+    rpb = n_hashes // bands
+    band_selects = "\n    UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {expr} AS band_val FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"h{b * rpb + j}" for j in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    th = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+    return f"""
+        WITH {_AUG_SQL.strip().rstrip()},
+        {_SHINGLES_SQL.strip()},
+        sig AS (
+          SELECT doc_id, {sig_cols}
+          FROM sh GROUP BY doc_id
+        ),
+        th AS (SELECT doc_id, {th} AS h FROM aug),
+        bands AS ({band_selects}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+        ),
+        est AS (
+          SELECT doc_a, doc_b,
+                 round(({matches})::DOUBLE / {n_hashes}.0, 6) AS est_jaccard
+          FROM pairs
+          JOIN sig sa ON sa.doc_id = doc_a
+          JOIN sig sb ON sb.doc_id = doc_b
+        )
+        SELECT e.doc_a, e.doc_b, e.est_jaccard
+        FROM est e
+        JOIN th ta ON ta.doc_id = e.doc_a
+        JOIN th tb ON tb.doc_id = e.doc_b
+        WHERE e.est_jaccard >= {lo} AND e.est_jaccard < {hi}
+          AND ta.h <> tb.h
+        ORDER BY e.doc_a, e.doc_b
+    """
+
+
 def q_train_hard_negatives(spark, sf_dir):
     """DPR-style hard-negative mining (operators/mining
     .mine_hard_negatives): for 5 (query, gold-positive) pairs over the
@@ -4221,6 +4284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe": q_bloom_probe,
         "train_ict_pairs": q_train_ict_pairs,
         "train_hard_negatives": q_train_hard_negatives,
+        "train_paraphrase_pairs": q_train_paraphrase_pairs,
         "quality_classifier": q_quality_classifier,
         "corpus_decontaminate_scrub": q_corpus_decontaminate_scrub,
         "q3_bm25_filtered": q_q3_bm25_filtered,
@@ -4637,6 +4701,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "bloom_probe": _bloom_probe_sql(),
         "train_ict_pairs": _ict_pairs_sql(),
         "train_hard_negatives": _hard_negatives_sql(),
+        "train_paraphrase_pairs": _paraphrase_sql(),
         "corpus_decontaminate_scrub": _decontaminate_scrub_sql(),
         "q3_bm25_filtered": _bm25_filtered_sql(),
         "corpus_build": _corpus_build_sql(),

@@ -86,6 +86,7 @@ HEADLINE_QUERY_NAMES = [
     "train_ict_pairs",
     "train_hard_negatives",
     "corpus_sample_weighted",
+    "train_paraphrase_pairs",
 ]
 
 

@@ -42,7 +42,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from srag_spark.operators.dedup import dot_col, words_col
+from srag_spark.operators.dedup import (
+    dot_col,
+    minhash_dedup_pairs,
+    norm_text_col,
+    words_col,
+)
 
 
 def ict_pairs(
@@ -106,6 +111,61 @@ def ict_pairs(
     )
     return base.select(
         "doc_id", "pick", query.alias("query"), passage.alias("passage")
+    )
+
+
+def paraphrase_pairs(
+    docs: DataFrame,
+    tau_lo: float = 0.5,
+    tau_hi: float = 1.0,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persisted: list | None = None,
+) -> DataFrame:
+    """Cross-document paraphrase-positive pairs for contrastive
+    training (the SBERT paraphrase-mining recipe over MinHash instead
+    of a trained encoder): unordered pairs whose banded-LSH candidate
+    estimate lands in ``[tau_lo, tau_hi)`` — similar enough to be
+    restatements, not so similar they are the exact/boilerplate
+    duplicates the dedup path removes (an identical pair teaches a
+    contrastive objective nothing).  Byte-identical normalized texts
+    are excluded regardless of the estimate window.
+
+    Complements :func:`ict_pairs`: ICT makes within-document positives,
+    this makes cross-document ones.  Candidates come from the same
+    banded equi-join as near-dup detection (never all-pairs); recall at
+    low ``tau_lo`` is governed by (bands, rows-per-band) exactly as in
+    dedup — the pair set is the deterministic banded candidate set
+    filtered to the window, reproducible in SQL.
+
+    Returns ``(doc_a, doc_b, est_jaccard)`` with ``doc_a < doc_b``.
+    """
+    if not tau_lo < tau_hi:
+        raise ValueError("need tau_lo < tau_hi")
+    pairs = minhash_dedup_pairs(
+        docs, n_hashes, bands, shingle_n, text_col, id_col, persisted=persisted
+    ).filter(
+        (F.col("est_jaccard") >= F.lit(float(tau_lo)))
+        & (F.col("est_jaccard") < F.lit(float(tau_hi)))
+    )
+    hashes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm_text_col(F.col(text_col))).alias("_th"),
+    )
+    return (
+        pairs.join(
+            hashes.select(F.col("doc_id").alias("doc_a"), F.col("_th").alias("_ha")),
+            "doc_a",
+        )
+        .join(
+            hashes.select(F.col("doc_id").alias("doc_b"), F.col("_th").alias("_hb")),
+            "doc_b",
+        )
+        .filter(F.col("_ha") != F.col("_hb"))
+        .select("doc_a", "doc_b", "est_jaccard")
     )
 
 

@@ -161,3 +161,54 @@ def test_driver_entries_match_oracle(spark):
         orows = [tuple(r) for r in con.execute(entrymod.oracle_sql()[name]).fetchall()]
         assert srows == orows, name
         assert srows
+
+
+def test_paraphrase_pairs_window_and_exclusions(spark):
+    """Pairs land strictly inside [tau_lo, tau_hi); exact-identical
+    normalized texts never pair regardless of the window; the pair set
+    is the banded candidate set filtered (subset of the dedup pairs)."""
+    from srag_spark.operators.dedup import minhash_dedup_pairs
+    from srag_spark.operators.mining import paraphrase_pairs
+
+    import __spark_entry__ as entrymod
+
+    docs = entrymod._augmented_docs(spark, SF_DIR)
+    out = paraphrase_pairs(docs, tau_lo=0.3, tau_hi=1.0).collect()
+    assert out
+    full = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_dedup_pairs(docs).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in out:
+        assert 0.3 <= r["est_jaccard"] < 1.0
+        assert full[(r["doc_a"], r["doc_b"])] == r["est_jaccard"]
+        assert _norm_words(texts[r["doc_a"]]) != _norm_words(texts[r["doc_b"]])
+    # widening the ceiling past 1.0 admits est==1.0 pairs ONLY when
+    # their texts differ (signature saturation, not identity)
+    wide = paraphrase_pairs(docs, tau_lo=0.3, tau_hi=1.01).collect()
+    for r in wide:
+        if r["est_jaccard"] == 1.0:
+            assert _norm_words(texts[r["doc_a"]]) != _norm_words(texts[r["doc_b"]])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        paraphrase_pairs(docs, tau_lo=0.9, tau_hi=0.5)
+
+
+def test_paraphrase_entry_matches_oracle(spark):
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    sdf = entrymod.queries()["train_paraphrase_pairs"](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = [
+        tuple(r)
+        for r in con.execute(
+            entrymod.oracle_sql()["train_paraphrase_pairs"]
+        ).fetchall()
+    ]
+    assert srows == orows and srows
