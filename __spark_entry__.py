@@ -3331,6 +3331,83 @@ def _paraphrase_sql(
     """
 
 
+def q_train_bitext_pairs(spark, sf_dir):
+    """Margin-based bitext mining (operators/mining.mine_bitext —
+    Artetxe & Schwenk 2019 ratio margin, the LASER/CCMatrix recipe):
+    mutual best-margin pairs between two embedding sets (vec_id<50 vs
+    50..119) with k=4 neighborhoods and threshold 1.0.  Raw cosine
+    renormalized by both neighborhoods so hub vectors can't dominate."""
+    from srag_spark.operators.mining import mine_bitext
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") < 50)
+    tgt = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 120))
+    return mine_bitext(src, tgt, k=4, threshold=1.0, mutual=True).orderBy(
+        "src_id"
+    )
+
+
+def _bitext_sql(k: int = 4, threshold: float = 1.0) -> str:
+    # integer micro-unit formulation (the operator's): float summation
+    # order can flip a 6th decimal between engines; integer sums cannot
+    dot = (
+        "CAST(round(list_sum(list_transform(range(1, len(s.v) + 1), "
+        "i -> s.v[i]::DOUBLE * t.v[i]::DOUBLE)) * 1000000.0) AS BIGINT)"
+    )
+    return f"""
+        WITH s AS (
+          SELECT vec_id AS src_id, embedding AS v
+          FROM embeddings WHERE vec_id < 50
+        ),
+        t AS (
+          SELECT vec_id AS tgt_id, embedding AS v
+          FROM embeddings WHERE vec_id >= 50 AND vec_id < 120
+        ),
+        scored AS (
+          SELECT s.src_id, t.tgt_id, {dot} AS su FROM s, t
+        ),
+        fa AS (
+          SELECT src_id, sum(su) AS fs, count(*) AS fc FROM (
+            SELECT src_id, su,
+                   row_number() OVER (PARTITION BY src_id
+                                      ORDER BY su DESC, tgt_id) AS r
+            FROM scored
+          ) WHERE r <= {k} GROUP BY src_id
+        ),
+        ba AS (
+          SELECT tgt_id, sum(su) AS bs, count(*) AS bc FROM (
+            SELECT tgt_id, su,
+                   row_number() OVER (PARTITION BY tgt_id
+                                      ORDER BY su DESC, src_id) AS r
+            FROM scored
+          ) WHERE r <= {k} GROUP BY tgt_id
+        ),
+        m AS (
+          SELECT sc.src_id, sc.tgt_id, sc.su / 1000000.0 AS score_r,
+                 round((2 * fa.fc * ba.bc * sc.su)::DOUBLE
+                       / (fa.fs * ba.bc + ba.bs * fa.fc)::DOUBLE, 6) AS margin_r
+          FROM scored sc JOIN fa USING (src_id) JOIN ba USING (tgt_id)
+          WHERE (fa.fs * ba.bc + ba.bs * fa.fc) <> 0
+        ),
+        bf AS (
+          SELECT *, row_number() OVER (PARTITION BY src_id
+                                       ORDER BY margin_r DESC, tgt_id) AS r
+          FROM m
+        ),
+        bb AS (
+          SELECT src_id, tgt_id,
+                 row_number() OVER (PARTITION BY tgt_id
+                                    ORDER BY margin_r DESC, src_id) AS r
+          FROM m
+        )
+        SELECT bf.src_id, bf.tgt_id, bf.score_r, bf.margin_r
+        FROM bf JOIN bb
+          ON bb.src_id = bf.src_id AND bb.tgt_id = bf.tgt_id AND bb.r = 1
+        WHERE bf.r = 1 AND bf.margin_r >= {threshold}
+        ORDER BY bf.src_id
+    """
+
+
 def q_train_hard_negatives(spark, sf_dir):
     """DPR-style hard-negative mining (operators/mining
     .mine_hard_negatives): for 5 (query, gold-positive) pairs over the
@@ -4285,6 +4362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_ict_pairs": q_train_ict_pairs,
         "train_hard_negatives": q_train_hard_negatives,
         "train_paraphrase_pairs": q_train_paraphrase_pairs,
+        "train_bitext_pairs": q_train_bitext_pairs,
         "quality_classifier": q_quality_classifier,
         "corpus_decontaminate_scrub": q_corpus_decontaminate_scrub,
         "q3_bm25_filtered": q_q3_bm25_filtered,
@@ -4702,6 +4780,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "train_ict_pairs": _ict_pairs_sql(),
         "train_hard_negatives": _hard_negatives_sql(),
         "train_paraphrase_pairs": _paraphrase_sql(),
+        "train_bitext_pairs": _bitext_sql(),
         "corpus_decontaminate_scrub": _decontaminate_scrub_sql(),
         "q3_bm25_filtered": _bm25_filtered_sql(),
         "corpus_build": _corpus_build_sql(),

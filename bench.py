@@ -87,6 +87,7 @@ HEADLINE_QUERY_NAMES = [
     "train_hard_negatives",
     "corpus_sample_weighted",
     "train_paraphrase_pairs",
+    "train_bitext_pairs",
 ]
 
 

@@ -169,6 +169,118 @@ def paraphrase_pairs(
     )
 
 
+def mine_bitext(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    mutual: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based parallel-pair mining between two embedding sets —
+    the Artetxe & Schwenk (2019) ratio-margin criterion behind
+    LASER/CCMatrix bitext mining, the recipe that builds translation
+    training data from unaligned corpora.
+
+    Raw cosine is a poor pair scorer in high-dimensional spaces (hubs
+    score high against everything); the margin renormalizes each pair
+    by its two neighborhoods::
+
+        margin(x, y) = cos(x, y) /
+                       (avg_k cos(x, NN_k(x in tgt)) / 2 +
+                        avg_k cos(y, NN_k(y in src)) / 2)
+
+    Each source keeps its best-margin target; pairs below ``threshold``
+    drop; ``mutual=True`` additionally requires the target's
+    best-margin source to be the same pair (the high-precision setting
+    the paper reports).  Ties break by id everywhere, and the margin is
+    computed in exact integer micro-units (scores quantized to 1e-6,
+    neighborhood sums as integers, ONE final division) — float
+    summation order can flip a 6th decimal between engines, integer
+    arithmetic cannot, so the result is a pure function of the two
+    embedding sets.
+
+    Returns ``(src_id, tgt_id, score_r, margin_r)``.
+
+    Scale shape: one scored cross relation (broadcast the smaller
+    side — mining runs shard-pair by shard-pair, the sides are
+    bounded by construction) reused by both neighborhood averages and
+    both direction ranks; at full-corpus scale the cross relation
+    swaps for the banded candidate join exactly as in
+    :func:`mine_hard_negatives`.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("_sv"))
+    t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("_tv"))
+    # scores quantized to integer micro-units: every downstream sum and
+    # the margin numerator/denominator stay in exact integer arithmetic
+    scored = s.crossJoin(F.broadcast(t)).select(
+        "src_id",
+        "tgt_id",
+        F.round(dot_col(F.col("_sv"), F.col("_tv")) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("_su"),
+    )
+    fwd_w = Window.partitionBy("src_id").orderBy(
+        F.desc("_su"), F.asc("tgt_id")
+    )
+    bwd_w = Window.partitionBy("tgt_id").orderBy(
+        F.desc("_su"), F.asc("src_id")
+    )
+    fwd_avg = (
+        scored.withColumn("_r", F.row_number().over(fwd_w))
+        .filter(F.col("_r") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("_su").alias("_fs"), F.count(F.lit(1)).alias("_fc"))
+    )
+    bwd_avg = (
+        scored.withColumn("_r", F.row_number().over(bwd_w))
+        .filter(F.col("_r") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("_su").alias("_bs"), F.count(F.lit(1)).alias("_bc"))
+    )
+    # margin = su / ((fs/fc)/2 + (bs/bc)/2) = 2*fc*bc*su / (fs*bc + bs*fc)
+    # — one double division of exact integers, bit-identical anywhere
+    denom = F.col("_fs") * F.col("_bc") + F.col("_bs") * F.col("_fc")
+    margins = (
+        scored.join(F.broadcast(fwd_avg), "src_id")
+        .join(F.broadcast(bwd_avg), "tgt_id")
+        .filter(denom != 0)
+        .select(
+            "src_id",
+            "tgt_id",
+            (F.col("_su") / F.lit(1_000_000.0)).alias("score_r"),
+            F.round(
+                (F.lit(2) * F.col("_fc") * F.col("_bc") * F.col("_su"))
+                .cast("double")
+                / denom.cast("double"),
+                6,
+            ).alias("margin_r"),
+        )
+    )
+    m_fwd = Window.partitionBy("src_id").orderBy(
+        F.desc("margin_r"), F.asc("tgt_id")
+    )
+    best = (
+        margins.withColumn("_r", F.row_number().over(m_fwd))
+        .filter((F.col("_r") == 1) & (F.col("margin_r") >= F.lit(float(threshold))))
+        .drop("_r")
+    )
+    if not mutual:
+        return best
+    m_bwd = Window.partitionBy("tgt_id").orderBy(
+        F.desc("margin_r"), F.asc("src_id")
+    )
+    best_bwd = (
+        margins.withColumn("_r", F.row_number().over(m_bwd))
+        .filter(F.col("_r") == 1)
+        .select("src_id", "tgt_id")
+    )
+    return best.join(F.broadcast(best_bwd), ["src_id", "tgt_id"], "left_semi")
+
+
 def mine_hard_negatives(
     emb: DataFrame,
     pairs: DataFrame,

@@ -212,3 +212,92 @@ def test_paraphrase_entry_matches_oracle(spark):
         ).fetchall()
     ]
     assert srows == orows and srows
+
+
+def _bt_sets(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") < 50)
+    tgt = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 120))
+    return emb, src, tgt
+
+
+def test_bitext_margin_matches_python_twin(spark):
+    """The integer micro-unit margin must equal a pure-python replay of
+    the Artetxe-Schwenk ratio over the same quantized scores."""
+    from srag_spark.operators.mining import mine_bitext
+
+    _, src, tgt = _bt_sets(spark)
+    got = {
+        (r["src_id"], r["tgt_id"]): (r["score_r"], r["margin_r"])
+        for r in mine_bitext(src, tgt, k=4, threshold=1.0, mutual=False).collect()
+    }
+    S = {r["vec_id"]: r["embedding"] for r in src.collect()}
+    T = {r["vec_id"]: r["embedding"] for r in tgt.collect()}
+    su = {
+        (a, b): round(sum(float(x) * float(y) for x, y in zip(va, vb)) * 1e6)
+        for a, va in S.items()
+        for b, vb in T.items()
+    }
+    fa = {
+        a: sorted(((su[(a, b)], b) for b in T), key=lambda t: (-t[0], t[1]))[:4]
+        for a in S
+    }
+    ba = {
+        b: sorted(((su[(a, b)], a) for a in S), key=lambda t: (-t[0], t[1]))[:4]
+        for b in T
+    }
+    best = {}
+    for a in S:
+        fs, fc = sum(v for v, _ in fa[a]), len(fa[a])
+        cands = []
+        for b in T:
+            bs, bc = sum(v for v, _ in ba[b]), len(ba[b])
+            den = fs * bc + bs * fc
+            if den == 0:
+                continue
+            cands.append((round(2 * fc * bc * su[(a, b)] / den, 6), b))
+        m, b = max(cands, key=lambda t: (t[0], -t[1]))
+        # max with tie on margin → smaller tgt_id; emulate rank order
+        ties = [bb for mm, bb in cands if mm == m]
+        b = min(ties)
+        if m >= 1.0:
+            best[(a, b)] = (su[(a, b)] / 1e6, m)
+    assert got == best
+
+
+def test_bitext_mutual_subset_and_uniqueness(spark):
+    from srag_spark.operators.mining import mine_bitext
+
+    _, src, tgt = _bt_sets(spark)
+    fwd = mine_bitext(src, tgt, k=4, threshold=1.0, mutual=False).collect()
+    mut = mine_bitext(src, tgt, k=4, threshold=1.0, mutual=True).collect()
+    fwd_pairs = {(r["src_id"], r["tgt_id"]) for r in fwd}
+    mut_pairs = {(r["src_id"], r["tgt_id"]) for r in mut}
+    assert mut_pairs and mut_pairs <= fwd_pairs
+    assert len(fwd_pairs) == len({a for a, _ in fwd_pairs})  # one per src
+    # threshold monotone: raising it can only shrink the pair set
+    hi = {
+        (r["src_id"], r["tgt_id"])
+        for r in mine_bitext(src, tgt, k=4, threshold=1.2, mutual=False).collect()
+    }
+    assert hi <= fwd_pairs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mine_bitext(src, tgt, k=0)
+
+
+def test_bitext_entry_matches_oracle(spark):
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    sdf = entrymod.queries()["train_bitext_pairs"](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = [
+        tuple(r)
+        for r in con.execute(entrymod.oracle_sql()["train_bitext_pairs"]).fetchall()
+    ]
+    assert srows == orows and srows
