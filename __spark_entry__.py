@@ -2322,6 +2322,64 @@ def _knn_graph_sql() -> str:
     """
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """TextRank/LexRank centrality (similarity.pagerank): 5 rounds of
+    integer fixed-point PageRank (damping 0.85) over the LSH kNN graph
+    (k=3, the ann_knn_graph configuration) — which documents sit at the
+    center of the corpus's neighborhood structure.  Every round is
+    exact long arithmetic, so the ranks are independent of engine,
+    partitioning, and aggregation order; the oracle replays all 5
+    rounds as unrolled CTEs over the verbatim kNN subquery."""
+    from srag_spark.operators.similarity import knn_graph, pagerank
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    edges = knn_graph(
+        emb, k=3, method="lsh", n_planes=16, bands=4, dim=64
+    ).select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
+    # persisted=[]: pin the edge relation and each round's rank (the
+    # n_iter-deep lineage would otherwise re-derive the kNN join per
+    # round); the bench harness clearCache()s between queries
+    return pagerank(edges, n_iter=5, damping=0.85, persisted=[]).orderBy(
+        "node"
+    )
+
+
+def _pagerank_sql(n_iter: int = 5, d100: int = 85) -> str:
+    base = (100 - d100) * 10**9
+    its = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        its.append(
+            f"""i{i} AS (
+          SELECT n.node,
+                 ({base} + {d100} * COALESCE(m.acc, 0)) // 100 AS ru
+          FROM nodes n LEFT JOIN (
+            SELECT e.d AS node, CAST(sum(r.ru // e.deg) AS BIGINT) AS acc
+            FROM edges e JOIN {prev} r ON r.node = e.s
+            GROUP BY e.d
+          ) m ON m.node = n.node
+        )"""
+        )
+        prev = f"i{i}"
+    chain = ",\n        ".join(its)
+    return f"""
+        WITH knn AS ({_knn_graph_sql()}),
+        raw AS (SELECT vec_id AS s, nbr_id AS d FROM knn),
+        deg AS (SELECT s, count(*) AS deg FROM raw GROUP BY s),
+        edges AS (SELECT raw.s, raw.d, deg.deg FROM raw JOIN deg USING (s)),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT s AS node FROM raw UNION ALL SELECT d FROM raw
+          )
+        ),
+        r0 AS (SELECT node, 1000000000::BIGINT AS ru FROM nodes),
+        {chain}
+        SELECT node, CAST(ru AS BIGINT) AS rank_u,
+               round(ru / 1000000000.0, 6) AS rank_r
+        FROM {prev} ORDER BY node
+    """
+
+
 def q_ngram_topk(spark, sf_dir):
     """Corpus n-gram heavy-hitter census (textstats.ngram_topk): the 50
     most frequent normalized word 3-grams corpus-wide, every occurrence
@@ -4337,6 +4395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": q_extract_spans,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_knn_graph": q_ann_knn_graph,
+        "graph_pagerank": q_graph_pagerank,
         "ann_lsh_recall": q_ann_lsh_recall,
         "curate_corpus": q_curate_corpus,
         "curate_corpus_cc": q_curate_corpus_cc,
@@ -4759,6 +4818,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         """,
         "ann_ivf_topk": _ivf_sql(16, 4, 5),
         "ann_knn_graph": _knn_graph_sql(),
+        "graph_pagerank": _pagerank_sql(),
         "curate_corpus": _curate_sql(),
         "curate_corpus_cc": _curate_sql(mode="cc"),
         "dedup_lines": _dedup_lines_sql(),

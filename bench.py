@@ -88,6 +88,7 @@ HEADLINE_QUERY_NAMES = [
     "corpus_sample_weighted",
     "train_paraphrase_pairs",
     "train_bitext_pairs",
+    "graph_pagerank",
 ]
 
 

@@ -354,6 +354,95 @@ def knn_graph(
     )
 
 
+_PR_UNIT = 10**9
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    persisted: list | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer fixed-point — the
+    TextRank/LexRank centrality (Mihalcea & Tarau 2004; Erkan & Radev
+    2004) over a similarity graph such as :func:`knn_graph`'s output:
+    which documents sit at the center of the corpus's neighborhood
+    structure (extractive summarization, prototype selection, and
+    quality priors all rank on it; at web scale the same iteration over
+    a host link graph is the classic URL-quality prior).
+
+    Unnormalized convention: every node starts at rank 1.0 held as
+    ``10^9`` integer units; each of the ``n_iter`` rounds applies::
+
+        r'(u) = (100 - d100)/100 + d100/100 · Σ_{v→u} (r(v) // outdeg(v))
+
+    entirely in long arithmetic (``d100 = round(100·damping)``;
+    floor divisions lose < 1 unit per step — an error of 1e-9 rank,
+    identical on every engine).  Integer sums are exactly associative,
+    so the result is independent of partitioning, aggregation order,
+    and engine — a float PageRank cannot promise any of those.  Long
+    range is safe to ~9·10^9 nodes (total mass N·10^9 < 2^63).
+    Dangling mass is dropped (a kNN graph has none — every node emits
+    k edges); document the convention when feeding other graphs.
+
+    Plan shape per round: one join of the (src, dst, outdeg) relation
+    against the current rank (co-keyed on src), one map-side-combinable
+    groupBy(dst) sum, one left join back to the node set.  Pass
+    ``persisted=[]`` to pin the edge/node relations and each round's
+    rank (cuts the ``n_iter``-deep lineage; release() after use).
+
+    Returns ``(node, rank_u, rank_r)`` — the exact integer rank and its
+    6-decimal real form.
+    """
+    from srag_spark.operators.dedup import _persist
+
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    d100 = int(round(damping * 100))
+    if not 0 <= d100 <= 100:
+        raise ValueError("damping must be in [0, 1]")
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    es = e.join(outdeg, "_s")
+    nodes = _persist(nodes, persisted)
+    es = _persist(es, persisted)
+    rank = nodes.withColumn("_ru", F.lit(_PR_UNIT).cast("long"))
+    base = (100 - d100) * _PR_UNIT
+    for _ in range(n_iter):
+        contrib = (
+            es.join(
+                rank.select(F.col("node").alias("_s"), "_ru"), "_s"
+            )
+            .select("_d", F.expr("_ru div _deg").alias("_c"))
+            .groupBy("_d")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        rank = (
+            nodes.join(
+                contrib.withColumnRenamed("_d", "node"), "node", "left"
+            )
+            .select(
+                "node",
+                F.expr(
+                    f"({base}L + {d100}L * coalesce(_in, 0L)) div 100"
+                ).alias("_ru"),
+            )
+        )
+        rank = _persist(rank, persisted)
+    return rank.select(
+        "node",
+        F.col("_ru").alias("rank_u"),
+        F.round(F.col("_ru") / F.lit(float(_PR_UNIT)), 6).alias("rank_r"),
+    )
+
+
 def recall_at_k(
     approx: DataFrame,
     exact: DataFrame,
