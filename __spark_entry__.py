@@ -3389,6 +3389,21 @@ def _paraphrase_sql(
     """
 
 
+def q_train_trainset_build(spark, sf_dir):
+    """Composed retrieval-trainset build (plans/mining
+    .build_retrieval_trainset): ICT pairs → stub-embed both sides →
+    DPR hard negatives → (query, positive, ranked negative arrays)
+    triplets.  Rows-only by design: the embedding stub is a pandas UDF
+    (sha256-seeded PCG64) with no SQL replay; every component operator
+    has its own hash-exact entry (train_ict_pairs,
+    train_hard_negatives) and the composition is pinned by
+    tests/test_mining (plan negatives ≡ operator negatives)."""
+    from srag_spark.plans.mining import build_retrieval_trainset
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    return build_retrieval_trainset(docs, k_neg=4).orderBy("doc_id")
+
+
 def q_train_bitext_pairs(spark, sf_dir):
     """Margin-based bitext mining (operators/mining.mine_bitext —
     Artetxe & Schwenk 2019 ratio margin, the LASER/CCMatrix recipe):
@@ -4422,6 +4437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_hard_negatives": q_train_hard_negatives,
         "train_paraphrase_pairs": q_train_paraphrase_pairs,
         "train_bitext_pairs": q_train_bitext_pairs,
+        "train_trainset_build": q_train_trainset_build,
         "quality_classifier": q_quality_classifier,
         "corpus_decontaminate_scrub": q_corpus_decontaminate_scrub,
         "q3_bm25_filtered": q_q3_bm25_filtered,

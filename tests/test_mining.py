@@ -301,3 +301,82 @@ def test_bitext_entry_matches_oracle(spark):
         for r in con.execute(entrymod.oracle_sql()["train_bitext_pairs"]).fetchall()
     ]
     assert srows == orows and srows
+
+
+# ---------------------------------------------------------------------------
+# plans/mining.build_retrieval_trainset — the composed trainset build
+# ---------------------------------------------------------------------------
+def test_trainset_build_shape_and_order(spark):
+    from srag_spark.plans.mining import build_retrieval_trainset
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    out = build_retrieval_trainset(docs, k_neg=4)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert len(r["neg_ids"]) == len(r["neg_texts"]) == len(r["neg_scores"])
+        assert len(r["neg_ids"]) <= 4
+        assert r["doc_id"] not in r["neg_ids"]  # gold never a negative
+        assert r["neg_scores"] == sorted(r["neg_scores"], reverse=True)
+    out.unpersist()
+
+
+def test_trainset_negatives_match_operator(spark):
+    """The composed plan's negatives equal mine_hard_negatives run
+    directly on the same embedded pairs — composition adds assembly,
+    never different verdicts."""
+    from srag_spark.functions.embedding import embed_udf
+    from srag_spark.operators.mining import ict_pairs, mine_hard_negatives
+    from srag_spark.plans.mining import build_retrieval_trainset
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    out = {r["doc_id"]: r for r in build_retrieval_trainset(docs, k_neg=3).collect()}
+
+    pairs = ict_pairs(docs)
+    emb = pairs.select(
+        "doc_id",
+        embed_udf(F.col("query")).alias("qvec"),
+        embed_udf(F.col("passage")).alias("pvec"),
+    ).persist()
+    corpus = emb.select(F.col("doc_id").alias("vec_id"), F.col("pvec").alias("embedding"))
+    queries = emb.select(
+        F.col("doc_id").alias("query_id"), "qvec", F.col("doc_id").alias("pos_id")
+    )
+    want: dict = {}
+    for r in mine_hard_negatives(corpus, queries, k_neg=3).collect():
+        want.setdefault(r["query_id"], []).append((r["rank"], r["neg_id"]))
+    emb.unpersist()
+    for qid, lst in want.items():
+        assert [n for _, n in sorted(lst)] == list(out[qid]["neg_ids"]), qid
+    # docs that mined zero negatives keep empty arrays
+    for qid, r in out.items():
+        if qid not in want:
+            assert list(r["neg_ids"]) == []
+
+
+def test_trainset_injected_embedder_and_empty_negatives(spark):
+    import numpy as np
+
+    from srag_spark.plans.mining import build_retrieval_trainset
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    # a huge margin filters every candidate: pairs survive with empty arrays
+    out = build_retrieval_trainset(docs, k_neg=3, margin=2.0)
+    rows = out.collect()
+    assert rows and all(list(r["neg_ids"]) == [] for r in rows)
+    out.unpersist()
+
+    def const_embed(texts):
+        return [
+            np.full(8, 0.5, dtype=np.float32)
+            if t
+            else np.zeros(8, dtype=np.float32)
+            for t in texts
+        ]
+
+    out2 = build_retrieval_trainset(docs, k_neg=2, embed_fn=const_embed)
+    # constant embeddings: every pair scores 2.0 == pos score → the
+    # strict margin gate drops everything; rows still come back
+    rows2 = out2.collect()
+    assert rows2 and all(list(r["neg_ids"]) == [] for r in rows2)
+    out2.unpersist()
