@@ -2181,7 +2181,12 @@ def _bpe_rank_case(l: str, r: str) -> str:
     return f"(CASE {whens} ELSE NULL END)"
 
 
-def _bpe_encode_sql() -> str:
+def _bpe_tok_cte() -> str:
+    """Shared oracle prefix: the recursive-CTE BPE encoder replay over
+    the frozen merges, ending at ``ti(doc_id, token_index, token)`` —
+    consumed by both `bpe_encode` (verbatim) and
+    `corpus_tokenized_packs` (as the token stream the pack windows
+    cut), so the two entries can never drift."""
     rank = _bpe_rank_case("s[i]", "s[i+1]")
     return f"""
         WITH RECURSIVE
@@ -2226,12 +2231,80 @@ def _bpe_encode_sql() -> str:
           SELECT doc_id, widx, j AS tpos, s[j] AS token
           FROM (SELECT doc_id, widx, s,
                        unnest(generate_series(1, len(s))) AS j FROM done)
+        ),
+        ti AS (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY widx, tpos) AS token_index,
+                 token
+          FROM tok
+        )"""
+
+
+def _bpe_encode_sql() -> str:
+    return _bpe_tok_cte() + """
+        SELECT doc_id, CAST(token_index AS INT) AS token_index, token
+        FROM ti
+    """
+
+
+def q_corpus_tokenized_packs(spark, sf_dir):
+    """Tokenized pretraining sequences end-to-end (plans/pretraining →
+    corpus.materialize_packs): BPE-encode every document with the
+    frozen merge artifact, concatenate the subword stream in doc_id
+    order, cut it into 512-token training windows and MATERIALIZE each
+    window's token sequence — the Megatron-style "tokenize, concat,
+    cut" dataset build, one exploded row per (pack_id, position).
+    Oracle: the bpe_encode recursive-CTE encoder replay chained into
+    the pack_sequences window-cumsum arithmetic — two already-proven
+    oracles composed, hash-exact end to end."""
+    from srag_spark.operators.bpe import apply_bpe
+    from srag_spark.operators.corpus import materialize_packs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = apply_bpe(docs, BPE_MERGES).select("doc_id", "bpe_tokens")
+    packs = materialize_packs(enc, budget=PACK_BUDGET)
+    return packs.select(
+        "pack_id",
+        F.posexplode("tokens").alias("seq_index", "token"),
+    ).withColumn("seq_index", F.col("seq_index").cast("int"))
+
+
+def _tokenized_packs_sql() -> str:
+    b = PACK_BUDGET
+    return _bpe_tok_cte() + f""",
+        d AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+          FROM ti GROUP BY doc_id
+        ),
+        c AS (
+          SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_end
+          FROM d
+        ),
+        x AS (
+          SELECT doc_id, cum_end - n AS cum_start, cum_end,
+                 unnest(generate_series((cum_end - n) // {b},
+                                        (cum_end - 1) // {b})) AS pack_id
+          FROM c
+        ),
+        sp AS (
+          SELECT doc_id, pack_id,
+                 greatest(cum_start, pack_id * {b}) - pack_id * {b}
+                   AS pack_start,
+                 greatest(cum_start, pack_id * {b}) - cum_start AS ds,
+                 least(cum_end, (pack_id + 1) * {b}) - cum_start AS de
+          FROM x
         )
-        SELECT doc_id,
-               CAST(row_number() OVER (PARTITION BY doc_id
-                                       ORDER BY widx, tpos) AS INT) AS token_index,
-               token
-        FROM tok
+        SELECT sp.pack_id,
+               CAST(sp.pack_start + t.token_index - sp.ds - 1 AS INT)
+                 AS seq_index,
+               t.token
+        FROM sp JOIN ti t
+          ON t.doc_id = sp.doc_id
+         AND t.token_index > sp.ds AND t.token_index <= sp.de
     """
 
 
@@ -4453,6 +4526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": q_ngram_topk,
         "pmi_pairs": q_pmi_pairs,
         "bpe_encode": q_bpe_encode,
+        "corpus_tokenized_packs": q_corpus_tokenized_packs,
         "corpus_profile": q_corpus_profile,
         "corpus_length_quantiles": q_corpus_length_quantiles,
         "tfidf_keywords": q_tfidf_keywords,
@@ -4871,6 +4945,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "ngram_topk": _ngram_topk_sql(),
         "pmi_pairs": _pmi_pairs_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        "corpus_tokenized_packs": _tokenized_packs_sql(),
         "corpus_profile": _corpus_profile_sql(),
         "corpus_length_quantiles": _corpus_length_quantiles_sql(),
         "tfidf_keywords": _tfidf_keywords_sql(),

@@ -63,6 +63,7 @@ def pack_sequences(
     text_col: str = "text",
     n_partitions: int | None = None,
     persisted: list | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-``budget`` training sequences.
 
@@ -96,9 +97,15 @@ def pack_sequences(
     """
     spark = docs.sparkSession
     P = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # count_col packs in a caller-supplied token space (e.g. a trained
+    # subword tokenizer's bpe_token_count) instead of whitespace words —
+    # the window arithmetic is denomination-agnostic
+    cnt = (
+        F.col(count_col) if count_col else token_count_col(F.col(text_col))
+    )
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
+        cnt.cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
     # range partitioning puts partition i's ids strictly below partition
     # i+1's, so per-partition cumsums + ordered offsets compose to the
@@ -171,6 +178,113 @@ def pack_sequences(
     finally:
         if persisted is None:
             ordered.unpersist(blocking=False)
+
+
+def materialize_packs(
+    docs: DataFrame,
+    budget: int,
+    tokens_col: str = "bpe_tokens",
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+    persisted: list | None = None,
+) -> DataFrame:
+    """Materialize the actual fixed-``budget`` training sequences from a
+    tokenized corpus — the last mile :func:`pack_sequences` stops short
+    of: where ``pack_sequences`` returns each document's WINDOW
+    ASSIGNMENTS, this returns the windows themselves::
+
+        (pack_id, tokens: array<string>, n_tokens)
+
+    with ``tokens`` the contiguous token stream of window
+    ``[pack_id*budget, (pack_id+1)*budget)`` in doc_id order — every
+    pack exactly ``budget`` tokens except the final one.  This is the
+    Megatron-style "tokenize, concat, cut" dataset build; feed the
+    output to :func:`assign_shards` / :func:`write_shards` (keyed on
+    ``pack_id``) for dataloader serving.
+
+    Input must already carry the token arrays (``tokens_col``, e.g.
+    :func:`~srag_spark.operators.bpe.apply_bpe`'s ``bpe_tokens``); the
+    window arithmetic runs in that token space via
+    ``pack_sequences(count_col=...)``.
+
+    Scale shape: the assignment cost is pack_sequences' distributed
+    prefix sum (one range shuffle, P driver carries); materialization
+    adds ONE doc_id equi-join (assignment rows back onto the token
+    arrays — co-keyed, AQE-sized), a row-local ``slice`` per
+    (doc, window) overlap, and ONE groupBy on pack_id whose per-group
+    payload is bounded by ``budget`` tokens.  Total bytes moved ≈ the
+    corpus token mass — the irreducible cost of writing a tokenized
+    dataset; nothing quadratic, no global sort (within-pack order is
+    reassembled from each slice's ``pack_start``, not a sort over
+    tokens).  The per-doc window start offsets are a cumsum over that
+    doc's OWN window rows (a handful per doc), never over the corpus.
+
+    Persist lifecycle (the :mod:`operators.dedup` contract): the token
+    frame feeds both the count pass and the join-back, so it is
+    persisted (re-running an upstream tokenizer UDF twice would double
+    the dominant cost).  ``persisted=None`` materializes the result
+    eagerly and releases parents before returning — test/driver scale
+    only; at corpus scale pass ``persisted=[]``, consume the lazy
+    frame, then ``dedup.release(persisted)``.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks")
+    ).withColumn("_n", F.size("_toks").cast("long"))
+    toks = toks.persist()
+    if persisted is not None:
+        persisted.append(toks)
+    try:
+        packed = pack_sequences(
+            toks,
+            budget,
+            id_col="doc_id",
+            count_col="_n",
+            n_partitions=n_partitions,
+            persisted=persisted,
+        )
+        w = (
+            Window.partitionBy("doc_id")
+            .orderBy("pack_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        spans = packed.withColumn(
+            "_len", F.col("pack_end") - F.col("pack_start")
+        ).withColumn(
+            "_ds",
+            F.coalesce(F.sum("_len").over(w), F.lit(0).cast("long")),
+        )
+        sliced = spans.join(toks.select("doc_id", "_toks"), "doc_id").select(
+            "pack_id",
+            "pack_start",
+            F.slice(
+                "_toks",
+                (F.col("_ds") + 1).cast("int"),
+                F.col("_len").cast("int"),
+            ).alias("_slice"),
+        )
+        out = (
+            sliced.groupBy("pack_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pack_start", "_slice"))
+                ).alias("_p")
+            )
+            .select(
+                "pack_id",
+                F.flatten(
+                    F.transform("_p", lambda s: s["_slice"])
+                ).alias("tokens"),
+            )
+            .withColumn("n_tokens", F.size("tokens").cast("long"))
+        )
+        if persisted is not None:
+            return out  # lazy; caller releases via dedup.release()
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        if persisted is None:
+            toks.unpersist(blocking=False)
 
 
 def ngram_hash_col(text_col, n: int) -> "F.Column":
