@@ -89,6 +89,7 @@ HEADLINE_QUERY_NAMES = [
     "train_paraphrase_pairs",
     "train_bitext_pairs",
     "graph_pagerank",
+    "corpus_tokenized_packs",
 ]
 
 

@@ -187,6 +187,7 @@ def materialize_packs(
     id_col: str = "doc_id",
     n_partitions: int | None = None,
     persisted: list | None = None,
+    with_spans: bool = False,
 ) -> DataFrame:
     """Materialize the actual fixed-``budget`` training sequences from a
     tokenized corpus — the last mile :func:`pack_sequences` stops short
@@ -201,6 +202,15 @@ def materialize_packs(
     Megatron-style "tokenize, concat, cut" dataset build; feed the
     output to :func:`assign_shards` / :func:`write_shards` (keyed on
     ``pack_id``) for dataloader serving.
+
+    ``with_spans=True`` additionally emits ``doc_spans:
+    array<struct<doc_id, start, end>>`` — each document's [start, end)
+    token range WITHIN the pack, in stream order.  Trainers need these
+    boundaries to reset attention masks and loss-mask across document
+    joins in a packed sequence; they come free from the same slice
+    structs the reassembly already collects (no extra shuffle or scan),
+    and they agree with :func:`pack_sequences`' (pack_start, pack_end)
+    assignment rows by construction.
 
     Input must already carry the token arrays (``tokens_col``, e.g.
     :func:`~srag_spark.operators.bpe.apply_bpe`'s ``bpe_tokens``); the
@@ -254,6 +264,7 @@ def materialize_packs(
             F.coalesce(F.sum("_len").over(w), F.lit(0).cast("long")),
         )
         sliced = spans.join(toks.select("doc_id", "_toks"), "doc_id").select(
+            "doc_id",
             "pack_id",
             "pack_start",
             F.slice(
@@ -262,19 +273,30 @@ def materialize_packs(
                 F.col("_len").cast("int"),
             ).alias("_slice"),
         )
+        cols = ["pack_id", F.flatten(
+            F.transform("_p", lambda s: s["_slice"])
+        ).alias("tokens")]
+        if with_spans:
+            cols.append(
+                F.transform(
+                    "_p",
+                    lambda s: F.struct(
+                        s["doc_id"].alias("doc_id"),
+                        s["pack_start"].alias("start"),
+                        (s["pack_start"] + F.size(s["_slice"]))
+                        .cast("long")
+                        .alias("end"),
+                    ),
+                ).alias("doc_spans")
+            )
         out = (
             sliced.groupBy("pack_id")
             .agg(
                 F.array_sort(
-                    F.collect_list(F.struct("pack_start", "_slice"))
+                    F.collect_list(F.struct("pack_start", "doc_id", "_slice"))
                 ).alias("_p")
             )
-            .select(
-                "pack_id",
-                F.flatten(
-                    F.transform("_p", lambda s: s["_slice"])
-                ).alias("tokens"),
-            )
+            .select(*cols)
             .withColumn("n_tokens", F.size("tokens").cast("long"))
         )
         if persisted is not None:

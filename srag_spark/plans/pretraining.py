@@ -61,12 +61,20 @@ def build_tokenized_dataset(
     text_col: str = "text",
     id_col: str = "doc_id",
     persisted: list | None = None,
+    with_spans: bool = True,
 ) -> dict:
     """Build the training-ready tokenized dataset.  Returns::
 
-        {"packs":    DataFrame(pack_id, tokens array<string>, n_tokens),
+        {"packs":    DataFrame(pack_id, tokens array<string>,
+                               doc_spans array<struct<doc_id,start,end>>,
+                               n_tokens),
          "merges":   the BPE merge list used (trained here unless given),
          "manifest": write_shards' per-shard manifest dict, or None}
+
+    ``doc_spans`` (default on) carries each document's [start, end)
+    token range within its pack — the boundaries a trainer uses to
+    reset attention masks and loss-mask across packed document joins;
+    ``with_spans=False`` drops the column.
 
     Every pack holds exactly ``budget`` subword tokens except the final
     one.  Pass ``merges=`` to encode with a frozen tokenizer artifact
@@ -95,7 +103,7 @@ def build_tokenized_dataset(
     )
     packs = materialize_packs(
         enc, budget, tokens_col="bpe_tokens", id_col=id_col,
-        persisted=persisted,
+        persisted=persisted, with_spans=with_spans,
     )
     manifest = None
     if path is not None:

@@ -74,6 +74,42 @@ def test_materialize_packs_partition_independent_and_empty(spark):
     assert materialize_packs(df.limit(0), 5).count() == 0
 
 
+def test_materialize_packs_doc_spans(spark):
+    """doc_spans are contiguous, tile each pack exactly, reproduce the
+    tokens by doc, and agree with pack_sequences' assignment rows."""
+    rows, df = _tokdocs(spark)
+    B = 4
+    out = sorted(
+        materialize_packs(df, B, with_spans=True).collect(),
+        key=lambda r: r["pack_id"],
+    )
+    toks_by_doc = dict(rows)
+    consumed: dict = {}
+    assignments = set()
+    for r in out:
+        spans = [tuple(s) for s in r["doc_spans"]]
+        # contiguous tiling of [0, n_tokens)
+        assert spans[0][1] == 0 and spans[-1][2] == r["n_tokens"]
+        for (_, _, e0), (_, s1, _) in zip(spans, spans[1:]):
+            assert e0 == s1
+        for d, s, e in spans:
+            got = list(r["tokens"])[s:e]
+            off = consumed.get(d, 0)
+            assert got == toks_by_doc[d][off : off + (e - s)]
+            consumed[d] = off + (e - s)
+            assignments.add((d, r["pack_id"], s, e))
+    # every doc fully consumed, in order
+    assert consumed == {d: len(t) for d, t in rows if t}
+    # spans ≡ pack_sequences' (pack_start, pack_end) assignment rows
+    want = {
+        (r["doc_id"], r["pack_id"], r["pack_start"], r["pack_end"])
+        for r in pack_sequences(
+            df.withColumn("n", F.size("bpe_tokens")), B, count_col="n"
+        ).collect()
+    }
+    assert assignments == want
+
+
 def test_pack_sequences_count_col_matches_text_path(spark):
     """count_col packing over precomputed whitespace counts ≡ the text
     path — the subword generalization changes the denomination, not the
