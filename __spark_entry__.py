@@ -814,6 +814,17 @@ def q_extract_spans(spark, sf_dir):
     cases) stays covered by entry() + tests/test_parse_spark.py."""
     from srag_spark.operators.parse import extract_documents_flat
 
+    src = _interleaved_src(spark, sf_dir)
+    return extract_documents_flat(src, salt_threshold=64, slice_target=16)
+
+
+def _interleaved_src(spark, sf_dir):
+    """The deterministic interleaved-spans table constructed from the
+    documents table — the shared input of `extract_spans` (which runs
+    it through the frozen extraction semantics) and
+    `corpus_pack_interleaved` (which packs it for multimodal training).
+    Per doc: half-1 text span, a media anchor, six single-word audio
+    spans, half-2 text span; doc_id%97==0 → 4n single-word mega docs."""
     docs = (
         _t(spark, sf_dir, "documents")
         .select(
@@ -862,10 +873,93 @@ def q_extract_spans(spark, sf_dir):
         ),
     )
     is_mega = (F.col("did") % 97 == 0) & (n >= 17)
-    src = docs.select(
+    return docs.select(
         "doc_id", F.when(is_mega, mega).otherwise(normal).alias("spans")
     )
-    return extract_documents_flat(src, salt_threshold=64, slice_target=16)
+
+
+def q_corpus_pack_interleaved(spark, sf_dir):
+    """Multimodal sequence packing over the north-rule INTERLEAVED
+    text+media span table (corpus.pack_interleaved): the deterministic
+    interleaved construction extract_spans uses, packed into 512-token
+    training windows where each media span consumes a fixed 64
+    placeholder tokens (Flamingo/Chameleon vision-token accounting) and
+    text/audio spans their word counts; one row per (span, window)
+    overlap with within-pack offsets.  Same distributed two-phase
+    prefix sum as pack_sequences, keyed (doc_id, span_index).  Oracle:
+    the construction's span COSTS (the words never need materializing)
+    through the proven window-cumsum arithmetic."""
+    from srag_spark.operators.corpus import pack_interleaved
+
+    src = _interleaved_src(spark, sf_dir)
+    return pack_interleaved(
+        src, budget=PACK_BUDGET, default_media_cost=MEDIA_TOKEN_COST
+    )
+
+
+MEDIA_TOKEN_COST = 64
+
+
+def _pack_interleaved_sql() -> str:
+    b, m = PACK_BUDGET, MEDIA_TOKEN_COST
+    return f"""
+        WITH d AS (
+          SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
+                 {_WORDS_SQL} AS w
+          FROM documents WHERE len({_WORDS_SQL}) >= 12
+        ),
+        cls AS (
+          SELECT did, doc_id, len(w) AS n, len(w) // 2 AS n1,
+                 (did % 97 = 0 AND len(w) >= 17) AS mega
+          FROM d
+        ),
+        sp AS (
+          SELECT doc_id, 0 AS span_index, 'text' AS kind,
+                 CAST(NULL AS VARCHAR) AS media_ref,
+                 CAST(n1 AS BIGINT) AS n_tokens
+          FROM cls WHERE NOT mega
+          UNION ALL
+          SELECT doc_id, 1, 'media', 'blob://' || doc_id, {m}
+          FROM cls WHERE NOT mega
+          UNION ALL
+          SELECT doc_id, CAST(2 + i AS INT), 'audio',
+                 CAST(NULL AS VARCHAR), 1
+          FROM (SELECT doc_id, unnest(range(6)) AS i
+                FROM cls WHERE NOT mega)
+          UNION ALL
+          SELECT doc_id, 8, 'text', CAST(NULL AS VARCHAR),
+                 CAST(n - n1 AS BIGINT)
+          FROM cls WHERE NOT mega
+          UNION ALL
+          SELECT doc_id, CAST(j AS INT), 'text', CAST(NULL AS VARCHAR), 1
+          FROM (SELECT doc_id, unnest(range(4 * n)) AS j
+                FROM cls WHERE mega)
+        ),
+        c AS (
+          SELECT doc_id, span_index, kind, media_ref, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY doc_id, span_index
+                                          ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_end
+          FROM sp WHERE n_tokens > 0
+        ),
+        e AS (
+          SELECT *, cum_end - n_tokens AS cum_start FROM c
+        ),
+        x AS (
+          SELECT doc_id, span_index, kind, media_ref, n_tokens,
+                 cum_start, cum_end,
+                 unnest(generate_series(cum_start // {b},
+                                        (cum_end - 1) // {b})) AS pack_id
+          FROM e
+        )
+        SELECT doc_id, CAST(span_index AS INT) AS span_index, kind,
+               media_ref, n_tokens, pack_id,
+               greatest(cum_start, pack_id * {b}) - pack_id * {b}
+                 AS pack_start,
+               least(cum_end, (pack_id + 1) * {b}) - pack_id * {b}
+                 AS pack_end
+        FROM x
+    """
 
 
 def q_p7_recursive_chunks(spark, sf_dir):
@@ -4527,6 +4621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": q_pmi_pairs,
         "bpe_encode": q_bpe_encode,
         "corpus_tokenized_packs": q_corpus_tokenized_packs,
+        "corpus_pack_interleaved": q_corpus_pack_interleaved,
         "corpus_profile": q_corpus_profile,
         "corpus_length_quantiles": q_corpus_length_quantiles,
         "tfidf_keywords": q_tfidf_keywords,
@@ -4946,6 +5041,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "pmi_pairs": _pmi_pairs_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "corpus_tokenized_packs": _tokenized_packs_sql(),
+        "corpus_pack_interleaved": _pack_interleaved_sql(),
         "corpus_profile": _corpus_profile_sql(),
         "corpus_length_quantiles": _corpus_length_quantiles_sql(),
         "tfidf_keywords": _tfidf_keywords_sql(),

@@ -309,6 +309,177 @@ def materialize_packs(
             toks.unpersist(blocking=False)
 
 
+def pack_interleaved(
+    docs: DataFrame,
+    budget: int,
+    media_costs: dict[str, int] | None = None,
+    default_media_cost: int = 64,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    n_partitions: int | None = None,
+    persisted: list | None = None,
+) -> DataFrame:
+    """Sequence packing over INTERLEAVED text+media documents — the
+    north-rule input shape (``doc_id, spans array<struct<kind, text,
+    media_ref, offset>>``) packed for multimodal training, where a
+    media span consumes a fixed placeholder-token budget (the
+    Flamingo/Chameleon-style accounting: an image is a constant number
+    of vision tokens in the stream) and a text-bearing span consumes
+    its whitespace token count.
+
+    Spec (frozen, deterministic): per span, cost =
+    ``token_count(text)`` when the span carries text, else
+    ``media_costs.get(kind, default_media_cost)``; zero-cost spans are
+    dropped.  Concatenate span costs in (doc_id, span position) order
+    into one global stream and cut at ``budget`` boundaries, emitting
+    one row per (span, window) overlap::
+
+        (doc_id, span_index, kind, media_ref, n_tokens,
+         pack_id, pack_start, pack_end)
+
+    with pack_start/pack_end the span's [start, end) token positions
+    within that window — a media span that straddles a boundary splits
+    like any other token run (concat-then-cut semantics; a
+    no-split/pad policy is a different packer by design).  Downstream,
+    :func:`pack_media_manifest` derives each pack's ordered media
+    fetch list for loader prefetch.
+
+    Scale shape: identical to :func:`pack_sequences` — the stream
+    order is (doc_id, span_index), so the global cumsum is the same
+    two-phase distributed prefix sum (one range shuffle on the
+    composite key, per-partition window, P driver carries), output
+    independent of partition count.  The span explode is linear and
+    row-local.  Same persist lifecycle (``persisted=[]`` + lazy at
+    corpus scale).
+    """
+    spark = docs.sparkSession
+    P = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    mc = media_costs or {}
+    if mc:
+        cost_map = F.create_map(
+            *[F.lit(x) for k in sorted(mc) for x in (k, int(mc[k]))]
+        )
+        media_cost = F.coalesce(
+            cost_map[F.col("kind")], F.lit(int(default_media_cost))
+        )
+    else:
+        media_cost = F.lit(int(default_media_cost))
+    flat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(spans_col).alias("span_index", "_s"),
+    ).select(
+        "doc_id",
+        "span_index",
+        F.col("_s.kind").alias("kind"),
+        F.col("_s.text").alias("_text"),
+        F.col("_s.media_ref").alias("media_ref"),
+    )
+    costed = flat.select(
+        "doc_id",
+        "span_index",
+        "kind",
+        "media_ref",
+        F.when(F.col("_text").isNotNull(), token_count_col(F.col("_text")))
+        .otherwise(media_cost)
+        .cast("long")
+        .alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    ordered = (
+        costed.repartitionByRange(P, "doc_id", "span_index")
+        .sortWithinPartitions("doc_id", "span_index")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    if persisted is not None:
+        persisted.append(ordered)
+    try:
+        totals = {
+            r["_pid"]: r["t"]
+            for r in ordered.groupBy("_pid")
+            .agg(F.sum("n_tokens").alias("t"))
+            .collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += totals[pid]
+        if offsets:
+            off_map = F.create_map(
+                *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+            )
+        else:
+            off_map = F.create_map().cast("map<int,bigint>")
+        w = (
+            Window.partitionBy("_pid")
+            .orderBy("doc_id", "span_index")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = ordered.select(
+            "doc_id",
+            "span_index",
+            "kind",
+            "media_ref",
+            "n_tokens",
+            (off_map[F.col("_pid")] + F.sum("n_tokens").over(w)).alias("cum_end"),
+        ).withColumn("cum_start", F.col("cum_end") - F.col("n_tokens"))
+        b = F.lit(int(budget)).cast("long")
+        packed = cum.select(
+            "doc_id",
+            "span_index",
+            "kind",
+            "media_ref",
+            "n_tokens",
+            F.explode(
+                F.sequence(
+                    F.expr(f"cum_start div {int(budget)}"),
+                    F.expr(f"(cum_end - 1) div {int(budget)}"),
+                )
+            ).alias("pack_id"),
+            "cum_start",
+            "cum_end",
+        ).select(
+            "doc_id",
+            "span_index",
+            "kind",
+            "media_ref",
+            "n_tokens",
+            "pack_id",
+            (F.greatest("cum_start", F.col("pack_id") * b) - F.col("pack_id") * b)
+            .alias("pack_start"),
+            (F.least("cum_end", (F.col("pack_id") + 1) * b) - F.col("pack_id") * b)
+            .alias("pack_end"),
+        )
+        if persisted is not None:
+            return packed  # lazy; caller releases via dedup.release()
+        return packed.localCheckpoint(eager=True)
+    finally:
+        if persisted is None:
+            ordered.unpersist(blocking=False)
+
+
+def pack_media_manifest(packed: DataFrame) -> DataFrame:
+    """Per-pack ordered media fetch list from :func:`pack_interleaved`
+    output: ``(pack_id, media_refs array<string>)`` — the blobs a
+    dataloader prefetches before serving the pack, in stream order.  A
+    media span straddling two packs appears in both (both need the
+    blob).  One groupBy over the media rows only; per-group payload
+    bounded by budget/min_media_cost refs."""
+    return (
+        packed.filter(F.col("media_ref").isNotNull())
+        .groupBy("pack_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pack_start", "span_index", "media_ref"))
+            ).alias("_m")
+        )
+        .select(
+            "pack_id",
+            F.transform("_m", lambda s: s["media_ref"]).alias("media_refs"),
+        )
+    )
+
+
 def ngram_hash_col(text_col, n: int) -> "F.Column":
     """All order-n token-window hashes of a text, as
     ``array<string>`` of md5(space-joined window) — native

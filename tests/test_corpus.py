@@ -348,3 +348,89 @@ def test_sample_weighted_edges(spark):
     b = {r["doc_id"] for r in
          sample_weighted(big.repartition(16), 25, "w", seed=1).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# pack_interleaved — multimodal packing over the north-rule span table
+# ---------------------------------------------------------------------------
+def _ildocs(spark):
+    rows = [
+        ("a", [("text", "one two three", None, 0),
+               ("media", None, "blob://a1", 1),
+               ("audio", "word", None, 2),
+               ("text", "", None, 3)]),          # empty text → dropped
+        ("b", [("media", None, "blob://b1", 0),
+               ("text", "x y z w v", None, 1)]),
+        ("c", []),                                # no spans → nothing
+        ("d", [("media", None, "blob://d1", 0)]),
+    ]
+    return rows, spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+
+def _il_reference(rows, budget, mc):
+    stream, want = [], []
+    for d, spans in sorted(rows):
+        for i, (k, t, ref, _) in enumerate(spans):
+            cost = len(t.split()) if t is not None else mc.get(k, mc[None])
+            if cost > 0:
+                stream.append((d, i, k, ref, cost))
+    pos = 0
+    for d, i, k, ref, c in stream:
+        s0, e0 = pos, pos + c
+        for w in range(s0 // budget, (e0 - 1) // budget + 1):
+            want.append((d, i, k, ref, c, w,
+                         max(s0, w * budget) - w * budget,
+                         min(e0, (w + 1) * budget) - w * budget))
+        pos = e0
+    return want
+
+
+def test_pack_interleaved_spec_and_partition_independence(spark):
+    """Mixed text/audio/media costs cut at budget boundaries exactly as
+    the sequential reference; identical at any parallelism."""
+    from srag_spark.operators.corpus import pack_interleaved
+
+    rows, df = _ildocs(spark)
+    B = 5
+    got = sorted(
+        tuple(r) for r in pack_interleaved(df, B, default_media_cost=4).collect()
+    )
+    assert got == sorted(_il_reference(rows, B, {None: 4}))
+    again = sorted(
+        tuple(r)
+        for r in pack_interleaved(
+            df.repartition(7), B, default_media_cost=4, n_partitions=3
+        ).collect()
+    )
+    assert again == got
+    assert pack_interleaved(df.limit(0), B).count() == 0
+
+
+def test_pack_interleaved_media_costs_and_manifest(spark):
+    """Per-kind cost overrides; the media manifest lists each pack's
+    refs in stream order, with a straddling blob in BOTH packs."""
+    from srag_spark.operators.corpus import pack_interleaved, pack_media_manifest
+
+    rows, df = _ildocs(spark)
+    packed = pack_interleaved(
+        df, 4, media_costs={"media": 6}, default_media_cost=99
+    )
+    got = sorted(tuple(r) for r in packed.collect())
+    assert got == sorted(_il_reference(rows, 4, {"media": 6, None: 99}))
+    # a1 costs 6 with budget 4 → straddles ≥2 packs → appears in each
+    man = {
+        r["pack_id"]: list(r["media_refs"])
+        for r in pack_media_manifest(packed).collect()
+    }
+    holders = [p for p, refs in man.items() if "blob://a1" in refs]
+    assert len(holders) >= 2
+    # within-pack order follows pack_start: reconstruct from rows
+    for p, refs in man.items():
+        want = [
+            (r[6], r[1], r[3]) for r in got if r[5] == p and r[3] is not None
+        ]
+        assert refs == [x[2] for x in sorted(want)]
