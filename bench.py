@@ -90,6 +90,7 @@ HEADLINE_QUERY_NAMES = [
     "train_bitext_pairs",
     "graph_pagerank",
     "corpus_tokenized_packs",
+    "corpus_pack_interleaved",
 ]
 
 
