@@ -900,6 +900,38 @@ def q_corpus_pack_interleaved(spark, sf_dir):
 MEDIA_TOKEN_COST = 64
 
 
+def q_corpus_pack_media_manifest(spark, sf_dir):
+    """Per-pack ordered media prefetch list (corpus.pack_media_manifest)
+    over the interleaved packing of `corpus_pack_interleaved`: for every
+    training window, the media blobs a dataloader fetches before serving
+    it, in stream order — the read side of the north rule's media_ref
+    anchoring (a media span straddling a pack boundary appears in both
+    packs' manifests, since both need the blob).  One groupBy over the
+    media rows only; per-group payload bounded by budget/min_media_cost
+    refs.  Oracle: the pack_interleaved window-cumsum replay filtered to
+    media rows, list-aggregated in (pack_start, span_index) order —
+    pack_start is a unique token offset within a pack, so the order (and
+    the value hash) is engine-independent."""
+    from srag_spark.operators.corpus import pack_interleaved, pack_media_manifest
+
+    src = _interleaved_src(spark, sf_dir)
+    packed = pack_interleaved(
+        src, budget=PACK_BUDGET, default_media_cost=MEDIA_TOKEN_COST
+    )
+    return pack_media_manifest(packed)
+
+
+def _pack_media_manifest_sql() -> str:
+    return f"""
+        WITH p AS ({_pack_interleaved_sql()})
+        SELECT pack_id,
+               list(media_ref ORDER BY pack_start, span_index)
+                 AS media_refs
+        FROM p WHERE media_ref IS NOT NULL
+        GROUP BY pack_id
+    """
+
+
 def _pack_interleaved_sql() -> str:
     b, m = PACK_BUDGET, MEDIA_TOKEN_COST
     return f"""
@@ -4622,6 +4654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "corpus_tokenized_packs": q_corpus_tokenized_packs,
         "corpus_pack_interleaved": q_corpus_pack_interleaved,
+        "corpus_pack_media_manifest": q_corpus_pack_media_manifest,
         "corpus_profile": q_corpus_profile,
         "corpus_length_quantiles": q_corpus_length_quantiles,
         "tfidf_keywords": q_tfidf_keywords,
@@ -5042,6 +5075,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "bpe_encode": _bpe_encode_sql(),
         "corpus_tokenized_packs": _tokenized_packs_sql(),
         "corpus_pack_interleaved": _pack_interleaved_sql(),
+        "corpus_pack_media_manifest": _pack_media_manifest_sql(),
         "corpus_profile": _corpus_profile_sql(),
         "corpus_length_quantiles": _corpus_length_quantiles_sql(),
         "tfidf_keywords": _tfidf_keywords_sql(),
