@@ -878,6 +878,206 @@ def _interleaved_src(spark, sf_dir):
     )
 
 
+_LEX = lambda c: F.array_remove(F.split(F.lower(c), "[^a-z0-9]+"), "")  # noqa: E731
+
+
+def _lex_docs(spark, sf_dir):
+    """documents → (did, doc_id, w) with w the LOWERCASE ALNUM token
+    array (the _LEX_SQL twin) — every token is [a-z0-9]+ so the words
+    can be embedded verbatim inside constructed HTML markup and
+    tab-separated PDF run lines without any escaping concern."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("did"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            _LEX(F.col("text")).alias("w"),
+        )
+        .filter(F.size("w") >= 12)
+    )
+
+
+def q_extract_html_spans(spark, sf_dir):
+    """P11 HTML boilerplate strip (north rule), ORACLE-CHECKED at the
+    driver gate: per doc a deterministic HTML payload is built as ONE
+    native column expression from the doc's lexical words — a nav block
+    whose words are all inside an anchor (link_density 1.0 → dropped), a
+    main <p> with an &amp; entity plus the first n//2 words (kept iff
+    word count ≥ HTML_MIN_WORDS=8 — n ∈ {12,13} docs fall below the
+    gate, exercising the min-words boundary on real data variation), a
+    mixed <div> of six words plus a 2-word anchor on even doc_ids
+    (ld 0.25 < 1/3 → kept, at the wc=8 min-words boundary exactly) or a
+    4-word anchor on odd (ld 0.4 ≥ 1/3 → dropped), a 2-word <div>
+    (min-words drop), a <script> element and an HTML comment whose words
+    must never appear.  The payload runs through the REAL Arrow
+    extraction kernel (extract_documents_flat → html_kept_blocks, the
+    frozen Arc90-class spec golden.py:123-211); the DuckDB twin replays
+    the construction through the frozen keep rules directly on the word
+    arrays — block text, entity unescape, anchor-word inclusion, kept
+    ordering and output seq renumbering all under the hash gate."""
+    from srag_spark.operators.parse import extract_documents_flat
+
+    docs = _lex_docs(spark, sf_dir)
+    n = F.size("w")
+    n1 = F.floor(n / 2).cast("int")
+    payload = F.concat(
+        F.lit(
+            '<nav><a href="/home">home about contact login terms '
+            "privacy careers blog</a></nav>"
+        ),
+        F.lit("<p>Q&amp;A "),
+        F.array_join(F.slice("w", 1, n1), " "),
+        F.lit("</p><div>"),
+        F.array_join(F.slice("w", n1 + 1, 6), " "),
+        F.lit(' <a href="/more">click here'),
+        F.when(F.col("did") % 2 == 1, F.lit(" for more")).otherwise(F.lit("")),
+        F.lit("</a></div><div>tiny "),
+        F.element_at("w", 1),
+        F.lit("</div><script>var noise = never_appears;</script>"),
+        F.lit("<!-- hidden comment words -->"),
+    )
+    src = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                payload.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    return extract_documents_flat(src)
+
+
+def _extract_html_sql() -> str:
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {_LEX_SQL} AS w FROM documents
+          WHERE len({_LEX_SQL}) >= 12
+        ),
+        cls AS (
+          SELECT doc_id, w, len(w) // 2 AS n1 FROM d
+        ),
+        main_p AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS seq,
+                 'html' AS kind,
+                 'Q&A ' || array_to_string(w[1:n1], ' ') AS text,
+                 CAST(NULL AS VARCHAR) AS media_ref
+          FROM cls WHERE n1 + 1 >= 8
+        ),
+        mixed AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 CASE WHEN n1 + 1 >= 8 THEN 1 ELSE 0 END AS seq,
+                 'html' AS kind,
+                 array_to_string(w[n1 + 1:n1 + 6], ' ') || ' click here'
+                   AS text,
+                 CAST(NULL AS VARCHAR) AS media_ref
+          FROM cls WHERE doc_id % 2 = 0
+        )
+        SELECT doc_id, CAST(seq AS INT) AS seq, kind, text, media_ref
+        FROM main_p
+        UNION ALL
+        SELECT doc_id, CAST(seq AS INT), kind, text, media_ref FROM mixed
+    """
+
+
+def q_extract_pdf_spans(spark, sf_dir):
+    """P12 PDF reading-order parse (north rule), ORACLE-CHECKED at the
+    driver gate: per doc a media anchor plus a deterministic PDF
+    text-run payload (page\\tx\\ty\\ttext lines) whose PHYSICAL line
+    order is scrambled — reading order must come from the frozen
+    (page, column, y, x) sort (golden.py:217-272): a two-column first
+    page (x 72 vs 320/340 around PDF_COLUMN_SPLIT_X=306), an in-column
+    y-gap of 38pt > PDF_PARA_Y_GAP=20 forcing a paragraph break, two
+    same-(page,column,y) runs ordered by the x tiebreak, and a second
+    page.  Docs with doc_id%53==0 carry a malformed run line → the
+    whole pdf span is a parse_failure (dropped; the media anchor
+    survives), pinning the failure path.  The DuckDB twin emits the
+    construction's expected paragraphs through the frozen semantics."""
+    from srag_spark.operators.parse import extract_documents_flat
+
+    docs = _lex_docs(spark, sf_dir)
+
+    def wd(i):
+        return F.element_at("w", i)
+
+    def line(lit, a, b):
+        return F.concat(F.lit(lit), wd(a), F.lit(" "), wd(b))
+
+    payload = F.concat_ws(
+        "\n",
+        line("1\t320.0\t50.0\t", 7, 8),   # R1 col1 — physically first
+        line("1\t72.0\t62.0\t", 3, 4),    # L2 col0, merges with L1
+        line("2\t72.0\t50.0\t", 11, 12),  # P2 page 2
+        line("1\t72.0\t50.0\t", 1, 2),    # L1 col0, reading-order first
+        line("1\t340.0\t50.0\t", 2, 1),   # R0 col1 same y as R1 — x tiebreak
+        line("1\t320.0\t64.0\t", 9, 10),  # R2 col1, merges (gap 14)
+        line("1\t72.0\t100.0\t", 5, 6),   # L3 col0, NEW paragraph (gap 38)
+    )
+    payload = F.when(
+        F.col("did") % 53 == 0, F.concat(payload, F.lit("\nmalformed"))
+    ).otherwise(payload)
+    src = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("pdfblob://"), F.col("doc_id")).alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            ),
+            F.struct(
+                F.lit("pdf").alias("kind"),
+                payload.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(1).cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return extract_documents_flat(src)
+
+
+def _extract_pdf_sql() -> str:
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {_LEX_SQL} AS w FROM documents
+          WHERE len({_LEX_SQL}) >= 12
+        ),
+        media AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS seq,
+                 'media' AS kind, CAST(NULL AS VARCHAR) AS text,
+                 'pdfblob://' || CAST(doc_id AS VARCHAR) AS media_ref
+          FROM d
+        ),
+        ok AS (SELECT doc_id, w FROM d WHERE doc_id % 53 <> 0),
+        paras AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, 1 AS seq, 'pdf' AS kind,
+                 w[1] || ' ' || w[2] || ' ' || w[3] || ' ' || w[4] AS text,
+                 CAST(NULL AS VARCHAR) AS media_ref
+          FROM ok
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 2, 'pdf',
+                 w[5] || ' ' || w[6], CAST(NULL AS VARCHAR)
+          FROM ok
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 3, 'pdf',
+                 w[7] || ' ' || w[8] || ' ' || w[2] || ' ' || w[1] || ' '
+                   || w[9] || ' ' || w[10],
+                 CAST(NULL AS VARCHAR)
+          FROM ok
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 4, 'pdf',
+                 w[11] || ' ' || w[12], CAST(NULL AS VARCHAR)
+          FROM ok
+        )
+        SELECT doc_id, CAST(seq AS INT) AS seq, kind, text, media_ref
+        FROM media
+        UNION ALL
+        SELECT doc_id, CAST(seq AS INT), kind, text, media_ref FROM paras
+    """
+
+
 def q_corpus_pack_interleaved(spark, sf_dir):
     """Multimodal sequence packing over the north-rule INTERLEAVED
     text+media span table (corpus.pack_interleaved): the deterministic
@@ -4653,6 +4853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": q_pmi_pairs,
         "bpe_encode": q_bpe_encode,
         "corpus_tokenized_packs": q_corpus_tokenized_packs,
+        "extract_html_spans": q_extract_html_spans,
+        "extract_pdf_spans": q_extract_pdf_spans,
         "corpus_pack_interleaved": q_corpus_pack_interleaved,
         "corpus_pack_media_manifest": q_corpus_pack_media_manifest,
         "corpus_profile": q_corpus_profile,
@@ -5074,6 +5276,8 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "pmi_pairs": _pmi_pairs_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "corpus_tokenized_packs": _tokenized_packs_sql(),
+        "extract_html_spans": _extract_html_sql(),
+        "extract_pdf_spans": _extract_pdf_sql(),
         "corpus_pack_interleaved": _pack_interleaved_sql(),
         "corpus_pack_media_manifest": _pack_media_manifest_sql(),
         "corpus_profile": _corpus_profile_sql(),
