@@ -1078,6 +1078,136 @@ def _extract_pdf_sql() -> str:
     """
 
 
+def q_extract_html_links(spark, sf_dir):
+    """Hyperlink extraction (operators/links.extract_links — the
+    link-graph miner, all native regexp/array expressions, zero Python):
+    per doc a deterministic link-rich HTML payload built as one native
+    expression — a followed absolute link with two anchor words, a
+    rel=nofollow link, a no-href <a name=> element and an empty-href
+    element (both consume an anchor_index but emit nothing, pinning the
+    index's stability under skips), and a relative link whose anchor
+    text carries an &amp; entity.  The DuckDB twin replays the
+    construction through the frozen spec (golden.extract_links)."""
+    from srag_spark.operators.links import extract_links
+
+    docs = _lex_docs(spark, sf_dir)
+
+    def wd(i):
+        return F.element_at("w", i)
+
+    payload = F.concat(
+        F.lit('<p><a href="https://'),
+        wd(1),
+        F.lit('.test/a">'),
+        wd(2),
+        F.lit(" "),
+        wd(3),
+        F.lit('</a> middle <a rel="nofollow" href="https://'),
+        wd(4),
+        F.lit('.test/b">skip '),
+        wd(5),
+        F.lit('</a> <a name="x">no href</a> <a href="">empty</a> '),
+        F.lit('<a href="/rel/'),
+        wd(6),
+        F.lit('">R &amp; D</a></p>'),
+    )
+    return extract_links(
+        docs.select("doc_id", payload.alias("text")), id_col="doc_id"
+    )
+
+
+def _extract_links_sql() -> str:
+    return f"""
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_LEX_SQL} AS w
+          FROM documents WHERE len({_LEX_SQL}) >= 12
+        )
+        SELECT doc_id, 0 AS anchor_index,
+               'https://' || w[1] || '.test/a' AS href,
+               w[2] || ' ' || w[3] AS anchor_text, FALSE AS nofollow
+        FROM d
+        UNION ALL
+        SELECT doc_id, 1, 'https://' || w[4] || '.test/b',
+               'skip ' || w[5], TRUE
+        FROM d
+        UNION ALL
+        SELECT doc_id, 4, '/rel/' || w[6], 'R & D', FALSE FROM d
+    """
+
+
+def q_graph_link_pagerank(spark, sf_dir):
+    """Host/page-graph centrality end to end — the classic web-curation
+    quality prior: HTML payloads → extract_links (rel=nofollow dropped,
+    as a link-graph build does) → link_edges (distinct doc→doc edges
+    parsed from doc:// hrefs) → 5 rounds of exact integer fixed-point
+    PageRank.  The link construction wires each doc to
+    (did*7 + 13k) mod M for k=1..3 (M = max doc id + 1), with the k=2
+    link rel=nofollow on did%3==0 docs — so the nofollow drop visibly
+    changes the graph.  Docs below the 12-word gate appear only as link
+    TARGETS (dangling nodes: they receive rank, contribute none — the
+    documented convention).  Oracle: the same edge construction feeding
+    the proven unrolled-CTE integer PageRank replay."""
+    from srag_spark.operators.links import extract_links, link_edges
+    from srag_spark.operators.similarity import pagerank
+
+    docs = _lex_docs(spark, sf_dir)
+    m = int(docs.agg(F.max("did")).head()[0]) + 1
+
+    def anchor(k, rel=""):
+        return F.concat(
+            F.lit(f'<a {rel}href="doc://'),
+            ((F.col("did") * 7 + 13 * k) % m).cast("string"),
+            F.lit('">'),
+            wd_k(k),
+            F.lit("</a>"),
+        )
+
+    def wd_k(i):
+        return F.element_at("w", i)
+
+    html = F.concat(
+        anchor(1),
+        F.when(
+            F.col("did") % 3 == 0, anchor(2, rel='rel="nofollow" ')
+        ).otherwise(anchor(2)),
+        anchor(3),
+    )
+    links = extract_links(
+        docs.select("did", html.alias("text")),
+        id_col="did",
+        drop_nofollow=True,
+    )
+    edges = link_edges(
+        links,
+        src_col=F.col("did").cast("long"),
+        dst_col=F.regexp_extract("href", r"^doc://([0-9]+)$", 1).cast(
+            "long"
+        ),
+        id_col="did",
+    )
+    return pagerank(edges, n_iter=5, damping=0.85, persisted=[]).orderBy(
+        "node"
+    )
+
+
+def _link_pagerank_sql() -> str:
+    raw = f"""dlex AS (
+          SELECT doc_id AS did FROM documents
+          WHERE len({_LEX_SQL}) >= 12
+        ),
+        mm AS (SELECT max(did) + 1 AS m FROM dlex),
+        alle AS (
+          SELECT did AS s,
+                 (did * 7 + 13 * k) % (SELECT m FROM mm) AS d, k
+          FROM dlex, (SELECT unnest([1, 2, 3]) AS k)
+        ),
+        raw AS (
+          SELECT DISTINCT CAST(s AS BIGINT) AS s, CAST(d AS BIGINT) AS d
+          FROM alle WHERE NOT (k = 2 AND s % 3 = 0)
+        )"""
+    return _pagerank_sql(raw_cte=raw)
+
+
 def q_corpus_pack_interleaved(spark, sf_dir):
     """Multimodal sequence packing over the north-rule INTERLEAVED
     text+media span table (corpus.pack_interleaved): the deterministic
@@ -2743,7 +2873,15 @@ def q_graph_pagerank(spark, sf_dir):
     )
 
 
-def _pagerank_sql(n_iter: int = 5, d100: int = 85) -> str:
+def _pagerank_sql(
+    n_iter: int = 5, d100: int = 85, raw_cte: str | None = None
+) -> str:
+    """Unrolled integer-fixed-point PageRank oracle over any edge
+    relation: ``raw_cte`` supplies the leading CTE block ending in a
+    ``raw(s, d)`` relation (defaults to the kNN graph)."""
+    if raw_cte is None:
+        raw_cte = f"""knn AS ({_knn_graph_sql()}),
+        raw AS (SELECT vec_id AS s, nbr_id AS d FROM knn)"""
     base = (100 - d100) * 10**9
     its = []
     prev = "r0"
@@ -2762,8 +2900,7 @@ def _pagerank_sql(n_iter: int = 5, d100: int = 85) -> str:
         prev = f"i{i}"
     chain = ",\n        ".join(its)
     return f"""
-        WITH knn AS ({_knn_graph_sql()}),
-        raw AS (SELECT vec_id AS s, nbr_id AS d FROM knn),
+        WITH {raw_cte},
         deg AS (SELECT s, count(*) AS deg FROM raw GROUP BY s),
         edges AS (SELECT raw.s, raw.d, deg.deg FROM raw JOIN deg USING (s)),
         nodes AS (
@@ -4855,6 +4992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_tokenized_packs": q_corpus_tokenized_packs,
         "extract_html_spans": q_extract_html_spans,
         "extract_pdf_spans": q_extract_pdf_spans,
+        "extract_html_links": q_extract_html_links,
+        "graph_link_pagerank": q_graph_link_pagerank,
         "corpus_pack_interleaved": q_corpus_pack_interleaved,
         "corpus_pack_media_manifest": q_corpus_pack_media_manifest,
         "corpus_profile": q_corpus_profile,
@@ -5278,6 +5417,8 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "corpus_tokenized_packs": _tokenized_packs_sql(),
         "extract_html_spans": _extract_html_sql(),
         "extract_pdf_spans": _extract_pdf_sql(),
+        "extract_html_links": _extract_links_sql(),
+        "graph_link_pagerank": _link_pagerank_sql(),
         "corpus_pack_interleaved": _pack_interleaved_sql(),
         "corpus_pack_media_manifest": _pack_media_manifest_sql(),
         "corpus_profile": _corpus_profile_sql(),

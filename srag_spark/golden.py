@@ -212,6 +212,62 @@ def html_kept_blocks(html: str) -> tuple[list[str], int, int]:
 
 
 # ---------------------------------------------------------------------------
+# Hyperlink extraction (frozen spec; the link-graph miner — the web-scale
+# complement of P11: the same anchor elements the block scorer counts for
+# link density, mined for (href, anchor text) edges a crawl/quality
+# pipeline builds its host/page graph from)
+# ---------------------------------------------------------------------------
+_HREF_RE = re.compile(r'href="([^"]*)"', re.IGNORECASE)
+_NOFOLLOW_RE = re.compile(r'rel="[^"]*nofollow[^"]*"', re.IGNORECASE)
+_ANCHOR_FULL_RE = re.compile(
+    r"<a\b([^>]*)>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL
+)
+
+
+def extract_links(html: str) -> list[tuple[int, str, str, bool]]:
+    """Extract hyperlinks from an HTML payload.
+
+    Spec (frozen):
+      1. remove comments, then <script>/<style> elements (consistent with
+         :func:`score_html_blocks` — commented-out / scripted anchors are
+         not links);
+      2. scan <a ...>...</a> elements in document order; each element
+         gets an ``anchor_index`` = its 0-based ordinal among ALL anchor
+         elements (skipped elements still consume an index, so the index
+         is stable under filtering);
+      3. the element's href is the value of the first double-quoted
+         ``href="..."`` attribute in its opening tag; elements without
+         one, or with an empty value, emit nothing;
+      4. ``nofollow`` is true iff the opening tag carries a double-quoted
+         ``rel`` attribute whose value contains ``nofollow``;
+      5. anchor text = the inner HTML with tags stripped, entities
+         unescaped (the _ENTITIES order), whitespace-normalized
+         (tokenize + single-space join).
+
+    Returns ``[(anchor_index, href, anchor_text, nofollow), ...]``.
+    """
+    if not html:
+        return []
+    html = _COMMENT_RE.sub(" ", html)
+    html = _SCRIPT_STYLE_RE.sub(" ", html)
+    out: list[tuple[int, str, str, bool]] = []
+    for idx, m in enumerate(_ANCHOR_FULL_RE.finditer(html)):
+        attrs, inner = m.group(1), m.group(2)
+        hm = _HREF_RE.search(attrs)
+        if not hm or not hm.group(1):
+            continue
+        out.append(
+            (
+                idx,
+                hm.group(1),
+                reconstruct_text(tokenize_ws(_strip_tags(inner))),
+                bool(_NOFOLLOW_RE.search(attrs)),
+            )
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # P12 — PDF reading-order parse (frozen spec; north rule)
 # ---------------------------------------------------------------------------
 def parse_pdf_runs(payload: str) -> list[str]:

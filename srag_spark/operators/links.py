@@ -1,0 +1,126 @@
+"""Hyperlink extraction from HTML payloads — the link-graph miner.
+
+The web-scale complement of the P11 block scorer: the same anchor
+elements the boilerplate heuristic counts for link density, mined as
+``(doc, anchor_index, href, anchor_text, nofollow)`` edges — the raw
+material of host/page link graphs and the PageRank-class quality
+signals web curation derives from them (the public CommonCrawl
+host-graph recipe).  The reference service stores documents but builds
+no link graph; this operator has no reference counterpart and follows
+the frozen spec in :func:`srag_spark.golden.extract_links` (the
+pure-Python twin, pinned equal by tests/test_links.py).
+
+Scale shape: ALL native column expressions — two ``regexp_extract_all``
+passes over the same anchor pattern (group 1 = opening-tag attributes,
+group 2 = inner HTML, guaranteed length-aligned), ``arrays_zip`` +
+``posexplode`` for the stable anchor ordinal, a fixed 7-step entity
+replace chain, and whitespace normalization.  Zero Python, row-local,
+zero shuffles: at 100 TB this runs at scan speed on whatever
+partitioning the source provides, and whole-stage codegen fuses it into
+the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# one pattern, two capture groups — extracting each group with the SAME
+# pattern guarantees the two arrays align element-for-element
+_ANCHOR_PATTERN = r"(?is)<a\b([^>]*)>(.*?)</a\s*>"
+_COMMENT_PATTERN = r"(?s)<!--.*?-->"
+_SCRIPT_STYLE_PATTERN = r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>"
+
+# golden._ENTITIES, same order — &amp; first, so double-escaped entities
+# resolve one level per pass exactly like the golden chain
+_ENTITY_CHAIN = (
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+)
+
+
+def _unescape_col(col):
+    for ent, ch in _ENTITY_CHAIN:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def _normalize_ws(col):
+    return F.array_join(F.array_remove(F.split(col, r"\s+"), ""), " ")
+
+
+def extract_links(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "text",
+    drop_nofollow: bool = False,
+) -> DataFrame:
+    """``(id, anchor_index, href, anchor_text, nofollow)`` per hyperlink.
+
+    Frozen semantics (golden.extract_links): comments and script/style
+    elements are removed first (a commented-out anchor is not a link);
+    every ``<a ...>...</a>`` element gets a 0-based ``anchor_index``
+    ordinal — elements without a non-empty double-quoted ``href``
+    attribute consume an index but emit no row, so the ordinal is stable
+    under filtering; ``nofollow`` is true iff the opening tag's
+    double-quoted ``rel`` value contains ``nofollow``; ``anchor_text``
+    is the inner HTML tag-stripped, entity-unescaped, whitespace-
+    normalized.  ``drop_nofollow=True`` additionally drops rel=nofollow
+    links (what a link-graph build feeds PageRank).
+    """
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col(html_col), _COMMENT_PATTERN, " "),
+        _SCRIPT_STYLE_PATTERN,
+        " ",
+    )
+    pat = F.lit(_ANCHOR_PATTERN)
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(cleaned, pat, 1).alias("attrs"),
+        F.regexp_extract_all(cleaned, pat, 2).alias("inner"),
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(pairs).alias("anchor_index", "a"),
+    ).select(
+        "id",
+        "anchor_index",
+        F.regexp_extract(F.col("a.attrs"), r'(?i)href="([^"]*)"', 1).alias(
+            "href"
+        ),
+        _normalize_ws(
+            _unescape_col(
+                F.regexp_replace(F.col("a.inner"), r"<[^>]+>", " ")
+            )
+        ).alias("anchor_text"),
+        F.col("a.attrs").rlike(r'(?i)rel="[^"]*nofollow').alias("nofollow"),
+    )
+    out = exploded.filter(F.col("href") != "")
+    if drop_nofollow:
+        out = out.filter(~F.col("nofollow"))
+    return out.withColumnRenamed("id", id_col)
+
+
+def link_edges(
+    links: DataFrame,
+    src_col,
+    dst_col,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct ``(src, dst)`` edge relation from an extract_links
+    output: ``src_col``/``dst_col`` are column expressions deriving the
+    graph's node key from the linking document and the href (page ids,
+    hosts, ...).  Null/empty dst rows (hrefs that don't parse into a
+    node key) are dropped; self-loops kept — PageRank handles them.
+    One distinct (map-side-combinable) over the linear link stream."""
+    return (
+        links.select(src_col.alias("src"), dst_col.alias("dst"))
+        .filter(
+            F.col("dst").isNotNull() & (F.col("dst").cast("string") != "")
+        )
+        .distinct()
+    )

@@ -1,0 +1,77 @@
+"""extract_links: Spark operator ≡ frozen golden spec, edge cases."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from srag_spark.golden import extract_links as golden_links
+from srag_spark.operators.links import extract_links, link_edges
+
+CASES = [
+    # basic + multiple links
+    '<p><a href="https://a.test/x">first link</a> text '
+    '<a href="/rel/path">second</a></p>',
+    # no-href and empty-href anchors consume an index but emit nothing
+    '<a name="top">skip</a><a href="">skip</a><a href="/ok">kept</a>',
+    # nofollow detection, attrs before and after href
+    '<a rel="nofollow" href="/n1">n1</a>'
+    '<a href="/n2" rel="external nofollow noopener">n2</a>'
+    '<a rel="author" href="/f">follow</a>',
+    # nested tags + entities inside anchor text
+    '<a href="/e"><b>Bold</b> &amp; <i>ital</i>&nbsp;end</a>',
+    # commented-out and scripted anchors are not links
+    '<!-- <a href="/c">ghost</a> --><script>x="<a href=\'/s\'>y</a>"'
+    '</script><a href="/live">live</a>',
+    # uppercase tag/attr, multiline inner
+    '<A HREF="/up">line1\nline2</A>',
+    # single-quoted href is NOT a double-quoted href attribute → skipped
+    "<a href='/sq'>skip</a><a href=\"/dq\">kept</a>",
+    # empty / tag-free payloads
+    "",
+    "no anchors at all",
+]
+
+
+def test_operator_matches_golden_on_cases(spark):
+    rows = [(str(i), h) for i, h in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["doc_id"], r["anchor_index"], r["href"], r["anchor_text"],
+         r["nofollow"])
+        for r in extract_links(df).collect()
+    }
+    want = {
+        (str(i), idx, href, text, nf)
+        for i, h in enumerate(CASES)
+        for (idx, href, text, nf) in golden_links(h)
+    }
+    assert got == want
+    # spot-pin the spec facts the set equality hides
+    assert ("1", 2, "/ok", "kept", False) in want  # index stable under skips
+    assert ("2", 0, "/n1", "n1", True) in want
+    assert ("2", 1, "/n2", "n2", True) in want
+    assert ("2", 2, "/f", "follow", False) in want
+    assert ("3", 0, "/e", "Bold & ital end", False) in want
+    assert ("4", 0, "/live", "live", False) in want  # ghosts removed
+    assert not any(k[0] == "6" and k[2] == "/sq" for k in want)
+
+
+def test_drop_nofollow_and_edges(spark):
+    html = (
+        '<a href="doc://7">x</a><a rel="nofollow" href="doc://8">y</a>'
+        '<a href="doc://7">again</a><a href="mailto:z">not a doc</a>'
+    )
+    df = spark.createDataFrame([("1", html)], "doc_id string, text string")
+    links = extract_links(df, drop_nofollow=True)
+    assert {r["href"] for r in links.collect()} == {"doc://7", "mailto:z"}
+
+    from pyspark.sql import functions as F
+
+    edges = link_edges(
+        links,
+        src_col=F.col("doc_id"),
+        dst_col=F.regexp_extract("href", r"^doc://([0-9]+)$", 1),
+    ).collect()
+    # dedup of the repeated doc://7 link, mailto dropped (empty dst)
+    assert {(r["src"], r["dst"]) for r in edges} == {("1", "7")}
