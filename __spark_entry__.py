@@ -1135,6 +1135,79 @@ def _extract_links_sql() -> str:
     """
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """URL resolution + canonicalization (links.resolve_href_col — the
+    frozen bounded-RFC-3986 spec, golden.resolve_href): per doc six
+    hrefs exercising every spec branch — an absolute URL with an
+    UPPERCASED host and explicit :443 (lowercased, default port
+    stripped), a protocol-relative href (takes the page's scheme), a
+    root-relative and a bare-relative path (resolve against the base
+    authority), a mailto: (non-hierarchical, passes through verbatim),
+    and a fragment-only href (resolves to NULL) — resolved against a
+    per-doc base (scheme alternates http/https by doc parity).  Pure
+    column expression, zero Python, zero shuffles.  Oracle: the
+    construction replayed through the frozen rules as literal SQL."""
+    from srag_spark.operators.links import resolve_href_col
+
+    docs = _lex_docs(spark, sf_dir)
+
+    def wd(i):
+        return F.element_at("w", i)
+
+    hrefs = F.array(
+        F.concat(
+            F.lit("https://"), F.upper(wd(2)), F.lit(".Test:443/"), wd(3)
+        ),
+        F.concat(F.lit("//cdn."), wd(4), F.lit(".test/lib")),
+        F.concat(F.lit("/p/"), wd(5)),
+        F.concat(wd(6), F.lit("/rel")),
+        F.concat(F.lit("mailto:"), wd(7), F.lit("@x.test")),
+        F.lit("#sec"),
+    )
+    scheme = F.when(F.col("did") % 2 == 0, F.lit("https")).otherwise(
+        F.lit("http")
+    )
+    base_host = F.concat(wd(1), F.lit(".base.test"))
+    return docs.select(
+        "doc_id",
+        F.posexplode(hrefs).alias("href_index", "href"),
+        scheme.alias("_s"),
+        base_host.alias("_h"),
+    ).select(
+        "doc_id",
+        "href_index",
+        resolve_href_col(F.col("href"), F.col("_s"), F.col("_h")).alias(
+            "url"
+        ),
+    )
+
+
+def _url_canonicalize_sql() -> str:
+    return f"""
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_LEX_SQL} AS w,
+                 CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END
+                   AS sch
+          FROM documents WHERE len({_LEX_SQL}) >= 12
+        )
+        SELECT doc_id, 0 AS href_index,
+               'https://' || w[2] || '.test/' || w[3] AS url FROM d
+        UNION ALL
+        SELECT doc_id, 1, sch || '://cdn.' || w[4] || '.test/lib' FROM d
+        UNION ALL
+        SELECT doc_id, 2,
+               sch || '://' || w[1] || '.base.test/p/' || w[5] FROM d
+        UNION ALL
+        SELECT doc_id, 3,
+               sch || '://' || w[1] || '.base.test/' || w[6] || '/rel'
+        FROM d
+        UNION ALL
+        SELECT doc_id, 4, 'mailto:' || w[7] || '@x.test' FROM d
+        UNION ALL
+        SELECT doc_id, 5, CAST(NULL AS VARCHAR) FROM d
+    """
+
+
 def q_graph_link_pagerank(spark, sf_dir):
     """Host/page-graph centrality end to end — the classic web-curation
     quality prior: HTML payloads → extract_links (rel=nofollow dropped,
@@ -4993,6 +5066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html_spans": q_extract_html_spans,
         "extract_pdf_spans": q_extract_pdf_spans,
         "extract_html_links": q_extract_html_links,
+        "url_canonicalize": q_url_canonicalize,
         "graph_link_pagerank": q_graph_link_pagerank,
         "corpus_pack_interleaved": q_corpus_pack_interleaved,
         "corpus_pack_media_manifest": q_corpus_pack_media_manifest,
@@ -5418,6 +5492,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "extract_html_spans": _extract_html_sql(),
         "extract_pdf_spans": _extract_pdf_sql(),
         "extract_html_links": _extract_links_sql(),
+        "url_canonicalize": _url_canonicalize_sql(),
         "graph_link_pagerank": _link_pagerank_sql(),
         "corpus_pack_interleaved": _pack_interleaved_sql(),
         "corpus_pack_media_manifest": _pack_media_manifest_sql(),

@@ -267,6 +267,58 @@ def extract_links(html: str) -> list[tuple[int, str, str, bool]]:
     return out
 
 
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+_URL_PARTS_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$")
+
+
+def resolve_href(href: str, base_scheme: str, base_host: str) -> str | None:
+    """Resolve an extracted href against its page's base, canonicalized.
+
+    Spec (frozen; the bounded RFC 3986 subset a link-graph build needs):
+      1. strip the fragment (everything from the first ``#``); an href
+         that becomes empty resolves to nothing (None);
+      2. scheme-ful hrefs (``scheme:...``, incl. mailto:/javascript:)
+         are taken as-is; protocol-relative ``//host/...`` takes the
+         base scheme; root-relative ``/path`` and bare relative paths
+         resolve against the base authority root (directory-relative
+         resolution is deliberately out of spec — document-level link
+         graphs key on authorities and absolute paths);
+      3. canonicalization (applied to the resolved URL when it has a
+         ``scheme://authority`` form; non-hierarchical URLs like
+         mailto: pass through): scheme and host lowercased, a default
+         port stripped (``:80`` for http, ``:443`` for https), an empty
+         path made ``/``, a trailing ``?`` with no query dropped.
+    """
+    if href is None:
+        return None
+    href = href.split("#", 1)[0]
+    if not href:
+        return None
+    if href.startswith("//"):
+        url = f"{base_scheme}:{href}"
+    elif _SCHEME_RE.match(href):
+        url = href
+    elif href.startswith("/"):
+        url = f"{base_scheme}://{base_host}{href}"
+    else:
+        url = f"{base_scheme}://{base_host}/{href}"
+    m = _URL_PARTS_RE.match(url)
+    if not m:
+        return url
+    scheme = m.group(1).lower()
+    host = m.group(2).lower()
+    rest = m.group(3)
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    if rest.endswith("?"):
+        rest = rest[:-1]
+    if not rest:
+        rest = "/"
+    return f"{scheme}://{host}{rest}"
+
+
 # ---------------------------------------------------------------------------
 # P12 — PDF reading-order parse (frozen spec; north rule)
 # ---------------------------------------------------------------------------

@@ -105,6 +105,53 @@ def extract_links(
     return out.withColumnRenamed("id", id_col)
 
 
+_URL_PARTS = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
+
+
+def resolve_href_col(href_col, base_scheme_col, base_host_col):
+    """Native-expression twin of :func:`srag_spark.golden.resolve_href`
+    (the frozen bounded-RFC-3986 spec): fragment stripped, scheme-ful
+    hrefs as-is, protocol-relative on the base scheme, root-relative and
+    bare-relative against the base authority root; then canonicalized —
+    scheme/host lowercased, default port stripped, empty path → ``/``,
+    bare trailing ``?`` dropped.  NULL in → NULL out; an href that is
+    only a fragment resolves to NULL.  Pure column expression: zero
+    Python, row-local — composes with :func:`extract_links` +
+    :func:`link_edges` into a host/page graph build that runs at scan
+    speed."""
+    h = F.split(href_col, "#", 2)[0]
+    url = (
+        F.when(h == "", F.lit(None).cast("string"))
+        .when(
+            h.startswith("//"), F.concat(base_scheme_col, F.lit(":"), h)
+        )
+        .when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), h)
+        .when(
+            h.startswith("/"),
+            F.concat(base_scheme_col, F.lit("://"), base_host_col, h),
+        )
+        .otherwise(
+            F.concat(
+                base_scheme_col, F.lit("://"), base_host_col, F.lit("/"), h
+            )
+        )
+    )
+    scheme = F.lower(F.regexp_extract(url, _URL_PARTS, 1))
+    host = F.lower(F.regexp_extract(url, _URL_PARTS, 2))
+    rest = F.regexp_extract(url, _URL_PARTS, 3)
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    rest = F.regexp_replace(rest, r"\?$", "")
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return F.when(
+        url.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"),
+        F.concat(scheme, F.lit("://"), host, rest),
+    ).otherwise(url)
+
+
 def link_edges(
     links: DataFrame,
     src_col,

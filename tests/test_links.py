@@ -75,3 +75,60 @@ def test_drop_nofollow_and_edges(spark):
     ).collect()
     # dedup of the repeated doc://7 link, mailto dropped (empty dst)
     assert {(r["src"], r["dst"]) for r in edges} == {("1", "7")}
+
+
+URL_CASES = [
+    # (href, base_scheme, base_host)
+    ("https://UP.Test:443/Path?q=1", "http", "base.test"),
+    ("http://a.test:80/x", "http", "base.test"),
+    ("http://a.test:8080/x", "http", "base.test"),
+    ("//cdn.Test/lib.js", "https", "base.test"),
+    ("/rooted/path", "https", "Base.TEST"),
+    ("relative/page", "http", "base.test"),
+    ("mailto:someone@a.test", "http", "base.test"),
+    ("javascript:void(0)", "http", "base.test"),
+    ("#frag-only", "http", "base.test"),
+    ("", "http", "base.test"),
+    ("/path#frag", "https", "base.test"),
+    ("https://a.test?", "http", "base.test"),
+    ("https://a.test", "http", "base.test"),
+    ("HTTPS://A.Test:443", "http", "base.test"),
+    (None, "http", "base.test"),
+]
+
+
+def test_resolve_href_matches_golden(spark):
+    from srag_spark.golden import resolve_href
+    from srag_spark.operators.links import resolve_href_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(str(i), h, s, b) for i, (h, s, b) in enumerate(URL_CASES)],
+        "i string, href string, scheme string, host string",
+    )
+    got = {
+        r["i"]: r["u"]
+        for r in df.select(
+            "i",
+            resolve_href_col(
+                F.col("href"), F.col("scheme"), F.col("host")
+            ).alias("u"),
+        ).collect()
+    }
+    for i, (h, s, b) in enumerate(URL_CASES):
+        want = None if h is None else resolve_href(h, s, b)
+        assert got[str(i)] == want, (h, got[str(i)], want)
+    # spot-pin the spec facts the equality hides
+    assert got["0"] == "https://up.test/Path?q=1"   # :443 + case, path kept
+    assert got["1"] == "http://a.test/x"            # :80 stripped
+    assert got["2"] == "http://a.test:8080/x"       # non-default port kept
+    assert got["3"] == "https://cdn.test/lib.js"    # protocol-relative
+    assert got["4"] == "https://base.test/rooted/path"  # host lowercased
+    assert got["5"] == "http://base.test/relative/page"
+    assert got["6"] == "mailto:someone@a.test"      # non-hierarchical as-is
+    assert got["8"] is None and got["9"] is None    # fragment-only / empty
+    assert got["10"] == "https://base.test/path"    # fragment stripped
+    assert got["11"] == "https://a.test/"           # bare ? dropped, / path
+    assert got["12"] == "https://a.test/"           # empty path -> /
+    assert got["13"] == "https://a.test/"           # scheme lowered too
+    assert got["14"] is None
