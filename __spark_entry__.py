@@ -1135,6 +1135,57 @@ def _extract_links_sql() -> str:
     """
 
 
+def q_anchor_text_index(spark, sf_dir):
+    """Inbound anchor-text propagation (links.anchor_text_index — the
+    Brin & Page §2.2 signal: a page described by the anchor texts of
+    links pointing AT it), composed end to end: the extract_html_links
+    construction → href resolution against a fixed page base → per-URL
+    inbound census + the first 5 anchor texts in deterministic
+    (src doc_id, anchor_index) order.  The 31-word vocabulary makes
+    ~93 distinct targets with ~16 inbound links each, so the max_texts
+    cap (the WindowGroupLimit-backed hub-URL OOM guard) is genuinely
+    exercised.  Oracle: the construction's three links per doc grouped
+    with DuckDB's ordered list aggregation, sliced to the cap."""
+    from srag_spark.operators.links import anchor_text_index, resolve_href_col
+
+    links = q_extract_html_links(spark, sf_dir)
+    urls = links.select(
+        "doc_id",
+        "anchor_index",
+        "anchor_text",
+        resolve_href_col(
+            F.col("href"), F.lit("http"), F.lit("pages.test")
+        ).alias("url"),
+    )
+    return anchor_text_index(urls, max_texts=5)
+
+
+def _anchor_text_index_sql() -> str:
+    return f"""
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_LEX_SQL} AS w
+          FROM documents WHERE len({_LEX_SQL}) >= 12
+        ),
+        l AS (
+          SELECT doc_id, 0 AS anchor_index,
+                 'https://' || w[1] || '.test/a' AS url,
+                 w[2] || ' ' || w[3] AS anchor_text
+          FROM d
+          UNION ALL
+          SELECT doc_id, 1, 'https://' || w[4] || '.test/b',
+                 'skip ' || w[5]
+          FROM d
+          UNION ALL
+          SELECT doc_id, 4, 'http://pages.test/rel/' || w[6], 'R & D'
+          FROM d
+        )
+        SELECT url, count(*) AS n_inbound,
+               (list(anchor_text ORDER BY doc_id, anchor_index))[1:5]
+                 AS anchor_texts
+        FROM l GROUP BY url
+    """
+
+
 def q_url_canonicalize(spark, sf_dir):
     """URL resolution + canonicalization (links.resolve_href_col — the
     frozen bounded-RFC-3986 spec, golden.resolve_href): per doc six
@@ -5067,6 +5118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_spans": q_extract_pdf_spans,
         "extract_html_links": q_extract_html_links,
         "url_canonicalize": q_url_canonicalize,
+        "anchor_text_index": q_anchor_text_index,
         "graph_link_pagerank": q_graph_link_pagerank,
         "corpus_pack_interleaved": q_corpus_pack_interleaved,
         "corpus_pack_media_manifest": q_corpus_pack_media_manifest,
@@ -5493,6 +5545,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "extract_pdf_spans": _extract_pdf_sql(),
         "extract_html_links": _extract_links_sql(),
         "url_canonicalize": _url_canonicalize_sql(),
+        "anchor_text_index": _anchor_text_index_sql(),
         "graph_link_pagerank": _link_pagerank_sql(),
         "corpus_pack_interleaved": _pack_interleaved_sql(),
         "corpus_pack_media_manifest": _pack_media_manifest_sql(),

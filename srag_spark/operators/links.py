@@ -22,7 +22,7 @@ the scan stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # one pattern, two capture groups — extracting each group with the SAME
@@ -171,3 +171,50 @@ def link_edges(
         )
         .distinct()
     )
+
+
+def anchor_text_index(
+    links: DataFrame,
+    url_col: str = "url",
+    src_col: str = "doc_id",
+    idx_col: str = "anchor_index",
+    text_col: str = "anchor_text",
+    max_texts: int = 64,
+) -> DataFrame:
+    """Inbound anchor-text index per link target — the classic IR signal
+    (a page is well described by the anchor texts of links POINTING AT
+    it; search engines have indexed anchor text onto targets since
+    Brin & Page 1998 §2.2).  Returns one row per distinct ``url_col``::
+
+        (url, n_inbound, anchor_texts array<string>)
+
+    ``n_inbound`` counts ALL inbound links; ``anchor_texts`` carries the
+    first ``max_texts`` texts in deterministic (src, anchor_index)
+    order, so a popular target's row stays bounded — the full inbound
+    set of a hub URL can be millions of rows, and an unbounded
+    collect_list is the canonical skew OOM.  Plan shape: the cap is a
+    rank predicate (rk <= max_texts) under a (src, idx)-ordered window,
+    which Spark rewrites to WindowGroupLimit — per-partition partial
+    top-k BEFORE the shuffle, so a mega-URL never funnels its full
+    inbound set through one task; the census is a separate map-side-
+    combinable count.  Output is a pure function of the link set —
+    engine- and partition-independent."""
+    w = Window.partitionBy(url_col).orderBy(src_col, idx_col)
+    capped = (
+        links.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(max_texts))
+        .groupBy(url_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(src_col, idx_col, text_col))
+            ).alias("_t")
+        )
+        .select(
+            url_col,
+            F.transform("_t", lambda s: s[text_col]).alias("anchor_texts"),
+        )
+    )
+    counts = links.groupBy(url_col).agg(
+        F.count(F.lit(1)).alias("n_inbound")
+    )
+    return counts.join(capped, url_col)

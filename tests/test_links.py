@@ -132,3 +132,26 @@ def test_resolve_href_matches_golden(spark):
     assert got["12"] == "https://a.test/"           # empty path -> /
     assert got["13"] == "https://a.test/"           # scheme lowered too
     assert got["14"] is None
+
+
+def test_anchor_text_index_cap_and_order(spark):
+    from srag_spark.operators.links import anchor_text_index
+
+    rows = [
+        # hub target: 7 inbound from docs 0..6 (strings sort "0".."6")
+        *[(str(i), 0, "hub", f"t{i}") for i in range(7)],
+        # second link from doc 0 to hub — (src, idx) order within a src
+        ("0", 3, "hub", "t0-late"),
+        # quiet target
+        ("9", 1, "rare", "only"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, anchor_index int, url string, anchor_text string"
+    )
+    out = {r["url"]: r for r in anchor_text_index(df, max_texts=5).collect()}
+    assert out["hub"]["n_inbound"] == 8          # census counts ALL inbound
+    assert out["hub"]["anchor_texts"] == [
+        "t0", "t0-late", "t1", "t2", "t3"        # (src, idx) order, capped
+    ]
+    assert out["rare"]["n_inbound"] == 1
+    assert out["rare"]["anchor_texts"] == ["only"]
