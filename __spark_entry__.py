@@ -1332,6 +1332,99 @@ def _link_pagerank_sql() -> str:
     return _pagerank_sql(raw_cte=raw)
 
 
+def q_extract_meta_tags(spark, sf_dir):
+    """Head-metadata extraction (links.extract_meta — title / meta
+    description / rel=canonical / robots noindex as pure native
+    regexp + array-HOF expressions, zero Python, zero shuffles): per
+    doc a deterministic head payload — a commented-out robots-noindex
+    meta (removed before anything is read), a title with a nested tag
+    and an &amp; entity, a description meta whose attribute ORDER flips
+    with doc parity (name-first vs content-first — either order is in
+    spec), a canonical link on doc_id%3!=0 docs (the %3==0 docs carry
+    only a rel=alternate link, pinning the NULL branch and the
+    rel-equality rule), and a robots meta whose content carries NOINDEX
+    exactly on doc_id%5==0.  The DuckDB twin replays the construction
+    through the frozen spec (golden.extract_meta, pinned operator≡golden
+    in tests/test_meta.py)."""
+    from srag_spark.operators.links import extract_meta
+
+    docs = _lex_docs(spark, sf_dir)
+
+    def wd(i):
+        return F.element_at("w", i)
+
+    desc = F.when(
+        F.col("did") % 2 == 0,
+        F.concat(
+            F.lit('<meta name="description" content="'),
+            wd(3),
+            F.lit(" "),
+            wd(4),
+            F.lit('">'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<meta content="'),
+            wd(3),
+            F.lit(" "),
+            wd(4),
+            F.lit('" name="Description">'),
+        )
+    )
+    canon = F.when(
+        F.col("did") % 3 != 0,
+        F.concat(
+            F.lit('<link rel="canonical" href="https://'),
+            wd(5),
+            F.lit('.test/c">'),
+        ),
+    ).otherwise(F.lit('<link rel="alternate" href="https://x.test/a">'))
+    robots = F.when(
+        F.col("did") % 5 == 0,
+        F.lit('<meta name="robots" content="NOINDEX, nofollow">'),
+    ).otherwise(F.lit('<meta name="robots" content="index, follow">'))
+    payload = F.concat(
+        F.lit('<head><!-- <meta name="robots" content="noindex"> -->'
+              "<title><b>"),
+        wd(1),
+        F.lit("</b> &amp; "),
+        wd(2),
+        F.lit("</title>"),
+        desc,
+        canon,
+        robots,
+        F.lit("</head>"),
+    )
+    out = extract_meta(
+        docs.select("doc_id", payload.alias("text")), id_col="doc_id"
+    )
+    # the compare harness sorts rows by the name-sorted columns, and
+    # `canonical` sorts first — map its NULL branch (doc_id%3==0 docs)
+    # to '' so the sort never compares str vs None; '' only arises from
+    # that branch, so the spec fact stays hash-pinned
+    return out.withColumn(
+        "canonical", F.coalesce("canonical", F.lit(""))
+    )
+
+
+def _extract_meta_sql() -> str:
+    return f"""
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS did,
+                 {_LEX_SQL} AS w
+          FROM documents WHERE len({_LEX_SQL}) >= 12
+        )
+        SELECT id AS doc_id,
+               w[1] || ' & ' || w[2] AS title,
+               w[3] || ' ' || w[4] AS description,
+               CASE WHEN did % 3 <> 0
+                    THEN 'https://' || w[5] || '.test/c'
+                    ELSE '' END AS canonical,
+               (did % 5 = 0) AS robots_noindex
+        FROM d
+    """
+
+
 def q_corpus_pack_interleaved(spark, sf_dir):
     """Multimodal sequence packing over the north-rule INTERLEAVED
     text+media span table (corpus.pack_interleaved): the deterministic
@@ -5120,6 +5213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "anchor_text_index": q_anchor_text_index,
         "graph_link_pagerank": q_graph_link_pagerank,
+        "extract_meta_tags": q_extract_meta_tags,
         "corpus_pack_interleaved": q_corpus_pack_interleaved,
         "corpus_pack_media_manifest": q_corpus_pack_media_manifest,
         "corpus_profile": q_corpus_profile,
@@ -5547,6 +5641,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "url_canonicalize": _url_canonicalize_sql(),
         "anchor_text_index": _anchor_text_index_sql(),
         "graph_link_pagerank": _link_pagerank_sql(),
+        "extract_meta_tags": _extract_meta_sql(),
         "corpus_pack_interleaved": _pack_interleaved_sql(),
         "corpus_pack_media_manifest": _pack_media_manifest_sql(),
         "corpus_profile": _corpus_profile_sql(),

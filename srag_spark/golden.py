@@ -319,6 +319,80 @@ def resolve_href(href: str, base_scheme: str, base_host: str) -> str | None:
     return f"{scheme}://{host}{rest}"
 
 
+_TITLE_RE = re.compile(r"<title\b[^>]*>(.*?)</title\s*>", re.IGNORECASE | re.DOTALL)
+_META_RE = re.compile(r"<meta\b([^>]*)>", re.IGNORECASE | re.DOTALL)
+_LINKTAG_RE = re.compile(r"<link\b([^>]*)>", re.IGNORECASE | re.DOTALL)
+_NAME_ATTR_RE = re.compile(r'name="([^"]*)"', re.IGNORECASE)
+_CONTENT_ATTR_RE = re.compile(r'content="([^"]*)"', re.IGNORECASE)
+_REL_ATTR_RE = re.compile(r'rel="([^"]*)"', re.IGNORECASE)
+
+
+def extract_meta(html: str) -> tuple[str | None, str | None, str | None, bool]:
+    """Extract head metadata from an HTML payload.
+
+    Spec (frozen):
+      1. remove comments, then <script>/<style> elements (consistent
+         with :func:`score_html_blocks` / :func:`extract_links` —
+         commented-out or scripted metadata is not metadata);
+      2. ``title`` = the inner HTML of the FIRST ``<title>...</title>``
+         element, tag-stripped, entity-unescaped (the _ENTITIES order),
+         whitespace-normalized; None when absent or empty after
+         normalization;
+      3. a ``<meta ...>`` tag's name is its first double-quoted
+         ``name="..."`` attribute and its content its first double-quoted
+         ``content="..."`` attribute, in either attribute order;
+         ``description`` = the content of the FIRST meta tag whose name
+         equals ``description`` case-insensitively AND whose raw content
+         is non-empty, entity-unescaped and whitespace-normalized (a
+         first match normalizing to empty yields None — later tags do
+         not rescue it); None when absent;
+      4. ``canonical`` = the first double-quoted ``href`` of the FIRST
+         ``<link ...>`` tag whose double-quoted ``rel`` value equals
+         ``canonical`` case-insensitively, taken RAW (resolution against
+         the page base composes via :func:`resolve_href`); None when
+         absent or empty;
+      5. ``robots_noindex`` is true iff ANY meta tag with name
+         ``robots`` has a content containing ``noindex``
+         case-insensitively.
+
+    Returns ``(title, description, canonical, robots_noindex)``.
+    """
+    if not html:
+        return (None, None, None, False)
+    html = _COMMENT_RE.sub(" ", html)
+    html = _SCRIPT_STYLE_RE.sub(" ", html)
+    title: str | None = None
+    tm = _TITLE_RE.search(html)
+    if tm:
+        title = reconstruct_text(tokenize_ws(_strip_tags(tm.group(1)))) or None
+    description: str | None = None
+    desc_found = False
+    robots_noindex = False
+    for m in _META_RE.finditer(html):
+        attrs = m.group(1)
+        nm = _NAME_ATTR_RE.search(attrs)
+        cm = _CONTENT_ATTR_RE.search(attrs)
+        name = nm.group(1).lower() if nm else None
+        content = cm.group(1) if cm else None
+        if name == "description" and not desc_found and content:
+            desc_found = True
+            description = (
+                reconstruct_text(tokenize_ws(_unescape(content))) or None
+            )
+        if name == "robots" and content and "noindex" in content.lower():
+            robots_noindex = True
+    canonical: str | None = None
+    for m in _LINKTAG_RE.finditer(html):
+        attrs = m.group(1)
+        rm = _REL_ATTR_RE.search(attrs)
+        if rm and rm.group(1).lower() == "canonical":
+            hm = _HREF_RE.search(attrs)
+            if hm and hm.group(1):
+                canonical = hm.group(1)
+            break
+    return (title, description, canonical, robots_noindex)
+
+
 # ---------------------------------------------------------------------------
 # P12 — PDF reading-order parse (frozen spec; north rule)
 # ---------------------------------------------------------------------------

@@ -218,3 +218,109 @@ def anchor_text_index(
         F.count(F.lit(1)).alias("n_inbound")
     )
     return counts.join(capped, url_col)
+
+
+_META_TAG_PATTERN = r"(?is)<meta\b([^>]*)>"
+_LINK_TAG_PATTERN = r"(?is)<link\b([^>]*)>"
+_NAME_ATTR = r'(?i)name="([^"]*)"'
+_CONTENT_ATTR = r'(?i)content="([^"]*)"'
+_REL_ATTR = r'(?i)rel="([^"]*)"'
+_HREF_ATTR = r'(?i)href="([^"]*)"'
+
+
+def extract_meta(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "text",
+) -> DataFrame:
+    """Head-metadata extraction — ``(id, title, description, canonical,
+    robots_noindex)`` per document, the curation-relevant head signals:
+    title/description feed quality scoring and snippet indexes,
+    ``rel=canonical`` is the publisher-declared duplicate key (canonical
+    -URL grouping runs BEFORE content dedup in web curation pipelines),
+    and ``robots noindex`` is the publisher opt-out a compliant corpus
+    build honors.  No reference counterpart (the service stores
+    documents; it mines no head metadata); frozen spec in
+    :func:`srag_spark.golden.extract_meta`, pinned equal by
+    tests/test_meta.py.
+
+    Frozen semantics: comments then script/style removed; ``title`` =
+    first ``<title>`` inner HTML tag-stripped/entity-unescaped/ws-
+    normalized (NULL when absent or empty); ``description`` = content of
+    the first ``<meta>`` whose double-quoted ``name`` equals
+    ``description`` case-insensitively AND whose content is non-empty,
+    unescaped + ws-normalized; ``canonical`` = the raw href of the
+    FIRST ``<link>`` whose ``rel`` equals ``canonical`` (NULL when that
+    tag lacks a non-empty href — later canonical tags do not rescue it);
+    ``robots_noindex`` true iff ANY ``name="robots"`` meta content
+    contains ``noindex``.  Attribute order within a tag is free; only
+    double-quoted attributes participate (the extract_links convention).
+
+    Scale shape: all native column expressions — ``regexp_extract`` for
+    the title, ``regexp_extract_all`` + array HOFs (filter / exists /
+    element_at) for the meta and link tags, the shared entity chain.
+    Zero Python, zero shuffles, zero explodes: one output row per input
+    row at scan speed, codegen-fused into the scan stage at 100 TB.
+    """
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col(html_col), _COMMENT_PATTERN, " "),
+        _SCRIPT_STYLE_PATTERN,
+        " ",
+    )
+    title = _normalize_ws(
+        _unescape_col(
+            F.regexp_replace(
+                F.regexp_extract(
+                    cleaned, r"(?is)<title\b[^>]*>(.*?)</title\s*>", 1
+                ),
+                r"<[^>]+>",
+                " ",
+            )
+        )
+    )
+    metas = F.regexp_extract_all(cleaned, F.lit(_META_TAG_PATTERN), 1)
+
+    def _name(a):
+        return F.lower(F.regexp_extract(a, _NAME_ATTR, 1))
+
+    def _content(a):
+        return F.regexp_extract(a, _CONTENT_ATTR, 1)
+
+    desc_raw = F.try_element_at(
+        F.filter(
+            metas,
+            lambda a: (_name(a) == "description") & (_content(a) != ""),
+        ),
+        F.lit(1),
+    )
+    description = _normalize_ws(_unescape_col(_content(desc_raw)))
+    noindex = F.coalesce(
+        F.exists(
+            metas,
+            lambda a: (_name(a) == "robots")
+            & F.lower(_content(a)).contains("noindex"),
+        ),
+        F.lit(False),
+    )
+    can_tag = F.try_element_at(
+        F.filter(
+            F.regexp_extract_all(cleaned, F.lit(_LINK_TAG_PATTERN), 1),
+            lambda a: F.lower(F.regexp_extract(a, _REL_ATTR, 1))
+            == "canonical",
+        ),
+        F.lit(1),
+    )
+    can_href = F.regexp_extract(can_tag, _HREF_ATTR, 1)
+    return docs.select(
+        F.col(id_col),
+        F.when(title == "", F.lit(None).cast("string"))
+        .otherwise(title)
+        .alias("title"),
+        F.when(description == "", F.lit(None).cast("string"))
+        .otherwise(description)
+        .alias("description"),
+        F.when(can_href == "", F.lit(None).cast("string"))
+        .otherwise(can_href)
+        .alias("canonical"),
+        noindex.alias("robots_noindex"),
+    )
