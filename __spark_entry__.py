@@ -1425,6 +1425,49 @@ def _extract_meta_sql() -> str:
     """
 
 
+def q_canonical_dedup(spark, sf_dir):
+    """Canonical-URL dedup (links.canonical_dedup) composed on the
+    extract_meta_tags construction: docs whose heads declare the same
+    rel=canonical URL collapse to the lexicographically-first doc_id
+    (the keep-first convention); the doc_id%3==0 docs declare nothing
+    and are always kept.  The 31-word vocabulary makes ~30 real
+    multi-doc groups (~11 docs each), so the dedup genuinely binds.
+    Plan: the dedup_lines_agg recipe — groupBy-min + co-keyed
+    join-back, no per-group window.  Oracle: the construction's
+    canonical column grouped with min() in DuckDB."""
+    from srag_spark.operators.links import canonical_dedup
+
+    meta = q_extract_meta_tags(spark, sf_dir)
+    out = canonical_dedup(meta, id_col="doc_id", url_col="canonical")
+    return out.select(
+        "doc_id",
+        F.coalesce("canonical_group", F.lit("")).alias("canonical_group"),
+        "canonical_keep",
+    )
+
+
+def _canonical_dedup_sql() -> str:
+    return f"""
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS did,
+                 {_LEX_SQL} AS w
+          FROM documents WHERE len({_LEX_SQL}) >= 12
+        ),
+        g AS (
+          SELECT id, CASE WHEN did % 3 <> 0
+                          THEN 'https://' || w[5] || '.test/c' END AS grp
+          FROM d
+        ),
+        win AS (
+          SELECT grp, min(id) AS wid FROM g
+          WHERE grp IS NOT NULL GROUP BY grp
+        )
+        SELECT id AS doc_id, coalesce(grp, '') AS canonical_group,
+               (grp IS NULL OR id = wid) AS canonical_keep
+        FROM g LEFT JOIN win USING (grp)
+    """
+
+
 def q_corpus_pack_interleaved(spark, sf_dir):
     """Multimodal sequence packing over the north-rule INTERLEAVED
     text+media span table (corpus.pack_interleaved): the deterministic
@@ -5214,6 +5257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_index": q_anchor_text_index,
         "graph_link_pagerank": q_graph_link_pagerank,
         "extract_meta_tags": q_extract_meta_tags,
+        "canonical_dedup": q_canonical_dedup,
         "corpus_pack_interleaved": q_corpus_pack_interleaved,
         "corpus_pack_media_manifest": q_corpus_pack_media_manifest,
         "corpus_profile": q_corpus_profile,
@@ -5642,6 +5686,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "anchor_text_index": _anchor_text_index_sql(),
         "graph_link_pagerank": _link_pagerank_sql(),
         "extract_meta_tags": _extract_meta_sql(),
+        "canonical_dedup": _canonical_dedup_sql(),
         "corpus_pack_interleaved": _pack_interleaved_sql(),
         "corpus_pack_media_manifest": _pack_media_manifest_sql(),
         "corpus_profile": _corpus_profile_sql(),

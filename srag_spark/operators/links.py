@@ -324,3 +324,49 @@ def extract_meta(
         .alias("canonical"),
         noindex.alias("robots_noindex"),
     )
+
+
+def canonical_dedup(
+    meta: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "canonical",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Canonical-URL dedup verdicts — the curation step ``rel=canonical``
+    exists for: crawls see the same article under tracking-parameter /
+    mirror / pagination URLs, and the publisher-declared canonical
+    groups them BEFORE any content-similarity pass (cheaper and exact
+    where declared).  One row per input row::
+
+        (id, canonical_group, canonical_keep)
+
+    ``canonical_group`` is ``url_col`` where declared (non-null,
+    non-empty) else NULL — undeclared docs form no group and are always
+    kept (a NULL canonical asserts nothing; content dedup handles
+    them).  Within a group the single row minimizing
+    ``(order_col, id)`` (``id`` alone when order_col is None) keeps;
+    the deterministic keep-first convention of dedup.exact_dedup.
+
+    Scale shape: the dedup_lines_agg recipe — one map-side-combinable
+    groupBy-min over declared rows + one co-keyed join-back, no window
+    over the group (a mega-group — a site canonicalizing millions of
+    pages to one URL — never funnels through one task's sort).
+    """
+    key = F.when(
+        F.col(url_col).isNotNull() & (F.col(url_col) != ""), F.col(url_col)
+    )
+    ords = [order_col, id_col] if order_col else [id_col]
+    rows = meta.withColumn("canonical_group", key)
+    declared = rows.filter(F.col("canonical_group").isNotNull())
+    winners = declared.groupBy("canonical_group").agg(
+        F.min(F.struct(*ords)).alias("_w")
+    )
+    return (
+        rows.join(winners, "canonical_group", "left")
+        .withColumn(
+            "canonical_keep",
+            F.col("_w").isNull()
+            | (F.struct(*ords) == F.col("_w")),
+        )
+        .drop("_w")
+    )
