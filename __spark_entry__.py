@@ -1468,6 +1468,48 @@ def _canonical_dedup_sql() -> str:
     """
 
 
+def q_host_stats(spark, sf_dir):
+    """Per-host census (links.host_stats — the RefinedWeb-class
+    site-level prior: document mass, distinct-path count (the crawler-
+    trap signal), publisher opt-out census): per doc a URL
+    ``https://{w5}.Test/p/{w6}`` (uppercased host exercising the
+    lowercasing) and a noindex flag on doc_id%5==0; ~31 hosts × ~16
+    docs with repeated paths, so every census column genuinely
+    aggregates.  One map-side-combinable groupBy; the metric_mean
+    decimal path is pytest-covered (integer-only census here keeps the
+    oracle hash exact by construction).  Oracle: the construction
+    grouped in DuckDB."""
+    from srag_spark.operators.links import host_stats
+
+    docs = _lex_docs(spark, sf_dir)
+
+    def wd(i):
+        return F.element_at("w", i)
+
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), wd(5), F.lit(".Test/p/"), wd(6)
+        ).alias("url"),
+        (F.col("did") % 5 == 0).alias("noindex"),
+    )
+    return host_stats(urls, noindex_col="noindex")
+
+
+def _host_stats_sql() -> str:
+    return f"""
+        WITH d AS (
+          SELECT doc_id AS did, {_LEX_SQL} AS w
+          FROM documents WHERE len({_LEX_SQL}) >= 12
+        )
+        SELECT w[5] || '.test' AS host,
+               count(*) AS n_docs,
+               count(DISTINCT w[6]) AS n_paths,
+               sum(CASE WHEN did % 5 = 0 THEN 1 ELSE 0 END) AS n_noindex
+        FROM d GROUP BY w[5]
+    """
+
+
 def q_corpus_pack_interleaved(spark, sf_dir):
     """Multimodal sequence packing over the north-rule INTERLEAVED
     text+media span table (corpus.pack_interleaved): the deterministic
@@ -5258,6 +5300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_link_pagerank": q_graph_link_pagerank,
         "extract_meta_tags": q_extract_meta_tags,
         "canonical_dedup": q_canonical_dedup,
+        "host_stats": q_host_stats,
         "corpus_pack_interleaved": q_corpus_pack_interleaved,
         "corpus_pack_media_manifest": q_corpus_pack_media_manifest,
         "corpus_profile": q_corpus_profile,
@@ -5687,6 +5730,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "graph_link_pagerank": _link_pagerank_sql(),
         "extract_meta_tags": _extract_meta_sql(),
         "canonical_dedup": _canonical_dedup_sql(),
+        "host_stats": _host_stats_sql(),
         "corpus_pack_interleaved": _pack_interleaved_sql(),
         "corpus_pack_media_manifest": _pack_media_manifest_sql(),
         "corpus_profile": _corpus_profile_sql(),

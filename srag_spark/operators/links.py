@@ -370,3 +370,59 @@ def canonical_dedup(
         )
         .drop("_w")
     )
+
+
+def host_of(url_col):
+    """Lowercased authority of a ``scheme://host[/...]`` URL (port kept —
+    canonicalize first via :func:`resolve_href_col` to strip default
+    ports); NULL for non-hierarchical or NULL URLs.  Pure column
+    expression."""
+    h = F.lower(F.regexp_extract(url_col, _URL_PARTS, 2))
+    return F.when(h != "", h)
+
+
+def host_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    noindex_col: str | None = None,
+    metric_col: str | None = None,
+    metric_decimals: int = 6,
+) -> DataFrame:
+    """Per-host census — the site-level prior web curation keys on
+    (RefinedWeb's URL filtering and C4's blocklists act on domains;
+    per-host document mass, opt-out fraction and mean quality decide
+    whether a whole site is worth crawling/keeping).  One row per
+    distinct host of ``url_col``::
+
+        (host, n_docs, n_paths[, n_noindex][, metric_mean])
+
+    ``n_paths`` counts distinct full URLs under the host (a 1-path
+    host with a million docs is a crawler trap signal); ``noindex_col``
+    (boolean) adds the publisher opt-out census; ``metric_col`` adds a
+    mean computed in DECIMAL(28,10) — exact, summation-order-independent
+    — then rounded to ``metric_decimals`` as a double, so the figure is
+    a pure function of the value multiset (a float sum's order
+    dependence could flip the last bit across engines/partitionings).
+    Rows whose URL yields no host are dropped (un-hosted docs have no
+    site).  One map-side-combinable groupBy over the linear doc
+    stream; output bounded by the distinct-host count.
+    """
+    rows = docs.withColumn("host", host_of(F.col(url_col))).filter(
+        F.col("host").isNotNull()
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.col(url_col)).alias("n_paths"),
+    ]
+    if noindex_col:
+        aggs.append(
+            F.sum(F.col(noindex_col).cast("int")).alias("n_noindex")
+        )
+    if metric_col:
+        dec = F.col(metric_col).cast("decimal(28,10)")
+        aggs.append(
+            F.round(
+                (F.sum(dec) / F.count(dec)).cast("double"), metric_decimals
+            ).alias("metric_mean")
+        )
+    return rows.groupBy("host").agg(*aggs)
