@@ -1510,6 +1510,70 @@ def _host_stats_sql() -> str:
     """
 
 
+def q_host_boilerplate(spark, sf_dir):
+    """Per-host template-line removal (dedup.host_boilerplate_flags —
+    the site-chrome killer C4's GLOBAL keep-first rule can't express:
+    all copies of a host's template lines drop, and the same text is
+    judged independently per host): per doc three lines — host chrome
+    ``{w5} cookie banner`` (support = the whole host → boilerplate),
+    a did-unique line (kept), and a parity line ``{w5} promo {did%2}``
+    shared by ~half the host's docs, which sits ON the 500-permille
+    boundary — hosts with odd doc counts split 8/9, so both verdict
+    branches occur on real data variation and the integer permille
+    compare is pinned where a float ratio could flip.  Construction
+    words are lowercase alnum, so normalization is identity and the
+    DuckDB twin groups on the literal line text."""
+    from srag_spark.operators.dedup import host_boilerplate_flags
+
+    docs = _lex_docs(spark, sf_dir)
+
+    def wd(i):
+        return F.element_at("w", i)
+
+    text = F.concat(
+        wd(5),
+        F.lit(" cookie banner. "),
+        wd(6),
+        F.lit(" "),
+        F.col("did").cast("string"),
+        F.lit(" unique. "),
+        wd(5),
+        F.lit(" promo "),
+        (F.col("did") % 2).cast("string"),
+    )
+    return host_boilerplate_flags(
+        docs.select("doc_id", wd(5).alias("host"), text.alias("text"))
+    )
+
+
+def _host_boilerplate_sql() -> str:
+    return f"""
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS did,
+                 {_LEX_SQL} AS w
+          FROM documents WHERE len({_LEX_SQL}) >= 12
+        ),
+        l AS (
+          SELECT id, w[5] AS host, 0 AS pos,
+                 w[5] || ' cookie banner' AS line FROM d
+          UNION ALL
+          SELECT id, w[5], 1,
+                 w[6] || ' ' || CAST(did AS VARCHAR) || ' unique' FROM d
+          UNION ALL
+          SELECT id, w[5], 2,
+                 w[5] || ' promo ' || CAST(did % 2 AS VARCHAR) FROM d
+        ),
+        sup AS (
+          SELECT host, line, count(DISTINCT id) AS ns
+          FROM l GROUP BY host, line
+        ),
+        cen AS (SELECT w[5] AS host, count(*) AS nh FROM d GROUP BY w[5])
+        SELECT l.id AS doc_id, l.host, l.pos, l.line,
+               NOT (ns >= 3 AND ns * 1000 >= 500 * nh) AS keep
+        FROM l JOIN sup USING (host, line) JOIN cen USING (host)
+    """
+
+
 def q_corpus_pack_interleaved(spark, sf_dir):
     """Multimodal sequence packing over the north-rule INTERLEAVED
     text+media span table (corpus.pack_interleaved): the deterministic
@@ -5301,6 +5365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_meta_tags": q_extract_meta_tags,
         "canonical_dedup": q_canonical_dedup,
         "host_stats": q_host_stats,
+        "host_boilerplate": q_host_boilerplate,
         "corpus_pack_interleaved": q_corpus_pack_interleaved,
         "corpus_pack_media_manifest": q_corpus_pack_media_manifest,
         "corpus_profile": q_corpus_profile,
@@ -5731,6 +5796,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "extract_meta_tags": _extract_meta_sql(),
         "canonical_dedup": _canonical_dedup_sql(),
         "host_stats": _host_stats_sql(),
+        "host_boilerplate": _host_boilerplate_sql(),
         "corpus_pack_interleaved": _pack_interleaved_sql(),
         "corpus_pack_media_manifest": _pack_media_manifest_sql(),
         "corpus_profile": _corpus_profile_sql(),

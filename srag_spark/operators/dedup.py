@@ -1063,3 +1063,96 @@ def embedding_cross_pairs(
         .filter(F.col("cos_r") >= F.lit(float(threshold)))
         .select("id_l", "id_r", "cos_r")
     )
+
+
+def host_boilerplate_flags(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    frac_permille: int = 500,
+) -> DataFrame:
+    """(doc_id, host, pos, line, keep) — per-HOST template-line verdicts,
+    the site-boilerplate complement of :func:`line_dedup_flags`: a line
+    recurring across a large fraction of ONE SITE's pages is template
+    chrome (nav, cookie banner, footer) even when it is globally rare,
+    and C4's global keep-first rule would still keep its first copy on
+    every site.  The CCNet/DataTrove per-shard rationale, keyed on the
+    host explicitly.
+
+    Frozen spec (mirrored by the DuckDB oracle):
+      * lines/pos = the line_dedup_flags convention (split ``\\.\\s+``,
+        trim, drop empties, 0-based pos);
+      * a line's host support = the number of DISTINCT docs of that
+        host containing it (within-doc repeats count once), compared
+        against the host's distinct-doc census;
+      * boilerplate iff support >= ``min_docs`` AND
+        ``support * 1000 >= frac_permille * host_docs`` — the fraction
+        threshold compared in INTEGER permille arithmetic, so the
+        boundary is engine-exact (a float ratio could flip a
+        boundary-sitting line across engines);
+      * ``keep`` = NOT boilerplate — ALL copies of template chrome
+        drop (unlike global line dedup's keep-first: chrome carries no
+        unique content worth one surviving copy).
+
+    Plan shape at 100 TB: one line explode; support via the two-phase
+    exact-distinct groupBy on (host, line-hash) — map-side combinable,
+    never a per-host window; the host census is a
+    tiny-key groupBy joined onto the support relation on the host
+    equi-key (AQE picks broadcast when the census fits — it is bounded
+    by distinct hosts, which at full web scale is ~10^8 rows, so the
+    hint is deliberately NOT forced); verdicts join back to the line stream on the
+    (host, hash) equi-key — AQE-splittable under hot-line skew.  No
+    window over a host's full line set anywhere.
+    """
+    lines = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(host_col).alias("host"),
+            F.posexplode(F.split(F.col(text_col), r"\.\s+")).alias(
+                "pos", "raw"
+            ),
+        )
+        .select(
+            "doc_id",
+            "host",
+            "pos",
+            F.trim("raw").alias("line"),
+        )
+        .filter(F.length("line") > 0)
+        .withColumn("lh", F.md5(norm_text_col(F.col("line"))))
+    )
+    support = (
+        lines.select("host", "lh", "doc_id")
+        .distinct()
+        .groupBy("host", "lh")
+        .agg(F.count(F.lit(1)).alias("n_support"))
+    )
+    census = (
+        docs.select(F.col(host_col).alias("host"), F.col(id_col))
+        .distinct()
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_host_docs"))
+    )
+    verdict = support.join(census, "host").select(
+        "host",
+        "lh",
+        (
+            (F.col("n_support") >= int(min_docs))
+            & (
+                F.col("n_support") * 1000
+                >= int(frac_permille) * F.col("n_host_docs")
+            )
+        ).alias("_bp"),
+    )
+    return (
+        lines.join(verdict, ["host", "lh"], "left")
+        .select(
+            "doc_id",
+            "host",
+            "pos",
+            "line",
+            (~F.coalesce(F.col("_bp"), F.lit(False))).alias("keep"),
+        )
+    )
