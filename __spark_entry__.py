@@ -1574,6 +1574,80 @@ def _host_boilerplate_sql() -> str:
     """
 
 
+def q_robots_gate(spark, sf_dir):
+    """robots.txt crawl-compliance gate end to end (operators/robots —
+    the frozen bounded-RFC-9309 spec: most-specific agent group,
+    longest prefix match, allow wins equal-length ties): one robots
+    file per distinct host (~31 hosts = the w5 vocabulary), every file
+    carrying the wildcard group Disallow /private + Allow /private/pub
+    + the /dup tie pair, and EVEN-length hosts additionally a specific
+    sragbot group with Disallow / — which silences the wildcard group
+    entirely for the queried agent.  Each doc contributes one URL whose
+    path branches on doc_id%4 across blocked / rescued-by-longer-allow
+    / unmatched / tie cases.  Oracle: the verdict table the frozen
+    rules imply, as one CASE expression."""
+    from srag_spark.operators.robots import robots_gate, robots_rules
+
+    docs = _lex_docs(spark, sf_dir)
+
+    def wd(i):
+        return F.element_at("w", i)
+
+    wild = (
+        "User-agent: *\nDisallow: /private\nAllow: /private/pub\n"
+        "Disallow: /dup\nAllow: /dup\n"
+    )
+    hosts = docs.select(wd(5).alias("hw")).distinct()
+    robots = hosts.select(
+        F.concat(F.col("hw"), F.lit(".test")).alias("host"),
+        F.when(
+            F.length("hw") % 2 == 0,
+            F.lit(wild + "\nUser-agent: sragbot\nDisallow: /\n"),
+        )
+        .otherwise(F.lit(wild))
+        .alias("robots_txt"),
+    )
+    rules = robots_rules(robots, "sragbot")
+    path = F.concat(
+        F.element_at(
+            F.array(
+                F.lit("/private/"),
+                F.lit("/private/pub/"),
+                F.lit("/open/"),
+                F.lit("/dup/"),
+            ),
+            (F.col("did") % 4 + 1).cast("int"),
+        ),
+        wd(6),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(wd(5), F.lit(".test")).alias("host"),
+        path.alias("path"),
+    )
+    return robots_gate(urls, rules)
+
+
+def _robots_gate_sql() -> str:
+    return f"""
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS did,
+                 {_LEX_SQL} AS w
+          FROM documents WHERE len({_LEX_SQL}) >= 12
+        )
+        SELECT id AS doc_id, w[5] || '.test' AS host,
+               CASE CAST(did % 4 AS INTEGER)
+                 WHEN 0 THEN '/private/' || w[6]
+                 WHEN 1 THEN '/private/pub/' || w[6]
+                 WHEN 2 THEN '/open/' || w[6]
+                 ELSE '/dup/' || w[6] END AS path,
+               CASE WHEN length(w[5]) % 2 = 0 THEN FALSE
+                    WHEN did % 4 = 0 THEN FALSE
+                    ELSE TRUE END AS allowed
+        FROM d
+    """
+
+
 def q_corpus_pack_interleaved(spark, sf_dir):
     """Multimodal sequence packing over the north-rule INTERLEAVED
     text+media span table (corpus.pack_interleaved): the deterministic
@@ -5366,6 +5440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_dedup": q_canonical_dedup,
         "host_stats": q_host_stats,
         "host_boilerplate": q_host_boilerplate,
+        "robots_gate": q_robots_gate,
         "corpus_pack_interleaved": q_corpus_pack_interleaved,
         "corpus_pack_media_manifest": q_corpus_pack_media_manifest,
         "corpus_profile": q_corpus_profile,
@@ -5797,6 +5872,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "canonical_dedup": _canonical_dedup_sql(),
         "host_stats": _host_stats_sql(),
         "host_boilerplate": _host_boilerplate_sql(),
+        "robots_gate": _robots_gate_sql(),
         "corpus_pack_interleaved": _pack_interleaved_sql(),
         "corpus_pack_media_manifest": _pack_media_manifest_sql(),
         "corpus_profile": _corpus_profile_sql(),

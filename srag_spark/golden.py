@@ -766,3 +766,71 @@ def word_group_chunks(text: str, chunk_size: int = 1000) -> list[str]:
         reconstruct_text(words[i : i + chunk_size])
         for i in range(0, len(words), chunk_size)
     ]
+
+
+def parse_robots(txt: str, agent: str) -> list[tuple[bool, str]]:
+    """Parse a robots.txt payload into the rules applying to ``agent``.
+
+    Spec (frozen; the bounded RFC 9309 subset a crawl gate needs —
+    literal path prefixes only, no ``*``/``$`` wildcards):
+      1. split on newlines; strip everything from the first ``#``
+         (comments); trim; blank lines are insignificant but do NOT
+         close a group;
+      2. a line is ``key: value`` on the FIRST colon, key lowercased +
+         trimmed, value trimmed; keys other than ``user-agent`` /
+         ``allow`` / ``disallow`` are ignored;
+      3. groups: a ``user-agent`` line OPENS a new group when the
+         previous significant (parsed-key) line was not itself a
+         user-agent line — adjacent user-agent lines share the group;
+         the group's rules are the allow/disallow lines until the next
+         group opens;
+      4. a group names ``agent`` when any of its user-agent values
+         equals it case-insensitively; it names the wildcard when any
+         value is ``*``.  If ANY group names the agent, only
+         agent-naming groups apply (RFC 9309 §2.2.1 most-specific
+         group); otherwise the wildcard groups apply;
+      5. allow/disallow lines with an EMPTY value are ignored (an
+         empty Disallow means allow-all);
+      6. returns ``[(allow, prefix), ...]`` in file order.
+
+    Match with :func:`robots_allowed`.
+    """
+    groups: list[dict] = []
+    cur: dict | None = None
+    last_was_ua = False
+    for raw in (txt or "").split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key, value = key.strip().lower(), value.strip()
+        if key == "user-agent":
+            if not last_was_ua or cur is None:
+                cur = {"agents": [], "rules": []}
+                groups.append(cur)
+            cur["agents"].append(value.lower())
+            last_was_ua = True
+        elif key in ("allow", "disallow"):
+            last_was_ua = False
+            if cur is not None and value:
+                cur["rules"].append((key == "allow", value))
+        else:
+            last_was_ua = False
+    agent = agent.lower()
+    specific = [g for g in groups if agent in g["agents"]]
+    chosen = specific or [g for g in groups if "*" in g["agents"]]
+    return [r for g in chosen for r in g["rules"]]
+
+
+def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
+    """Longest-prefix-match verdict over :func:`parse_robots` rules:
+    the matching rule with the longest prefix decides; a tie between
+    an allow and a disallow of equal length goes to ALLOW (RFC 9309
+    §2.2.2); no matching rule → allowed."""
+    best: tuple[int, bool] | None = None
+    for allow, prefix in rules:
+        if path.startswith(prefix):
+            key = (len(prefix), allow)
+            if best is None or key > best:
+                best = key
+    return True if best is None else best[1]
