@@ -1648,6 +1648,94 @@ def _robots_gate_sql() -> str:
     """
 
 
+def q_extract_pubdate(spark, sf_dir):
+    """Publication-date extraction (links.extract_pubdate — the frozen
+    trafilatura-class priority spec: keyed meta → <time datetime> →
+    URL path date, lexically validated, invalid candidates falling
+    through): doc_id%4 routes each doc through one source — an
+    article:published_time property meta with a varying valid
+    2023-MM-DD, a time tag with 2021-MM-DD, a date-free page whose URL
+    carries /2019/MM/ (day defaults 01), and a poisoned branch whose
+    meta month is 13 AND whose URL year 1803 is out of bounds (both
+    validations bind → NULL).  MM/DD derive from doc_id, so the
+    boundary months (01, 12) and days occur on real data.  Oracle: the
+    CASE table the frozen rules imply."""
+    from srag_spark.operators.links import extract_pubdate
+
+    docs = _lex_docs(spark, sf_dir)
+    mm = F.lpad((F.col("did") % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((F.col("did") % 28 + 1).cast("string"), 2, "0")
+    payload = (
+        F.when(
+            F.col("did") % 4 == 0,
+            F.concat(
+                F.lit('<meta property="article:published_time" '
+                      'content="2023-'),
+                mm,
+                F.lit("-"),
+                dd,
+                F.lit('T08:00:00Z">'),
+            ),
+        )
+        .when(
+            F.col("did") % 4 == 1,
+            F.concat(
+                F.lit('<time datetime="2021-'),
+                mm,
+                F.lit("-"),
+                dd,
+                F.lit('">posted</time>'),
+            ),
+        )
+        .when(F.col("did") % 4 == 2, F.lit("<p>no inline date</p>"))
+        .otherwise(
+            F.concat(
+                F.lit('<meta name="date" content="2023-13-'),
+                dd,
+                F.lit('">'),
+            )
+        )
+    )
+    url = F.when(
+        F.col("did") % 4 == 2,
+        F.concat(F.lit("https://s.test/2019/"), mm, F.lit("/post")),
+    ).otherwise(F.lit("https://s.test/1803/01/x"))
+    out = extract_pubdate(
+        docs.select(
+            "doc_id", payload.alias("text"), url.alias("url")
+        ),
+        url_col="url",
+    )
+    # NULL-free projection for the row-sort compare (the NULL branch is
+    # still pinned: '' only arises from it)
+    return out.select(
+        "doc_id",
+        F.coalesce("pub_date", F.lit("")).alias("pub_date"),
+        F.coalesce("date_source", F.lit("")).alias("date_source"),
+    )
+
+
+def _extract_pubdate_sql() -> str:
+    return f"""
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS did,
+                 lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') AS mm,
+                 lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd
+          FROM documents WHERE len({_LEX_SQL}) >= 12
+        )
+        SELECT id AS doc_id,
+               CASE CAST(did % 4 AS INTEGER)
+                 WHEN 0 THEN '2023-' || mm || '-' || dd
+                 WHEN 1 THEN '2021-' || mm || '-' || dd
+                 WHEN 2 THEN '2019-' || mm || '-01'
+                 ELSE '' END AS pub_date,
+               CASE CAST(did % 4 AS INTEGER)
+                 WHEN 0 THEN 'meta' WHEN 1 THEN 'time'
+                 WHEN 2 THEN 'url' ELSE '' END AS date_source
+        FROM d
+    """
+
+
 def q_corpus_pack_interleaved(spark, sf_dir):
     """Multimodal sequence packing over the north-rule INTERLEAVED
     text+media span table (corpus.pack_interleaved): the deterministic
@@ -5441,6 +5529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "host_boilerplate": q_host_boilerplate,
         "robots_gate": q_robots_gate,
+        "extract_pubdate": q_extract_pubdate,
         "corpus_pack_interleaved": q_corpus_pack_interleaved,
         "corpus_pack_media_manifest": q_corpus_pack_media_manifest,
         "corpus_profile": q_corpus_profile,
@@ -5873,6 +5962,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "host_stats": _host_stats_sql(),
         "host_boilerplate": _host_boilerplate_sql(),
         "robots_gate": _robots_gate_sql(),
+        "extract_pubdate": _extract_pubdate_sql(),
         "corpus_pack_interleaved": _pack_interleaved_sql(),
         "corpus_pack_media_manifest": _pack_media_manifest_sql(),
         "corpus_profile": _corpus_profile_sql(),

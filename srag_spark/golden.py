@@ -834,3 +834,74 @@ def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
             if best is None or key > best:
                 best = key
     return True if best is None else best[1]
+
+
+_PROP_ATTR_RE = re.compile(r'property="([^"]*)"', re.IGNORECASE)
+_TIME_TAG_RE = re.compile(r'<time\b[^>]*\bdatetime="([^"]*)"', re.IGNORECASE | re.DOTALL)
+_DATE_META_KEYS = ("article:published_time", "datepublished", "date", "dc.date.issued")
+_ISO_DATE_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})")
+_URL_DATE_RE = re.compile(r"/((?:19|20)\d{2})/(\d{2})(?:/(\d{2}))?(?:/|$)")
+
+
+def _valid_ymd(y: str, m: str, d: str) -> bool:
+    return "1900" <= y <= "2099" and "01" <= m <= "12" and "01" <= d <= "31"
+
+
+def extract_pubdate(html: str, url: str | None = None):
+    """Publication-date extraction (trafilatura-class, bounded).
+
+    Spec (frozen):
+      1. comments then <script>/<style> removed (shared convention);
+      2. candidate sources in PRIORITY order — the first source that
+         yields a VALID date wins:
+         a. ``meta``: the first ``<meta>`` tag whose double-quoted
+            ``property`` or ``name`` value equals one of
+            article:published_time / datePublished / date /
+            dc.date.issued case-insensitively, with a non-empty
+            ``content``; the date is the content's leading
+            ``YYYY-MM-DD`` prefix;
+         b. ``time``: the first ``<time ... datetime="...">`` tag's
+            datetime value, same leading-prefix rule;
+         c. ``url``: the first ``/YYYY/MM/DD/`` or ``/YYYY/MM/`` path
+            segment of ``url`` (years 19xx/20xx; a missing day is
+            ``01``; the segment must end at ``/`` or end-of-string);
+      3. validity = year in [1900, 2099], month in [01, 12], day in
+         [01, 31] — a LEXICAL bound (no calendar arithmetic: the gate
+         is a curation signal, not a datetime library);
+      4. returns ``(date 'YYYY-MM-DD', source)`` or ``(None, None)``.
+    """
+    if html:
+        cleaned = _COMMENT_RE.sub(" ", html)
+        cleaned = _SCRIPT_STYLE_RE.sub(" ", cleaned)
+    else:
+        cleaned = ""
+    for m in _META_RE.finditer(cleaned):
+        attrs = m.group(1)
+        keys = []
+        nm = _NAME_ATTR_RE.search(attrs)
+        pm = _PROP_ATTR_RE.search(attrs)
+        if nm:
+            keys.append(nm.group(1).lower())
+        if pm:
+            keys.append(pm.group(1).lower())
+        if not any(k in _DATE_META_KEYS for k in keys):
+            continue
+        cm = _CONTENT_ATTR_RE.search(attrs)
+        if not cm or not cm.group(1):
+            continue
+        dm = _ISO_DATE_RE.match(cm.group(1))
+        if dm and _valid_ymd(*dm.groups()):
+            return ("-".join(dm.groups()), "meta")
+        break  # first keyed meta decides for the meta source
+    tm = _TIME_TAG_RE.search(cleaned)
+    if tm:
+        dm = _ISO_DATE_RE.match(tm.group(1))
+        if dm and _valid_ymd(*dm.groups()):
+            return ("-".join(dm.groups()), "time")
+    if url:
+        um = _URL_DATE_RE.search(url)
+        if um:
+            y, mo, d = um.group(1), um.group(2), um.group(3) or "01"
+            if _valid_ymd(y, mo, d):
+                return (f"{y}-{mo}-{d}", "url")
+    return (None, None)

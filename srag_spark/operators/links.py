@@ -426,3 +426,91 @@ def host_stats(
             ).alias("metric_mean")
         )
     return rows.groupBy("host").agg(*aggs)
+
+
+_PROP_ATTR = r'(?i)property="([^"]*)"'
+_TIME_DATETIME = r'(?is)<time\b[^>]*\bdatetime="([^"]*)"'
+_DATE_META_KEYS = (
+    "article:published_time",
+    "datepublished",
+    "date",
+    "dc.date.issued",
+)
+# leading YYYY-MM-DD with the golden lexical bounds baked in:
+# (19|20)\d{2} == years 1900-2099, 0[1-9]|1[0-2] == months, 01-31 days
+_VALID_DATE_PREFIX = r"^((?:19|20)\d{2}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12][0-9]|3[01]))"
+_URL_DATE = r"/((?:19|20)\d{2})/(\d{2})(?:/(\d{2}))?(?:/|$)"
+
+
+def extract_pubdate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "text",
+    url_col: str | None = None,
+) -> DataFrame:
+    """``(id, pub_date, date_source)`` — publication-date extraction,
+    the freshness signal (trafilatura-class, the frozen bounded spec in
+    :func:`srag_spark.golden.extract_pubdate`, pinned equal by
+    tests/test_pubdate.py): priority meta (article:published_time /
+    datePublished / date / dc.date.issued via name= or property=, the
+    FIRST keyed tag with non-empty content deciding) → first
+    ``<time datetime=>`` → URL ``/YYYY/MM[/DD]/`` path segment; dates
+    validated by LEXICAL year/month/day bounds, invalid candidates
+    falling through to the next source.  All native regexp + array-HOF
+    expressions: zero Python, zero shuffles, one output row per input
+    row at scan speed.
+    """
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col(html_col), _COMMENT_PATTERN, " "),
+        _SCRIPT_STYLE_PATTERN,
+        " ",
+    )
+    metas = F.regexp_extract_all(cleaned, F.lit(_META_TAG_PATTERN), 1)
+
+    def _keyed(a):
+        return (
+            F.lower(F.regexp_extract(a, _NAME_ATTR, 1)).isin(*_DATE_META_KEYS)
+            | F.lower(F.regexp_extract(a, _PROP_ATTR, 1)).isin(
+                *_DATE_META_KEYS
+            )
+        ) & (F.regexp_extract(a, _CONTENT_ATTR, 1) != "")
+
+    meta_val = F.regexp_extract(
+        F.try_element_at(F.filter(metas, _keyed), F.lit(1)),
+        _CONTENT_ATTR,
+        1,
+    )
+    meta_date = F.nullif(
+        F.regexp_extract(meta_val, _VALID_DATE_PREFIX, 1), F.lit("")
+    )
+    time_date = F.nullif(
+        F.regexp_extract(
+            F.regexp_extract(cleaned, _TIME_DATETIME, 1),
+            _VALID_DATE_PREFIX,
+            1,
+        ),
+        F.lit(""),
+    )
+    if url_col is not None:
+        u = F.col(url_col)
+        y = F.regexp_extract(u, _URL_DATE, 1)
+        mo = F.regexp_extract(u, _URL_DATE, 2)
+        d = F.when(
+            F.regexp_extract(u, _URL_DATE, 3) == "", F.lit("01")
+        ).otherwise(F.regexp_extract(u, _URL_DATE, 3))
+        url_date = F.when(
+            (y != "")
+            & mo.rlike(r"^(0[1-9]|1[0-2])$")
+            & d.rlike(r"^(0[1-9]|[12][0-9]|3[01])$"),
+            F.concat_ws("-", y, mo, d),
+        )
+    else:
+        url_date = F.lit(None).cast("string")
+    return docs.select(
+        F.col(id_col),
+        F.coalesce(meta_date, time_date, url_date).alias("pub_date"),
+        F.when(meta_date.isNotNull(), F.lit("meta"))
+        .when(time_date.isNotNull(), F.lit("time"))
+        .when(url_date.isNotNull(), F.lit("url"))
+        .alias("date_source"),
+    )
