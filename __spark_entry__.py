@@ -1736,6 +1736,47 @@ def _extract_pubdate_sql() -> str:
     """
 
 
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease scoring (textstats.readability) over the
+    RAW documents table — a real-data oracle, no construction: the
+    frozen spec computes word / sentence-run / vowel-group-syllable
+    counts and the classic 206.835 − 1.015·(W/S) − 84.6·(Y/W) score in
+    exact integer MILLI-units (each ratio floor-divided in BIGINT), so
+    DuckDB reproduces every row bit-for-bit from the same text.
+    Row-local, zero shuffles."""
+    from srag_spark.operators.textstats import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
+def _text_readability_sql() -> str:
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text,
+                 {_LEX_SQL} AS w
+          FROM documents
+        )
+        SELECT doc_id,
+               len(w) AS n_words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                 AS n_sentences,
+               coalesce(list_sum(list_transform(w,
+                 t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')),
+                               1))), 0) AS n_syllables,
+               CASE WHEN len(w) > 0 THEN
+                 206835
+                 - (1015 * len(w))
+                     // greatest(len(regexp_extract_all(text, '[.!?]+')),
+                                 1)
+                 - (84600 * coalesce(list_sum(list_transform(w,
+                     t -> greatest(len(regexp_extract_all(t,
+                                       '[aeiouy]+')), 1))), 0))
+                     // len(w)
+               END AS flesch_milli
+        FROM d
+    """
+
+
 def q_corpus_pack_interleaved(spark, sf_dir):
     """Multimodal sequence packing over the north-rule INTERLEAVED
     text+media span table (corpus.pack_interleaved): the deterministic
@@ -5530,6 +5571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate": q_host_boilerplate,
         "robots_gate": q_robots_gate,
         "extract_pubdate": q_extract_pubdate,
+        "text_readability": q_text_readability,
         "corpus_pack_interleaved": q_corpus_pack_interleaved,
         "corpus_pack_media_manifest": q_corpus_pack_media_manifest,
         "corpus_profile": q_corpus_profile,
@@ -5963,6 +6005,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "host_boilerplate": _host_boilerplate_sql(),
         "robots_gate": _robots_gate_sql(),
         "extract_pubdate": _extract_pubdate_sql(),
+        "text_readability": _text_readability_sql(),
         "corpus_pack_interleaved": _pack_interleaved_sql(),
         "corpus_pack_media_manifest": _pack_media_manifest_sql(),
         "corpus_profile": _corpus_profile_sql(),

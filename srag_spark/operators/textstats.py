@@ -752,3 +752,78 @@ def corpus_length_quantiles(
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"), *quants)
         .orderBy("group")
     )
+
+
+
+def _idiv(a, b):
+    """Exact BIGINT floor division for non-negative operands:
+    (a - a % b) / b — the modulo is exact on longs and the remaining
+    division is an integer-valued double well below 2^53, so the cast
+    back to bigint is exact (a raw double a/b could sit one ulp below
+    an integer boundary and floor() would flip)."""
+    return ((a - a % b) / b).cast("bigint")
+
+
+def flesch_cols(text_col) -> dict[str, "F.Column"]:
+    """Exact-integer Flesch reading-ease components over a raw text
+    column — per-row, join-free (the language_pred_cols convention).
+
+    Frozen spec:
+      * ``n_words`` = the words_col count (lowercase-alnum tokens);
+      * ``n_sentences`` = the number of ``[.!?]+`` runs in the raw
+        text, floored at 1;
+      * ``n_syllables`` = per word max(1, number of ``[aeiouy]+``
+        vowel groups), summed — the standard vowel-group syllable
+        approximation;
+      * ``flesch_milli`` = 206835 − (1015·W div S) − (84600·Y div W)
+        with W/S/Y the counts above — the classic
+        206.835 − 1.015·(W/S) − 84.6·(Y/W) in MILLI-units with each
+        ratio floor-divided in exact integer arithmetic, so the score
+        is bit-identical across engines and partitionings where the
+        float formula could differ in the last place; NULL when the
+        text has no words.
+    """
+    w = words_col(text_col)
+    n_words = F.size(w).cast("bigint")
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(text_col, F.lit(r"([.!?]+)"))).cast(
+            "bigint"
+        ),
+        F.lit(1).cast("bigint"),
+    )
+    n_syllables = F.aggregate(
+        F.transform(
+            w,
+            lambda t: F.greatest(
+                F.size(F.regexp_extract_all(t, F.lit(r"([aeiouy]+)"))),
+                F.lit(1),
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    flesch_milli = F.when(
+        n_words > 0,
+        F.lit(206835).cast("bigint")
+        - _idiv(F.lit(1015).cast("bigint") * n_words, n_sentences)
+        - _idiv(F.lit(84600).cast("bigint") * n_syllables, n_words),
+    )
+    return {
+        "n_words": n_words,
+        "n_sentences": n_sentences,
+        "n_syllables": n_syllables,
+        "flesch_milli": flesch_milli,
+    }
+
+
+def readability(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_words, n_sentences, n_syllables, flesch_milli) — the
+    :func:`flesch_cols` components as a derived table.  Row-local,
+    zero shuffles; compose the columns directly via flesch_cols to
+    inline the gate into an existing scan."""
+    cols = flesch_cols(F.col(text_col))
+    return docs.select(
+        F.col(id_col), *[c.alias(n) for n, c in cols.items()]
+    )
