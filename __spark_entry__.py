@@ -1777,6 +1777,67 @@ def _text_readability_sql() -> str:
     """
 
 
+def q_extract_html_tables(spark, sf_dir):
+    """HTML table extraction (operators/htmltables.extract_tables —
+    tabular payloads lifted into a (doc, table, row, col) cell
+    relation, all native regexp/explode, zero Python/shuffles): per
+    doc a header+data table whose data row carries an entity and an
+    EMPTY trailing cell (the grid position is the datum), plus a
+    second one-cell table on even doc_ids (pinning the table ordinal).
+    Oracle: the construction replayed through the frozen spec
+    (golden.extract_tables) as a UNION ALL."""
+    from srag_spark.operators.htmltables import extract_tables
+
+    docs = _lex_docs(spark, sf_dir)
+
+    def wd(i):
+        return F.element_at("w", i)
+
+    payload = F.concat(
+        F.lit("<table><tr><th>col "),
+        wd(1),
+        F.lit("</th><th>col "),
+        wd(2),
+        F.lit("</th></tr><tr><td><i>"),
+        wd(3),
+        F.lit("</i> &amp; "),
+        wd(4),
+        F.lit("</td><td></td></tr></table>"),
+        F.when(
+            F.col("did") % 2 == 0,
+            F.concat(
+                F.lit("<p>mid</p><table><tr><td>"),
+                wd(5),
+                F.lit("</td></tr></table>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return extract_tables(
+        docs.select("doc_id", payload.alias("text")), id_col="doc_id"
+    )
+
+
+def _extract_html_tables_sql() -> str:
+    return f"""
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS did,
+                 {_LEX_SQL} AS w
+          FROM documents WHERE len({_LEX_SQL}) >= 12
+        )
+        SELECT id AS doc_id, 0 AS table_index, 0 AS row_index,
+               0 AS col_index, TRUE AS is_header,
+               'col ' || w[1] AS cell_text FROM d
+        UNION ALL
+        SELECT id, 0, 0, 1, TRUE, 'col ' || w[2] FROM d
+        UNION ALL
+        SELECT id, 0, 1, 0, FALSE, w[3] || ' & ' || w[4] FROM d
+        UNION ALL
+        SELECT id, 0, 1, 1, FALSE, '' FROM d
+        UNION ALL
+        SELECT id, 1, 0, 0, FALSE, w[5] FROM d WHERE did % 2 = 0
+    """
+
+
 def q_corpus_pack_interleaved(spark, sf_dir):
     """Multimodal sequence packing over the north-rule INTERLEAVED
     text+media span table (corpus.pack_interleaved): the deterministic
@@ -5572,6 +5633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "extract_pubdate": q_extract_pubdate,
         "text_readability": q_text_readability,
+        "extract_html_tables": q_extract_html_tables,
         "corpus_pack_interleaved": q_corpus_pack_interleaved,
         "corpus_pack_media_manifest": q_corpus_pack_media_manifest,
         "corpus_profile": q_corpus_profile,
@@ -6006,6 +6068,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "robots_gate": _robots_gate_sql(),
         "extract_pubdate": _extract_pubdate_sql(),
         "text_readability": _text_readability_sql(),
+        "extract_html_tables": _extract_html_tables_sql(),
         "corpus_pack_interleaved": _pack_interleaved_sql(),
         "corpus_pack_media_manifest": _pack_media_manifest_sql(),
         "corpus_profile": _corpus_profile_sql(),

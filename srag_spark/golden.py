@@ -905,3 +905,53 @@ def extract_pubdate(html: str, url: str | None = None):
             if _valid_ymd(y, mo, d):
                 return (f"{y}-{mo}-{d}", "url")
     return (None, None)
+
+
+_TABLE_RE = re.compile(r"<table\b[^>]*>(.*?)</table\s*>", re.IGNORECASE | re.DOTALL)
+_TR_RE = re.compile(r"<tr\b[^>]*>(.*?)</tr\s*>", re.IGNORECASE | re.DOTALL)
+_CELL_RE = re.compile(
+    r"<(td|th)\b[^>]*>(.*?)</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+
+
+def extract_tables(html: str) -> list[tuple[int, int, int, bool, str]]:
+    """Extract HTML tables into a cell relation.
+
+    Spec (frozen):
+      1. remove comments, then <script>/<style> (shared convention);
+      2. tables = non-overlapping ``<table>...</table>`` elements in
+         document order (NESTED tables are out of spec: the non-greedy
+         match closes the outer table at the inner ``</table>``);
+         ``table_index`` = 0-based ordinal;
+      3. rows = ``<tr>...</tr>`` within the table body, ``row_index``
+         0-based; cells = ``<td>``/``<th>`` within the row (matching
+         closing tag), ``col_index`` 0-based in document order —
+         colspan/rowspan attributes are ignored (lexical grid, not a
+         rendered grid);
+      4. ``is_header`` = the cell is a ``<th>``;
+      5. cell text = inner HTML tag-stripped, entity-unescaped,
+         whitespace-normalized (the extract_links convention); empty
+         cells yield empty strings (the grid position is the datum).
+
+    Returns ``[(table_index, row_index, col_index, is_header, text)]``.
+    """
+    if not html:
+        return []
+    html = _COMMENT_RE.sub(" ", html)
+    html = _SCRIPT_STYLE_RE.sub(" ", html)
+    out: list[tuple[int, int, int, bool, str]] = []
+    for t_idx, tm in enumerate(_TABLE_RE.finditer(html)):
+        for r_idx, rm in enumerate(_TR_RE.finditer(tm.group(1))):
+            for c_idx, cm in enumerate(_CELL_RE.finditer(rm.group(1))):
+                out.append(
+                    (
+                        t_idx,
+                        r_idx,
+                        c_idx,
+                        cm.group(1).lower() == "th",
+                        reconstruct_text(
+                            tokenize_ws(_strip_tags(cm.group(2)))
+                        ),
+                    )
+                )
+    return out

@@ -1,0 +1,94 @@
+"""HTML table extraction — tables as a (doc, table, row, col) cell relation.
+
+Structured-data extraction for the interleaved-document pipeline: the
+tabular payloads embedded in web documents, lifted into a relational
+shape downstream curation can query (cell-level quality checks, header
+-keyed records, table-to-text training pairs).  The reference service
+stores documents and extracts no structure; frozen spec in
+:func:`srag_spark.golden.extract_tables` (nested tables out of spec —
+the non-greedy match closes at the first ``</table>``; colspan/rowspan
+ignored — a lexical grid, not a rendered one), pinned operator≡golden
+by tests/test_htmltables.py.
+
+Scale shape: native ``regexp_extract_all`` at each nesting level with
+``posexplode`` between levels — three linear explodes whose fan-out is
+the document's own cell count, zero Python, zero shuffles; the cell
+text normalization is the shared entity/whitespace chain.  Runs at
+scan speed on the source's own partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from srag_spark.operators.links import (
+    _COMMENT_PATTERN,
+    _SCRIPT_STYLE_PATTERN,
+    _normalize_ws,
+    _unescape_col,
+)
+
+_TABLE_PATTERN = r"(?is)<table\b[^>]*>(.*?)</table\s*>"
+_TR_PATTERN = r"(?is)<tr\b[^>]*>(.*?)</tr\s*>"
+_CELL_PATTERN = r"(?is)<(td|th)\b[^>]*>(.*?)</\1\s*>"
+
+
+def extract_tables(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "text",
+) -> DataFrame:
+    """``(id, table_index, row_index, col_index, is_header, cell_text)``
+    per table cell, document order at every level; ``is_header`` marks
+    ``<th>`` cells; cell text is tag-stripped / entity-unescaped /
+    whitespace-normalized, empty cells yielding ``''`` (the grid
+    position is the datum)."""
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col(html_col), _COMMENT_PATTERN, " "),
+        _SCRIPT_STYLE_PATTERN,
+        " ",
+    )
+    t = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.regexp_extract_all(cleaned, F.lit(_TABLE_PATTERN), 1)
+        ).alias("table_index", "tbody"),
+    )
+    r = t.select(
+        "id",
+        "table_index",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("tbody"), F.lit(_TR_PATTERN), 1
+            )
+        ).alias("row_index", "rowhtml"),
+    )
+    cells = F.arrays_zip(
+        F.regexp_extract_all(
+            F.col("rowhtml"), F.lit(_CELL_PATTERN), 1
+        ).alias("tag"),
+        F.regexp_extract_all(
+            F.col("rowhtml"), F.lit(_CELL_PATTERN), 2
+        ).alias("inner"),
+    )
+    return (
+        r.select(
+            "id",
+            "table_index",
+            "row_index",
+            F.posexplode(cells).alias("col_index", "c"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "table_index",
+            "row_index",
+            "col_index",
+            (F.lower(F.col("c.tag")) == "th").alias("is_header"),
+            _normalize_ws(
+                _unescape_col(
+                    F.regexp_replace(F.col("c.inner"), r"<[^>]+>", " ")
+                )
+            ).alias("cell_text"),
+        )
+    )

@@ -1,0 +1,55 @@
+"""extract_tables: Spark operator ≡ frozen golden spec."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from srag_spark.golden import extract_tables as golden_tables
+from srag_spark.operators.htmltables import extract_tables
+
+CASES = [
+    # header row + data rows, entities, nested inline tags
+    '<table><tr><th>Name</th><th>Age</th></tr>'
+    '<tr><td><b>Ann</b> &amp; Bo</td><td>7</td></tr>'
+    '<tr><td>Cy</td><td></td></tr></table>',
+    # two tables; attributes on every tag; mixed case
+    '<TABLE class="x"><TR id="r"><TD align="l">a</TD></TR></TABLE>'
+    'between <table><tr><td>b</td><th>h</th></tr></table>',
+    # commented-out and scripted tables are not tables
+    '<!-- <table><tr><td>ghost</td></tr></table> -->'
+    '<script>t="<table><tr><td>js</td></tr></table>"</script>'
+    '<table><tr><td>live</td></tr></table>',
+    # rows without cells, cells outside rows, multiline content
+    '<table><tr></tr><td>stray</td><tr><td>line1\nline2</td></tr></table>',
+    # no tables at all / empty
+    "<p>plain</p>",
+    "",
+]
+
+
+def test_operator_matches_golden(spark):
+    rows = [(str(i), h) for i, h in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["doc_id"], r["table_index"], r["row_index"], r["col_index"],
+         r["is_header"], r["cell_text"])
+        for r in extract_tables(df).collect()
+    }
+    want = {
+        (str(i), t, rr, c, h, x)
+        for i, html in enumerate(CASES)
+        for (t, rr, c, h, x) in golden_tables(html)
+    }
+    assert got == want
+    # spot-pin the spec facts
+    assert ("0", 0, 0, 0, True, "Name") in want
+    assert ("0", 0, 1, 0, False, "Ann & Bo") in want
+    assert ("0", 0, 2, 1, False, "") in want          # empty cell kept
+    assert ("1", 1, 0, 1, True, "h") in want          # td+th in one row
+    assert ("2", 0, 0, 0, False, "live") in want      # ghosts removed
+    assert not any(k[0] == "2" and k[5] in ("ghost", "js") for k in want)
+    assert ("3", 0, 1, 0, False, "line1 line2") in want
+    # stray cell outside a row emits nothing; empty row emits nothing
+    assert not any(k[0] == "3" and k[5] == "stray" for k in want)
+    assert not any(k[0] in ("4", "5") for k in want)
