@@ -1838,6 +1838,60 @@ def _extract_html_tables_sql() -> str:
     """
 
 
+def q_extract_headings(spark, sf_dir):
+    """Heading-outline extraction (htmltables.extract_headings — the
+    h1–h6 structural skeleton, matching-close-level pattern, ordinals
+    stable under empty-heading skips): per doc an h1, an h2 with an
+    entity and a nested tag, a whitespace-only h3 (consumes index 2,
+    emits nothing), and an h2-or-h4 whose level flips with parity.
+    Oracle: the construction replayed through the frozen spec."""
+    from srag_spark.operators.htmltables import extract_headings
+
+    docs = _lex_docs(spark, sf_dir)
+
+    def wd(i):
+        return F.element_at("w", i)
+
+    lvl = F.when(F.col("did") % 2 == 0, F.lit("2")).otherwise(F.lit("4"))
+    payload = F.concat(
+        F.lit("<h1>"),
+        wd(1),
+        F.lit(" "),
+        wd(2),
+        F.lit("</h1><p>body</p><h2><i>"),
+        wd(3),
+        F.lit("</i> &amp; "),
+        wd(4),
+        F.lit("</h2><h3>   </h3><h"),
+        lvl,
+        F.lit(">"),
+        wd(5),
+        F.lit("</h"),
+        lvl,
+        F.lit(">"),
+    )
+    return extract_headings(
+        docs.select("doc_id", payload.alias("text")), id_col="doc_id"
+    )
+
+
+def _extract_headings_sql() -> str:
+    return f"""
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS did,
+                 {_LEX_SQL} AS w
+          FROM documents WHERE len({_LEX_SQL}) >= 12
+        )
+        SELECT id AS doc_id, 0 AS heading_index, 1 AS level,
+               w[1] || ' ' || w[2] AS text FROM d
+        UNION ALL
+        SELECT id, 1, 2, w[3] || ' & ' || w[4] FROM d
+        UNION ALL
+        SELECT id, 3, CASE WHEN did % 2 = 0 THEN 2 ELSE 4 END, w[5]
+        FROM d
+    """
+
+
 def q_corpus_pack_interleaved(spark, sf_dir):
     """Multimodal sequence packing over the north-rule INTERLEAVED
     text+media span table (corpus.pack_interleaved): the deterministic
@@ -5634,6 +5688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pubdate": q_extract_pubdate,
         "text_readability": q_text_readability,
         "extract_html_tables": q_extract_html_tables,
+        "extract_headings": q_extract_headings,
         "corpus_pack_interleaved": q_corpus_pack_interleaved,
         "corpus_pack_media_manifest": q_corpus_pack_media_manifest,
         "corpus_profile": q_corpus_profile,
@@ -6069,6 +6124,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "extract_pubdate": _extract_pubdate_sql(),
         "text_readability": _text_readability_sql(),
         "extract_html_tables": _extract_html_tables_sql(),
+        "extract_headings": _extract_headings_sql(),
         "corpus_pack_interleaved": _pack_interleaved_sql(),
         "corpus_pack_media_manifest": _pack_media_manifest_sql(),
         "corpus_profile": _corpus_profile_sql(),

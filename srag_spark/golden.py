@@ -955,3 +955,35 @@ def extract_tables(html: str) -> list[tuple[int, int, int, bool, str]]:
                     )
                 )
     return out
+
+
+_HEADING_RE = re.compile(
+    r"<h([1-6])\b[^>]*>(.*?)</h\1\s*>", re.IGNORECASE | re.DOTALL
+)
+
+
+def extract_headings(html: str) -> list[tuple[int, int, str]]:
+    """Extract the heading outline from an HTML payload.
+
+    Spec (frozen):
+      1. remove comments, then <script>/<style> (shared convention);
+      2. headings = ``<hN>...</hN>`` elements (N in 1..6, matching
+         closing level) in document order; ``heading_index`` = 0-based
+         ordinal over ALL headings;
+      3. text = inner HTML tag-stripped, entity-unescaped,
+         whitespace-normalized; headings whose text normalizes to
+         empty still consume an index but emit nothing (the
+         extract_links skip convention).
+
+    Returns ``[(heading_index, level, text), ...]``.
+    """
+    if not html:
+        return []
+    html = _COMMENT_RE.sub(" ", html)
+    html = _SCRIPT_STYLE_RE.sub(" ", html)
+    out: list[tuple[int, int, str]] = []
+    for idx, m in enumerate(_HEADING_RE.finditer(html)):
+        text = reconstruct_text(tokenize_ws(_strip_tags(m.group(2))))
+        if text:
+            out.append((idx, int(m.group(1)), text))
+    return out

@@ -92,3 +92,52 @@ def extract_tables(
             ).alias("cell_text"),
         )
     )
+
+
+_HEADING_PATTERN = r"(?is)<h([1-6])\b[^>]*>(.*?)</h\1\s*>"
+
+
+def extract_headings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "text",
+) -> DataFrame:
+    """``(id, heading_index, level, text)`` — the document's heading
+    outline (h1–h6 in document order, matching closing level), the
+    structural skeleton section-aware chunking and outline-conditioned
+    training pairs start from.  Frozen spec in
+    :func:`srag_spark.golden.extract_headings` (empty-normalizing
+    headings consume an index but emit nothing — the extract_links
+    skip convention), pinned equal by tests/test_htmltables.py.
+
+    Same scale shape as the link miner: two aligned
+    ``regexp_extract_all`` passes (group 1 = level digit, group 2 =
+    inner HTML) + ``arrays_zip``/``posexplode`` + the shared
+    strip/unescape/normalize chain — zero Python, zero shuffles."""
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col(html_col), _COMMENT_PATTERN, " "),
+        _SCRIPT_STYLE_PATTERN,
+        " ",
+    )
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(cleaned, F.lit(_HEADING_PATTERN), 1).alias(
+            "lvl"
+        ),
+        F.regexp_extract_all(cleaned, F.lit(_HEADING_PATTERN), 2).alias(
+            "inner"
+        ),
+    )
+    out = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(pairs).alias("heading_index", "h"),
+    ).select(
+        "id",
+        "heading_index",
+        F.col("h.lvl").cast("int").alias("level"),
+        _normalize_ws(
+            _unescape_col(
+                F.regexp_replace(F.col("h.inner"), r"<[^>]+>", " ")
+            )
+        ).alias("text"),
+    )
+    return out.filter(F.col("text") != "").withColumnRenamed("id", id_col)

@@ -53,3 +53,37 @@ def test_operator_matches_golden(spark):
     # stray cell outside a row emits nothing; empty row emits nothing
     assert not any(k[0] == "3" and k[5] == "stray" for k in want)
     assert not any(k[0] in ("4", "5") for k in want)
+
+
+from srag_spark.golden import extract_headings as golden_headings
+from srag_spark.operators.htmltables import extract_headings
+
+HEADING_CASES = [
+    "<h1>Top</h1><p>x</p><h2>A &amp; B</h2><h3>  </h3><h2><b>C</b></h2>",
+    "<H2 class='x'>upper\nmultiline</H2><h6>deep</h6>",
+    "<!-- <h1>ghost</h1> --><script>s='<h1>js</h1>'</script><h1>live</h1>",
+    "<h1>open only",       # unclosed → no heading
+    "<h2>wrong close</h3>", # mismatched level → no heading
+    "",
+]
+
+
+def test_headings_match_golden(spark):
+    rows = [(str(i), h) for i, h in enumerate(HEADING_CASES)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["doc_id"], r["heading_index"], r["level"], r["text"])
+        for r in extract_headings(df).collect()
+    }
+    want = {
+        (str(i), idx, lvl, t)
+        for i, h in enumerate(HEADING_CASES)
+        for (idx, lvl, t) in golden_headings(h)
+    }
+    assert got == want
+    # empty heading consumed index 2; C is index 3
+    assert ("0", 3, 2, "C") in want
+    assert not any(k[0] == "0" and k[1] == 2 for k in want)
+    assert ("1", 0, 2, "upper multiline") in want
+    assert ("2", 0, 1, "live") in want
+    assert not any(k[0] in ("3", "4", "5") for k in want)
