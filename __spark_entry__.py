@@ -1892,6 +1892,64 @@ def _extract_headings_sql() -> str:
     """
 
 
+def q_extract_code_blocks(spark, sf_dir):
+    """Code-block extraction (htmltables.extract_code_blocks — the
+    code/text split a pretraining mixture keys on; inner whitespace
+    preserved verbatim, one optional <code> wrapper stripped, first
+    language-X class wins with pre-tag attrs beating inner markup):
+    per doc a language-python block whose code carries an entity and a
+    REAL newline + indent (preserved, not normalized), a whitespace-
+    only block (consumes ordinal 1, emits nothing), and a third block
+    whose language comes from the pre tag on even doc_ids and is
+    absent on odd ones.  Oracle: the construction replayed with
+    chr(10) literals."""
+    from srag_spark.operators.htmltables import extract_code_blocks
+
+    docs = _lex_docs(spark, sf_dir)
+
+    def wd(i):
+        return F.element_at("w", i)
+
+    third_open = F.when(
+        F.col("did") % 2 == 0, F.lit('<pre class="language-go">')
+    ).otherwise(F.lit("<pre>"))
+    payload = F.concat(
+        F.lit('<pre><code class="language-Python">'),
+        wd(1),
+        F.lit(" &lt; "),
+        wd(2),
+        F.lit("\n    "),
+        wd(3),
+        F.lit("</code></pre><pre>  \n </pre>"),
+        third_open,
+        wd(4),
+        F.lit("()</pre>"),
+    )
+    return extract_code_blocks(
+        docs.select("doc_id", payload.alias("text")), id_col="doc_id"
+    )
+
+
+def _extract_code_blocks_sql() -> str:
+    return f"""
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS did,
+                 {_LEX_SQL} AS w
+          FROM documents WHERE len({_LEX_SQL}) >= 12
+        )
+        SELECT id AS doc_id, 0 AS block_index,
+               'python' AS language,
+               w[1] || ' < ' || w[2] || chr(10) || '    ' || w[3]
+                 AS code
+        FROM d
+        UNION ALL
+        SELECT id, 2,
+               CASE WHEN did % 2 = 0 THEN 'go' END,
+               w[4] || '()'
+        FROM d
+    """
+
+
 def q_corpus_pack_interleaved(spark, sf_dir):
     """Multimodal sequence packing over the north-rule INTERLEAVED
     text+media span table (corpus.pack_interleaved): the deterministic
@@ -5689,6 +5747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": q_text_readability,
         "extract_html_tables": q_extract_html_tables,
         "extract_headings": q_extract_headings,
+        "extract_code_blocks": q_extract_code_blocks,
         "corpus_pack_interleaved": q_corpus_pack_interleaved,
         "corpus_pack_media_manifest": q_corpus_pack_media_manifest,
         "corpus_profile": q_corpus_profile,
@@ -6125,6 +6184,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "text_readability": _text_readability_sql(),
         "extract_html_tables": _extract_html_tables_sql(),
         "extract_headings": _extract_headings_sql(),
+        "extract_code_blocks": _extract_code_blocks_sql(),
         "corpus_pack_interleaved": _pack_interleaved_sql(),
         "corpus_pack_media_manifest": _pack_media_manifest_sql(),
         "corpus_profile": _corpus_profile_sql(),

@@ -987,3 +987,44 @@ def extract_headings(html: str) -> list[tuple[int, int, str]]:
         if text:
             out.append((idx, int(m.group(1)), text))
     return out
+
+
+_PRE_RE = re.compile(r"<pre\b([^>]*)>(.*?)</pre\s*>", re.IGNORECASE | re.DOTALL)
+_CODE_OPEN_RE = re.compile(r"^[ \t\r\n\f\x0b]*<code\b[^>]*>", re.IGNORECASE)
+_CODE_CLOSE_RE = re.compile(r"</code\s*>[ \t\r\n\f\x0b]*$", re.IGNORECASE)
+_LANG_CLASS_RE = re.compile(r"\blanguage-([A-Za-z0-9_+#-]+)", re.IGNORECASE)
+_ASCII_TRIM_RE = re.compile(r"^[ \t\r\n\f\x0b]+|[ \t\r\n\f\x0b]+$")
+
+
+def extract_code_blocks(html: str) -> list[tuple[int, str | None, str]]:
+    """Extract code blocks from an HTML payload.
+
+    Spec (frozen):
+      1. remove comments (NOT script/style — a <pre> inside neither);
+      2. blocks = ``<pre>...</pre>`` elements in document order,
+         0-based ``block_index`` over all pre elements (empty blocks
+         consume an index but emit nothing — the skip convention);
+      3. ``language`` = the first ``language-X`` class token anywhere
+         in the element (opening-tag attributes or inner markup),
+         lowercased; None when absent;
+      4. code = the inner HTML with ONE optional wrapping
+         ``<code ...>``/``</code>`` pair stripped, entities unescaped,
+         and ASCII whitespace trimmed at both ends — inner whitespace
+         is preserved verbatim (code layout is significant; this is
+         NOT the whitespace-normalizing text chain).
+
+    Returns ``[(block_index, language, code), ...]``.
+    """
+    if not html:
+        return []
+    html = _COMMENT_RE.sub(" ", html)
+    out: list[tuple[int, str | None, str]] = []
+    for idx, m in enumerate(_PRE_RE.finditer(html)):
+        attrs, inner = m.group(1), m.group(2)
+        lm = _LANG_CLASS_RE.search(attrs) or _LANG_CLASS_RE.search(inner)
+        code = _CODE_OPEN_RE.sub("", inner)
+        code = _CODE_CLOSE_RE.sub("", code)
+        code = _ASCII_TRIM_RE.sub("", _unescape(code))
+        if code:
+            out.append((idx, lm.group(1).lower() if lm else None, code))
+    return out

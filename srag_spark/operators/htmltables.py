@@ -141,3 +141,72 @@ def extract_headings(
         ).alias("text"),
     )
     return out.filter(F.col("text") != "").withColumnRenamed("id", id_col)
+
+
+_PRE_PATTERN = r"(?is)<pre\b([^>]*)>(.*?)</pre\s*>"
+_LANG_CLASS = r"(?i)\blanguage-([A-Za-z0-9_+#-]+)"
+_ASCII_WS = r"[ \t\r\n\f\x0B]"
+
+
+def extract_code_blocks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "text",
+) -> DataFrame:
+    """``(id, block_index, language, code)`` — code blocks mined from
+    ``<pre>`` elements (code-corpus extraction: the code/text split and
+    per-language routing a pretraining mixture keys on).  Frozen spec
+    in :func:`srag_spark.golden.extract_code_blocks`: one optional
+    ``<code>`` wrapper stripped, entities unescaped, ASCII-trimmed at
+    the ends only — inner whitespace PRESERVED verbatim (this is not
+    the normalizing text chain; code layout is significant); language
+    = the first ``language-X`` class token in the element, lowercased;
+    empty blocks consume an ordinal but emit nothing.  Pinned
+    operator≡golden by tests/test_htmltables.py.
+
+    The link-miner scale shape: aligned ``regexp_extract_all`` passes
+    + posexplode + native replaces — zero Python, zero shuffles."""
+    cleaned = F.regexp_replace(F.col(html_col), _COMMENT_PATTERN, " ")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(cleaned, F.lit(_PRE_PATTERN), 1).alias(
+            "attrs"
+        ),
+        F.regexp_extract_all(cleaned, F.lit(_PRE_PATTERN), 2).alias(
+            "inner"
+        ),
+    )
+    raw = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(pairs).alias("block_index", "b"),
+    )
+    lang = F.lower(
+        F.nullif(
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(F.col("b.attrs"), _LANG_CLASS, 1),
+                    F.lit(""),
+                ),
+                F.regexp_extract(F.col("b.inner"), _LANG_CLASS, 1),
+            ),
+            F.lit(""),
+        )
+    )
+    code = F.regexp_replace(
+        F.col("b.inner"), r"(?is)^" + _ASCII_WS + r"*<code\b[^>]*>", ""
+    )
+    code = F.regexp_replace(
+        code, r"(?is)</code\s*>" + _ASCII_WS + r"*$", ""
+    )
+    code = _unescape_col(code)
+    code = F.regexp_replace(
+        code, r"^" + _ASCII_WS + r"+|" + _ASCII_WS + r"+$", ""
+    )
+    return (
+        raw.select(
+            F.col("id").alias(id_col),
+            "block_index",
+            lang.alias("language"),
+            code.alias("code"),
+        )
+        .filter(F.col("code") != "")
+    )

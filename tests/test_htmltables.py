@@ -87,3 +87,47 @@ def test_headings_match_golden(spark):
     assert ("1", 0, 2, "upper multiline") in want
     assert ("2", 0, 1, "live") in want
     assert not any(k[0] in ("3", "4", "5") for k in want)
+
+
+from srag_spark.golden import extract_code_blocks as golden_code
+from srag_spark.operators.htmltables import extract_code_blocks
+
+CODE_CASES = [
+    # code wrapper with language class, entities, inner whitespace kept
+    '<pre><code class="language-Python">def f(x):\n'
+    "    return x &lt; 2</code></pre>",
+    # language on the pre tag; no code wrapper
+    '<pre class="language-rust">fn main() {}</pre>',
+    # attrs language beats inner language
+    '<pre class="language-c"><code class="language-go">x</code></pre>',
+    # empty/whitespace block consumes an index, emits nothing
+    "<pre>a</pre><pre>   \n </pre><pre>b</pre>",
+    # commented-out pre is not a block; script pre IS (spec: only
+    # comments removed)
+    "<!-- <pre>ghost</pre> --><pre>live</pre>",
+    # no language anywhere
+    "<pre><code>plain &amp; simple</code></pre>",
+    "",
+]
+
+
+def test_code_blocks_match_golden(spark):
+    rows = [(str(i), h) for i, h in enumerate(CODE_CASES)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["doc_id"], r["block_index"], r["language"], r["code"])
+        for r in extract_code_blocks(df).collect()
+    }
+    want = {
+        (str(i), idx, lang, code)
+        for i, h in enumerate(CODE_CASES)
+        for (idx, lang, code) in golden_code(h)
+    }
+    assert got == want
+    assert ("0", 0, "python", "def f(x):\n    return x < 2") in want
+    assert ("1", 0, "rust", "fn main() {}") in want
+    assert ("2", 0, "c", "x") in want
+    assert ("3", 0, None, "a") in want and ("3", 2, None, "b") in want
+    assert not any(k[0] == "3" and k[1] == 1 for k in want)
+    assert ("4", 0, None, "live") in want
+    assert ("5", 0, None, "plain & simple") in want
