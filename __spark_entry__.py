@@ -1950,6 +1950,57 @@ def _extract_code_blocks_sql() -> str:
     """
 
 
+def q_extract_md_fences(spark, sf_dir):
+    """Markdown fence extraction (htmltables.extract_md_fences — the
+    plain-text twin of the <pre> miner, bounded CommonMark subset):
+    per doc a python fence with a real newline + indent (verbatim), a
+    language-less fence, and on ODD doc_ids an unterminated trailing
+    fence that must yield nothing.  Oracle: the construction replayed
+    with chr(10) literals."""
+    from srag_spark.operators.htmltables import extract_md_fences
+
+    docs = _lex_docs(spark, sf_dir)
+
+    def wd(i):
+        return F.element_at("w", i)
+
+    payload = F.concat(
+        F.lit("intro\n```python\n"),
+        wd(1),
+        F.lit("("),
+        wd(2),
+        F.lit("):\n    "),
+        wd(3),
+        F.lit("\n```\nmid\n```\n"),
+        wd(4),
+        F.lit(" "),
+        wd(5),
+        F.lit("\n```\n"),
+        F.when(
+            F.col("did") % 2 == 1,
+            F.concat(F.lit("```rust\n"), wd(6)),
+        ).otherwise(F.lit("outro")),
+    )
+    return extract_md_fences(
+        docs.select("doc_id", payload.alias("text")), id_col="doc_id"
+    )
+
+
+def _extract_md_fences_sql() -> str:
+    return f"""
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, {_LEX_SQL} AS w
+          FROM documents WHERE len({_LEX_SQL}) >= 12
+        )
+        SELECT id AS doc_id, 0 AS block_index, 'python' AS language,
+               w[1] || '(' || w[2] || '):' || chr(10) || '    ' || w[3]
+                 AS code
+        FROM d
+        UNION ALL
+        SELECT id, 1, CAST(NULL AS VARCHAR), w[4] || ' ' || w[5] FROM d
+    """
+
+
 def q_corpus_pack_interleaved(spark, sf_dir):
     """Multimodal sequence packing over the north-rule INTERLEAVED
     text+media span table (corpus.pack_interleaved): the deterministic
@@ -5748,6 +5799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html_tables": q_extract_html_tables,
         "extract_headings": q_extract_headings,
         "extract_code_blocks": q_extract_code_blocks,
+        "extract_md_fences": q_extract_md_fences,
         "corpus_pack_interleaved": q_corpus_pack_interleaved,
         "corpus_pack_media_manifest": q_corpus_pack_media_manifest,
         "corpus_profile": q_corpus_profile,
@@ -6185,6 +6237,7 @@ def _oracle_sql_base(bm25_terms: str) -> dict[str, str]:
         "extract_html_tables": _extract_html_tables_sql(),
         "extract_headings": _extract_headings_sql(),
         "extract_code_blocks": _extract_code_blocks_sql(),
+        "extract_md_fences": _extract_md_fences_sql(),
         "corpus_pack_interleaved": _pack_interleaved_sql(),
         "corpus_pack_media_manifest": _pack_media_manifest_sql(),
         "corpus_profile": _corpus_profile_sql(),

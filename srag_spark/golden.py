@@ -1028,3 +1028,39 @@ def extract_code_blocks(html: str) -> list[tuple[int, str | None, str]]:
         if code:
             out.append((idx, lm.group(1).lower() if lm else None, code))
     return out
+
+
+_MD_FENCE_RE = re.compile(
+    r"^```([^\n]*)\n(.*?)^```[ \t]*(?:\n|$)", re.MULTILINE | re.DOTALL
+)
+_MD_INFO_RE = re.compile(r"^[ \t]*([A-Za-z0-9_+#-]+)")
+
+
+def extract_md_fences(text: str) -> list[tuple[int, str | None, str]]:
+    """Extract fenced code blocks from a markdown/plain-text payload.
+
+    Spec (frozen; the bounded CommonMark subset a code miner needs):
+      1. an opening fence is a line STARTING with ``` (no indent),
+         whose remainder is the info string; the block runs to the
+         next line starting with ``` (trailing spaces/tabs allowed);
+         an unterminated fence yields nothing;
+      2. ``language`` = the info string's first
+         ``[A-Za-z0-9_+#-]+`` token, lowercased; None when absent;
+      3. code = the enclosed lines VERBATIM (no trimming beyond the
+         single newline before the closing fence — markdown code
+         layout is data); empty blocks consume a ``block_index`` but
+         emit nothing (the skip convention).
+
+    Returns ``[(block_index, language, code), ...]``.
+    """
+    if not text:
+        return []
+    out: list[tuple[int, str | None, str]] = []
+    for idx, m in enumerate(_MD_FENCE_RE.finditer(text)):
+        info, body = m.group(1), m.group(2)
+        code = body[:-1] if body.endswith("\n") else body
+        if not code:
+            continue
+        lm = _MD_INFO_RE.match(info)
+        out.append((idx, lm.group(1).lower() if lm else None, code))
+    return out

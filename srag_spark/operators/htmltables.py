@@ -210,3 +210,55 @@ def extract_code_blocks(
         )
         .filter(F.col("code") != "")
     )
+
+
+_MD_FENCE_PATTERN = r"(?ms)^```([^\n]*)\n(.*?)^```[ \t]*(?:\n|$)"
+_MD_INFO = r"^[ \t]*([A-Za-z0-9_+#-]+)"
+
+
+def extract_md_fences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id, block_index, language, code)`` — fenced code blocks from
+    markdown/plain-text payloads (the bounded CommonMark subset; the
+    plain-text twin of :func:`extract_code_blocks`).  Frozen spec in
+    :func:`srag_spark.golden.extract_md_fences`: unindented ``` fences,
+    info-string first token as the lowercased language, code verbatim
+    with exactly ONE newline stripped before the closing fence (an
+    explicit substr, NOT a ``\\n$`` regex — Java's ``$`` also matches
+    before a final newline, which would eat trailing empty lines that
+    are part of the block), empty blocks consuming an ordinal.  Pinned
+    operator≡golden by tests/test_htmltables.py.
+
+    The link-miner scale shape: aligned regexp_extract_all passes +
+    one posexplode, zero Python, zero shuffles."""
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(_MD_FENCE_PATTERN), 1
+        ).alias("info"),
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(_MD_FENCE_PATTERN), 2
+        ).alias("body"),
+    )
+    raw = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(pairs).alias("block_index", "b"),
+    )
+    body = F.col("b.body")
+    code = F.when(
+        body.endswith("\n"), body.substr(F.lit(1), F.length(body) - 1)
+    ).otherwise(body)
+    lang = F.lower(
+        F.nullif(F.regexp_extract(F.col("b.info"), _MD_INFO, 1), F.lit(""))
+    )
+    return (
+        raw.select(
+            F.col("id").alias(id_col),
+            "block_index",
+            lang.alias("language"),
+            code.alias("code"),
+        )
+        .filter(F.col("code") != "")
+    )

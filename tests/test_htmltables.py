@@ -131,3 +131,43 @@ def test_code_blocks_match_golden(spark):
     assert not any(k[0] == "3" and k[1] == 1 for k in want)
     assert ("4", 0, None, "live") in want
     assert ("5", 0, None, "plain & simple") in want
+
+
+from srag_spark.golden import extract_md_fences as golden_fences
+from srag_spark.operators.htmltables import extract_md_fences
+
+FENCE_CASES = [
+    "intro\n```Python\ndef f():\n    pass\n```\nafter",
+    # info string with extra tokens; language is the first
+    "```c++ title=ex\nint x;\n```\n",
+    # plain fence, trailing empty line INSIDE the block preserved
+    "```\nline one\n\n```\n",
+    # empty block consumes index 0; second block emits
+    "```js\n```\n```go\nok\n```",
+    # unterminated fence yields nothing; indented fence is not a fence
+    "```rust\nnope",
+    "  ```py\nindented\n```",
+    "no fences",
+    "",
+]
+
+
+def test_md_fences_match_golden(spark):
+    rows = [(str(i), t) for i, t in enumerate(FENCE_CASES)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["doc_id"], r["block_index"], r["language"], r["code"])
+        for r in extract_md_fences(df).collect()
+    }
+    want = {
+        (str(i), idx, lang, code)
+        for i, t in enumerate(FENCE_CASES)
+        for (idx, lang, code) in golden_fences(t)
+    }
+    assert got == want
+    assert ("0", 0, "python", "def f():\n    pass") in want
+    assert ("1", 0, "c++", "int x;") in want
+    assert ("2", 0, None, "line one\n") in want   # inner blank kept
+    assert ("3", 1, "go", "ok") in want
+    assert not any(k[0] == "3" and k[1] == 0 for k in want)
+    assert not any(k[0] in ("4", "5", "6", "7") for k in want)
