@@ -643,7 +643,7 @@ def q_ann_brute_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return brute_force_topk(emb, queries, k=5)
+    return brute_force_topk(emb, queries, k=5, dim=64)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -701,7 +701,7 @@ def q_ann_lsh_recall(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     approx = lsh_topk(emb, queries, k=5, n_planes=8, dim=64, probes=2)
-    exact = brute_force_topk(emb, queries, k=5)
+    exact = brute_force_topk(emb, queries, k=5, dim=64)
     return recall_at_k(approx, exact, k=5)
 
 
@@ -4744,7 +4744,7 @@ def q_train_bitext_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     src = emb.filter(F.col("vec_id") < 50)
     tgt = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 120))
-    return mine_bitext(src, tgt, k=4, threshold=1.0, mutual=True).orderBy(
+    return mine_bitext(src, tgt, k=4, threshold=1.0, mutual=True, dim=64).orderBy(
         "src_id"
     )
 
@@ -4825,7 +4825,7 @@ def q_train_hard_negatives(spark, sf_dir):
         F.col("embedding").alias("qvec"),
         (F.col("vec_id") + 1).alias("pos_id"),
     )
-    return mine_hard_negatives(emb, pairs, k_neg=5, margin=0.0).orderBy(
+    return mine_hard_negatives(emb, pairs, k_neg=5, margin=0.0, dim=64).orderBy(
         "query_id", "rank"
     )
 

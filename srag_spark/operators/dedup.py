@@ -557,10 +557,32 @@ def dot_lit_sql(vec_sql: str, values) -> str:
     results are bit-identical to the Column form; exists so operators
     that embed MANY literal dots (16 hyperplanes / centroids per call)
     can build the whole expression in ONE ``F.expr`` parse instead of
-    hundreds of py4j lambda constructions (~9 ms each, measured)."""
+    hundreds of py4j lambda constructions (~9 ms each, measured).
+
+    Measured note (r6): an "unrolled" variant (``0.0D + v[1]*c1 + …``,
+    64 literal terms) was tried to get the dot into whole-stage codegen
+    — it benchmarked 6-10× SLOWER than this fold (17-28 s vs 2.9-3.6 s
+    per 2M rows), because the generated method exceeds the JVM's
+    -XX:HugeMethodLimit (8000 bytecodes) and runs in the bytecode
+    interpreter.  The interpreted higher-order fold is the faster form
+    on the JVM; do not "optimize" it back."""
     return (
         f"aggregate(zip_with(transform({vec_sql}, x -> CAST(x AS DOUBLE)), "
         f"transform({lit_vec_sql(values)}, x -> CAST(x AS DOUBLE)), "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def dot_sql(a_sql: str, b_sql: str, dim: int | None = None) -> str:
+    """SQL text of :func:`dot_col` over two vector columns given by SQL
+    text — ONE ``F.expr`` parse instead of py4j lambda construction.
+    ``dim`` is accepted for interface symmetry with callers that know
+    the vector length; the evaluated form is the same sequential fold
+    either way (see :func:`dot_lit_sql`'s measured note on why the
+    dim-unrolled variant is slower, not faster)."""
+    return (
+        f"aggregate(zip_with(transform({a_sql}, x -> CAST(x AS DOUBLE)), "
+        f"transform({b_sql}, x -> CAST(x AS DOUBLE)), "
         "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
     )
 
@@ -641,47 +663,72 @@ def embedding_neardup_pairs(
             "embedding_neardup_pairs requires an explicit dim= (vector length)"
         )
 
+    import pandas as pd  # noqa: PLC0415
+
+    from srag_spark.functions import pairkernels as pk
+
     width = band_width(n_planes, bands)
     planes = make_hyperplanes(n_planes, dim)
-    # code computed once per row (n_planes dot products), then banded with
-    # literal-position substrings — CollapseProject keeps the non-cheap
-    # code expression from being inlined per band
+    # r6 restructure (guide §2.3/§2.4/§4.2): the old shape self-joined
+    # the banded codes into the O(Σ block²) candidate relation and
+    # shuffled it four times (pair distinct + two vector join-backs)
+    # with an interpreted ~5.7 µs dot per pair.  Now the vector rides
+    # with the banded code and each (band, block) group scores its own
+    # candidate set inside a numpy kernel (functions/pairkernels): BLAS
+    # selection with a safety margin below the threshold, exact
+    # fold-order re-scoring of the (rare) survivors, and the rounded
+    # ≥ threshold verdict re-applied in Spark SQL — same candidate set,
+    # same scores, same output; the quadratic relation never exists as
+    # rows.
     coded = emb.select(
         F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("v"),
         hyperplane_bucket_col(vec_col, planes).alias("code"),
     )
-    if materialize:
-        # both self-join sides consume the banded codes; without this the
-        # n_planes×dim dot-product projection runs twice
-        coded = _persist(coded, persisted)
     banded = coded.select(
         "doc_id",
+        "v",
         F.posexplode(
             F.array(*[F.substring("code", b * width + 1, width) for b in range(bands)])
         ).alias("band_id", "block"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    id_field = banded.schema["doc_id"].dataType.simpleString()
+    out_schema = f"id_a {id_field}, id_b {id_field}, score double"
+    thr = float(threshold)
+    dd = int(dim)
+
+    def _blk_neardups(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np  # noqa: PLC0415
+
+        ok, M = pk.block_matrix(pdf, "v", dd)
+        ids = pdf["doc_id"].to_numpy()[ok]
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": ids[:0],
+                    "id_b": ids[:0],
+                    "score": np.array([], dtype=np.float64),
+                }
+            )
+        src, nbr = pk.threshold_candidate_pairs(
+            M, thr, lambda rows, cols: ids[rows] < ids[cols]
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        return pd.DataFrame(
+            {
+                "id_a": ids[src],
+                "id_b": ids[nbr],
+                "score": pk.exact_pair_scores(M[src], M[nbr]),
+            }
+        )
+
     return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
+        banded.groupBy("band_id", "block")
+        .applyInPandas(_blk_neardups, out_schema)
         .select(
-            "id_a", "id_b", F.round(dot_col(F.col("va"), F.col("vb")), 6).alias("cos_r")
+            "id_a", "id_b", F.round(F.col("score"), 6).alias("cos_r")
         )
         .filter(F.col("cos_r") >= threshold)
-        .select("id_a", "id_b", "cos_r")
+        .distinct()
     )
 
 
@@ -969,17 +1016,44 @@ def semdedup_flags(
         assigned.select("id", "v", "cell", "csim_r", F.row_number().over(rank_w).alias("rk")),
         persisted,
     )
-    a = ranked.alias("a")
-    b = ranked.alias("b")
+    # r6 (guide §4.2, same device as embedding_neardup_pairs): the cell
+    # self-join emitted O(Σ cell²) pairs each paying an interpreted
+    # ~5.7 µs dot.  Each cell now scores its own pairs inside a numpy
+    # kernel — BLAS selection with a safety margin below the threshold,
+    # exact fold-order re-scoring of the (rare) candidate pairs, the
+    # a.rk < b.rk ordering applied as the pair mask — and the rounded
+    # ≥ threshold verdict is re-applied in Spark SQL, so the duplicate
+    # set is identical to the join form's.
+    import pandas as pd  # noqa: PLC0415
+
+    from srag_spark.functions import pairkernels as pk
+
+    id_field = ranked.schema["id"].dataType.simpleString()
+    thr = float(threshold)
+    dd = int(dim)
+
+    def _cell_dups(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np  # noqa: PLC0415
+
+        ok, M = pk.block_matrix(pdf, "v", dd)
+        ids = pdf["id"].to_numpy()[ok]
+        rks = pdf["rk"].to_numpy()[ok]
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"id": ids[:0], "score": np.array([], dtype=np.float64)}
+            )
+        src, nbr = pk.threshold_candidate_pairs(
+            M, thr, lambda rows, cols: rks[rows] < rks[cols]
+        )
+        return pd.DataFrame(
+            {"id": ids[nbr], "score": pk.exact_pair_scores(M[src], M[nbr])}
+        )
+
     dup = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.rk") < F.col("b.rk")),
-        )
-        .filter(
-            F.round(dot_col(F.col("a.v"), F.col("b.v")), 6) >= F.lit(float(threshold))
-        )
-        .select(F.col("b.id").alias("id"))
+        ranked.groupBy("cell")
+        .applyInPandas(_cell_dups, f"id {id_field}, score double")
+        .filter(F.round(F.col("score"), 6) >= F.lit(thr))
+        .select("id")
         .distinct()
         .withColumn("_dup", F.lit(True))
     )
@@ -1030,13 +1104,20 @@ def embedding_cross_pairs(
     width = band_width(n_planes, bands)
     planes = make_hyperplanes(n_planes, dim)
 
+    # r6 restructure (see embedding_neardup_pairs): vectors ride with the
+    # banded codes, the cosine + threshold filter run inside the (map-
+    # side, right-broadcast) band join's output, and the pair dedup runs
+    # over only the surviving pairs — the candidate relation is never
+    # shuffled.  Same candidate set, same scores, same output.
     def _banded(df, side):
         coded = df.select(
             F.col(id_col).alias(f"id_{side}"),
+            F.col(vec_col).alias(f"v{side}"),
             hyperplane_bucket_col(vec_col, planes).alias("code"),
         )
         return coded.select(
             f"id_{side}",
+            f"v{side}",
             F.posexplode(
                 F.array(
                     *[F.substring("code", b * width + 1, width) for b in range(bands)]
@@ -1044,24 +1125,22 @@ def embedding_cross_pairs(
             ).alias("band_id", "block"),
         )
 
-    cands = (
-        _banded(left, "l")
-        .join(F.broadcast(_banded(right, "r")), ["band_id", "block"])
-        .select("id_l", "id_r")
-        .distinct()
-    )
-    vl = left.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("vl"))
-    vr = right.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("vr"))
+    # the broadcast join is map-side, so its parallelism is the LEFT
+    # scan's partition count — a handful of parquet files would
+    # serialize the candidate scoring; an explicit round-robin
+    # repartition (AQE-coalesce-proof) spreads it (guide §2.5)
+    P = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     return (
-        cands.join(vl, "id_l")
-        .join(F.broadcast(vr), "id_r")
+        _banded(left, "l")
+        .repartition(P)
+        .join(F.broadcast(_banded(right, "r")), ["band_id", "block"])
         .select(
             "id_l",
             "id_r",
-            F.round(dot_col(F.col("vl"), F.col("vr")), 6).alias("cos_r"),
+            F.round(F.expr(dot_sql("vl", "vr", dim)), 6).alias("cos_r"),
         )
         .filter(F.col("cos_r") >= F.lit(float(threshold)))
-        .select("id_l", "id_r", "cos_r")
+        .distinct()
     )
 
 

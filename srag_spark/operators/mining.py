@@ -177,6 +177,7 @@ def mine_bitext(
     mutual: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Margin-based parallel-pair mining between two embedding sets —
     the Artetxe & Schwenk (2019) ratio-margin criterion behind
@@ -215,11 +216,20 @@ def mine_bitext(
     s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("_sv"))
     t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("_tv"))
     # scores quantized to integer micro-units: every downstream sum and
-    # the margin numerator/denominator stay in exact integer arithmetic
+    # the margin numerator/denominator stay in exact integer arithmetic.
+    # dim= selects the dim-unrolled codegen'd dot (bit-identical; see
+    # dedup.dot_sql) — the fold form stays the dim-less fallback.
+    from srag_spark.operators.dedup import dot_sql
+
+    dot = (
+        F.expr(dot_sql("_sv", "_tv", dim))
+        if dim is not None
+        else dot_col(F.col("_sv"), F.col("_tv"))
+    )
     scored = s.crossJoin(F.broadcast(t)).select(
         "src_id",
         "tgt_id",
-        F.round(dot_col(F.col("_sv"), F.col("_tv")) * F.lit(1_000_000.0))
+        F.round(dot * F.lit(1_000_000.0))
         .cast("long")
         .alias("_su"),
     )
@@ -354,11 +364,18 @@ def mine_hard_negatives(
     else:
         raise ValueError(f"unknown method {method!r}")
 
+    from srag_spark.operators.dedup import dot_sql
+
+    _dot = (
+        (lambda a, b: F.expr(dot_sql(a, b, dim)))
+        if dim is not None
+        else (lambda a, b: dot_col(F.col(a), F.col(b)))
+    )
     scored = scored.select(
         "query_id",
         "pos_id",
         "vec_id",
-        F.round(dot_col(F.col("_v"), F.col("_qv")), 6).alias("score_r"),
+        F.round(_dot("_v", "_qv"), 6).alias("score_r"),
     )
     # the positive's score comes from the PAIR itself, never from the
     # candidate scan — under method="lsh" the positive may not land in
@@ -372,7 +389,7 @@ def mine_hard_negatives(
         )
         .select(
             "query_id",
-            F.round(dot_col(F.col("_pv"), F.col("_qv")), 6).alias(
+            F.round(_dot("_pv", "_qv"), 6).alias(
                 "pos_score_r"
             ),
         )

@@ -71,9 +71,12 @@ def cosine_topk(
     """(doc_id, segment_index, vector[, metadata]) → top-k by cosine.
 
     Dot product entirely JVM-side: ``aggregate(zip_with(v, q, *), +)``
-    inside whole-stage codegen.  The query vector is a literal array —
-    effectively broadcast.  Top-k is a global sort-limit (Spark performs
-    it as per-partition top-k + driver merge — no full shuffle).
+    (the higher-order fold is the FASTER JVM form — a 64-term unrolled
+    sum exceeds the JVM's huge-method JIT limit and runs interpreted,
+    measured 6-10× slower; see ``dedup.dot_lit_sql``).  The query
+    vector is a literal array — effectively broadcast.  Top-k is a
+    global sort-limit (Spark performs it as per-partition top-k +
+    driver merge — no full shuffle).
     """
     from srag_spark.operators.dedup import lit_vec
 

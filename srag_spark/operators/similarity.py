@@ -35,18 +35,29 @@ def brute_force_topk(
     vec_col: str = "embedding",
     q_id_col: str = "query_id",
     q_vec_col: str = "qvec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k per query by cosine (assumes unit-norm inputs: dot =
-    cosine).  Queries broadcast; ranks deterministic (score desc, id)."""
+    cosine).  Queries broadcast; ranks deterministic (score desc, id).
+    Pass ``dim=`` to use the dim-unrolled codegen'd dot product
+    (bit-identical; see ``dedup.dot_sql``) — the fold form stays the
+    fallback for callers that cannot know the vector length."""
+    from srag_spark.operators.dedup import dot_sql
+
     q = F.broadcast(
         queries.select(F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("qv"))
+    )
+    score = (
+        F.round(F.expr(dot_sql("v", "qv", dim)), 6)
+        if dim is not None
+        else F.round(dot_col(F.col("v"), F.col("qv")), 6)
     )
     scored = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     ).crossJoin(q).select(
         "query_id",
         "vec_id",
-        F.round(dot_col(F.col("v"), F.col("qv")), 6).alias("score_r"),
+        score.alias("score_r"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_r"), F.asc("vec_id")
@@ -235,10 +246,12 @@ def ivf_topk(
             ).alias("cell"),
         )
     )
+    from srag_spark.operators.dedup import dot_sql
+
     scored = e.join(q, "cell").select(
         "query_id",
         "vec_id",
-        F.round(dot_col(F.col("v"), F.col("qv")), 6).alias("score_r"),
+        F.round(F.expr(dot_sql("v", "qv", dim)), 6).alias("score_r"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_r"), F.asc("vec_id"))
     return (
@@ -287,33 +300,60 @@ def knn_graph(
     Assumes unit-norm vectors (dot = cosine).  ``dim`` is REQUIRED for
     the LSH path (a wrong dim degenerates every bucket code to all-'0'
     and the band join to a silent all-pairs product — fail loudly)."""
-    from srag_spark.operators.dedup import _persist
+    from srag_spark.operators.dedup import dot_sql
 
-    e_src = emb.select(
-        F.col(id_col).alias("src_id"), F.col(vec_col).alias("sv")
-    )
-    e_nbr = emb.select(
-        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nv")
-    )
     if method == "brute":
+        e_src = emb.select(
+            F.col(id_col).alias("src_id"), F.col(vec_col).alias("sv")
+        )
+        e_nbr = emb.select(
+            F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nv")
+        )
         cands = e_src.crossJoin(e_nbr).filter(
             F.col("src_id") != F.col("nbr_id")
+        )
+        score = (
+            F.round(F.expr(dot_sql("sv", "nv", dim)), 6)
+            if dim is not None
+            else F.round(dot_col(F.col("sv"), F.col("nv")), 6)
+        )
+        scored = cands.select(
+            F.col("src_id").alias("vec_id"), "nbr_id", score.alias("score_r")
         )
     elif method == "lsh":
         if dim is None:
             raise ValueError("knn_graph(method='lsh') requires an explicit dim=")
+        # r6 restructure (guide §2.3/§2.4/§4.2): the old shape shuffled
+        # the O(Σ block²) directed candidate relation four times (pair
+        # distinct + two vector join-backs + the global window) and paid
+        # an interpreted ~5.7 µs dot per pair.  Now the vector rides
+        # with the banded code and each (band, block) group scores its
+        # own quadratic candidate set INSIDE a numpy kernel
+        # (functions/pairkernels): BLAS selection with a safety margin,
+        # exact fold-order re-scoring of the ≤ (k+ties) survivors per
+        # node, rounding and rank re-verified in Spark SQL — the
+        # quadratic relation never exists as rows, and only ~N·bands·k
+        # candidate rows leave Python.  Exactness: per-(band, block)
+        # candidates are a subset of the global candidate set, so any
+        # pair in the global top-k under (score desc, nbr asc) has < k
+        # predecessors in every block it appears in — the per-block
+        # top-k-with-margin union is a superset of the global top-k, and
+        # ranks over the deduped union equal global ranks for every
+        # surviving row.
+        import pandas as pd  # noqa: PLC0415
+
+        from srag_spark.functions import pairkernels as pk
+
         width = band_width(n_planes, bands)
         planes = make_hyperplanes(n_planes, dim)
         coded = emb.select(
             F.col(id_col).alias("doc_id"),
+            F.col(vec_col).alias("v"),
             hyperplane_bucket_col(vec_col, planes).alias("code"),
         )
-        if materialize:
-            # both self-join sides consume the banded codes; without this
-            # the n_planes×dim dot-product projection runs twice
-            coded = _persist(coded, persisted)
         banded = coded.select(
             "doc_id",
+            "v",
             F.posexplode(
                 F.array(
                     *[
@@ -323,29 +363,48 @@ def knn_graph(
                 )
             ).alias("band_id", "block"),
         )
-        a = banded.alias("a")
-        b = banded.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.block") == F.col("b.block"))
-                & (F.col("a.doc_id") != F.col("b.doc_id")),
+        id_field = banded.schema["doc_id"].dataType.simpleString()
+        out_schema = (
+            f"vec_id {id_field}, nbr_id {id_field}, score double"
+        )
+        kk = int(k)
+        dd = int(dim)
+
+        def _blk_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            ok, M = pk.block_matrix(pdf, "v", dd)
+            ids = pdf["doc_id"].to_numpy()[ok]
+            if len(ids) < 2:
+                import numpy as np  # noqa: PLC0415
+
+                return pd.DataFrame(
+                    {
+                        "vec_id": ids[:0],
+                        "nbr_id": ids[:0],
+                        "score": np.array([], dtype=np.float64),
+                    }
+                )
+            src, nbr = pk.topk_candidate_pairs(ids, M, kk)
+            return pd.DataFrame(
+                {
+                    "vec_id": ids[src],
+                    "nbr_id": ids[nbr],
+                    "score": pk.exact_pair_scores(M[src], M[nbr]),
+                }
             )
-            .select(
-                F.col("a.doc_id").alias("src_id"),
-                F.col("b.doc_id").alias("nbr_id"),
+
+        pairs = banded.groupBy("band_id", "block").applyInPandas(
+            _blk_topk, out_schema
+        )
+        scored = (
+            pairs.select(
+                "vec_id",
+                "nbr_id",
+                F.round(F.col("score"), 6).alias("score_r"),
             )
             .distinct()
         )
-        cands = pairs.join(e_src, "src_id").join(e_nbr, "nbr_id")
     else:
         raise ValueError(f"unknown knn_graph method {method!r}")
-    scored = cands.select(
-        F.col("src_id").alias("vec_id"),
-        "nbr_id",
-        F.round(dot_col(F.col("sv"), F.col("nv")), 6).alias("score_r"),
-    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("score_r"), F.asc("nbr_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -538,10 +597,12 @@ def lsh_topk(
             ).alias("bucket"),
         )
     )
+    from srag_spark.operators.dedup import dot_sql
+
     scored = e.join(q, "bucket").select(
         "query_id",
         "vec_id",
-        F.round(dot_col(F.col("v"), F.col("qv")), 6).alias("score_r"),
+        F.round(F.expr(dot_sql("v", "qv", dim)), 6).alias("score_r"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_r"), F.asc("vec_id"))
     return (
