@@ -103,7 +103,13 @@ def pack_sequences(
     cnt = (
         F.col(count_col) if count_col else token_count_col(F.col(text_col))
     )
-    toks = docs.select(
+    from srag_spark.operators.dedup import spread_input
+
+    # guide §2.5: the token counting below runs twice over the input
+    # (range-boundary sampling + the shuffle's map pass) — spread an
+    # under-partitioned scan first so neither pass serializes (no-op on
+    # composed inputs and at corpus scale)
+    toks = spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
         cnt.cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
@@ -364,7 +370,10 @@ def pack_interleaved(
         )
     else:
         media_cost = F.lit(int(default_media_cost))
-    flat = docs.select(
+    from srag_spark.operators.dedup import spread_input
+
+    # guide §2.5: same double-pass consideration as pack_sequences
+    flat = spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(spans_col).alias("span_index", "_s"),
     ).select(
@@ -483,15 +492,22 @@ def pack_media_manifest(packed: DataFrame) -> DataFrame:
 def ngram_hash_col(text_col, n: int) -> "F.Column":
     """All order-n token-window hashes of a text, as
     ``array<string>`` of md5(space-joined window) — native
-    sequence/transform/slice, no UDF.  Empty/short texts give []."""
-    toks = F.array_remove(F.split(text_col, r"\s+"), "")
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    sequence/transform/slice, no UDF.  Empty/short texts give [].
+    The token array is let-bound (``dedup.bind_col``) so the split runs
+    once per row, not once per window (r6 — the un-bound form
+    re-tokenized the whole document per window)."""
+    from srag_spark.operators.dedup import bind_col
+
+    def _build(toks):
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_col(F.array_remove(F.split(text_col, r"\s+"), ""), _build)
 
 
 def find_contamination(
@@ -534,13 +550,17 @@ def find_contamination(
     contaminated corpus makes it large).  Nothing quadratic, nothing
     driver-side.
     """
+    from srag_spark.operators.dedup import spread_input
+
     eval_hashes = (
         eval_docs.select(
             F.explode(ngram_hash_col(F.col(text_col), n)).alias("_h")
         ).distinct()
     )
     train_ids = train.select(F.col(id_col).alias("doc_id"))
-    windows = train.select(
+    # guide §2.5: the train-side window explode expands a small doc scan
+    # 10-50×; spread an under-partitioned input first (no-op at scale)
+    windows = spread_input(train).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(ngram_hash_col(F.col(text_col), n)).alias("_pos", "_h"),
     )

@@ -63,21 +63,78 @@ def words_col(c) -> "F.Column":
     return F.array_remove(F.split(norm_text_col(c), " "), "")
 
 
+def bind_col(bound, build) -> "F.Column":
+    """Let-binding for column expressions: evaluate ``bound`` ONCE per
+    row and pass it to ``build`` as a lambda variable.
+
+    The r6 profiling surprise behind this helper (guide §1/§7.2): a
+    higher-order lambda that references a NON-attribute expression —
+    e.g. n-gram builders slicing ``words_col(text)`` per position —
+    re-evaluates that expression for EVERY element, because lambda
+    bodies are evaluated per element and only lambda variables are
+    bound.  ``ngram_topk``'s gram build dropped 33.7 s → 2.1 s at sf1
+    from this one change (each 3-gram was re-running the regex
+    normalization + split of the whole document).  Wrapping the value
+    in a 1-element array and transforming it makes it a bona fide
+    lambda variable, evaluated once; ``element_at`` unwraps the result.
+    Values are unchanged — this is pure evaluation-count hygiene."""
+    return F.element_at(F.transform(F.array(bound), build), 1)
+
+
 def shingles_col(c, n: int = 3) -> "F.Column":
-    """Distinct word n-gram shingles of a text column (native)."""
-    w = words_col(c)
-    return F.array_distinct(
-        F.when(
-            F.size(w) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - n),
-                lambda i: F.array_join(F.slice(w, i + 1, n), " "),
-            ),
-        ).otherwise(
-            # short docs: whole text as the single shingle (if non-empty)
-            F.filter(F.array(F.array_join(w, " ")), lambda s: F.length(s) > 0)
+    """Distinct word n-gram shingles of a text column (native).  The
+    word array is let-bound (:func:`bind_col`) so the normalization +
+    split runs once per row, not once per shingle."""
+
+    def _build(w):
+        return F.array_distinct(
+            F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - n),
+                    lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+                ),
+            ).otherwise(
+                # short docs: whole text as the single shingle (if non-empty)
+                F.filter(
+                    F.array(F.array_join(w, " ")), lambda s: F.length(s) > 0
+                )
+            )
         )
-    )
+
+    return bind_col(words_col(c), _build)
+
+
+_SPREAD_COMPLEX_NODES = ("Join", "Aggregate", "Window", "Sort", "Repartition")
+
+
+def spread_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition an under-partitioned input up to the
+    session's shuffle parallelism — the guide §2.5 "input skew: fix at
+    the source or repartition immediately after the read" device for
+    token-explode-heavy operators whose input is a small, few-split
+    file (a compressed document table expands 10-50× into token work,
+    so a 1-split scan serializes the whole operator).  A NO-OP whenever
+    the scan already has ≥ the target partitions — at corpus scale the
+    input has thousands of splits and nothing is shuffled.
+
+    Applies ONLY to scan-shaped inputs (projections/filters/unions over
+    sources): the partition-count probe goes through ``df.rdd``, and
+    under AQE that materializes the final plan by EXECUTING every
+    upstream shuffle stage — on a composed input (joins, aggregations)
+    the probe itself would run the pipeline once before the real job
+    (measured: it re-ran an entire curation subtree).  Composed inputs
+    have shuffle-sized partitioning already and are returned as-is."""
+    spark = df.sparkSession
+    P = min_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        tree = df._jdf.queryExecution().analyzed().treeString()
+        if any(node in tree for node in _SPREAD_COMPLEX_NODES):
+            return df
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning-only probe; never fatal
+        return df
+    return df.repartition(P) if n < P else df
 
 
 # ---------------------------------------------------------------------------

@@ -64,8 +64,11 @@ def _bucket_counts(docs: DataFrame, text_col: str, hash_chars: int) -> DataFrame
     """(bucket, c): corpus feature counts per hashed bucket — one
     explode + one map-side-combinable groupBy, output bounded by the
     bucket space."""
+    from srag_spark.operators.dedup import spread_input
+
     return (
-        docs.select(words_col(F.col(text_col)).alias("_w"))
+        spread_input(docs)
+        .select(words_col(F.col(text_col)).alias("_w"))
         .select(F.explode(dsir_features_col(F.col("_w"))).alias("feat"))
         .select(dsir_bucket_col(F.col("feat"), hash_chars).alias("bucket"))
         .groupBy("bucket")
@@ -123,8 +126,11 @@ def dsir_weights(
     ]
     lam = spark.createDataFrame(lam_rows, "bucket string, lam double")
 
+    from srag_spark.operators.dedup import spread_input
+
     scored = (
-        docs.select(
+        spread_input(docs)
+        .select(
             F.col(id_col).alias("doc_id"),
             words_col(F.col(text_col)).alias("_w"),
         )

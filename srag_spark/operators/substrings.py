@@ -76,6 +76,12 @@ def duplicate_window_flags(
     This is the *census* half; :func:`strip_duplicate_spans` applies
     the keep-first-occurrence cut.
     """
+    from srag_spark.operators.dedup import spread_input
+
+    # guide §2.5 input-parallelism guard: the window explode expands a
+    # small doc scan 10-50×; a 1-2-split file would serialize both the
+    # census and the join pass (no-op at corpus scale)
+    docs = spread_input(docs)
     toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -152,6 +158,11 @@ def strip_duplicate_spans(
     merged intervals — per-token work is bounded by the doc's MERGED
     interval count, not its raw cut count.
     """
+    from srag_spark.operators.dedup import spread_input
+
+    # both passes (census + join-back) and the token surgery inherit
+    # this parallelism; no-op at corpus scale (guide §2.5)
+    docs = spread_input(docs)
     win = _windows(docs, n, id_col, text_col)
     firsts = (
         win.groupBy("_h")

@@ -31,36 +31,111 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in")
 def language_pred_cols(text_col) -> tuple["F.Column", "F.Column"]:
     """(pred_lang, marker_hits) column expressions over a raw text column
     — per-row, join-free, so composed pipelines can inline the gate into
-    an existing scan instead of joining a derived table back."""
-    w = words_col(text_col)
+    an existing scan instead of joining a derived table back.
 
-    def marker_filter(markers):
-        return lambda t: t.isin(*markers)
+    The word array is let-bound (``dedup.bind_col``, r6): the argmax
+    when-chain references each language's hit count several times, and
+    higher-order functions evaluate interpreted WITHOUT codegen
+    subexpression elimination — un-bound, every reference re-ran the
+    regex normalization + split of the whole text (~30 evaluations per
+    row; this dominated the composed curation gate at sf1).  Callers
+    that select BOTH columns should prefer
+    :func:`language_pred_struct` + field unpacking (one scan/row)."""
+    s = language_pred_struct(text_col)
+    return s["pred"], s["hits"]
 
-    hits = {
-        lang: F.size(F.filter(w, marker_filter(markers)))
-        for lang, markers in LANG_MARKERS.items()
-    }
-    best = None
-    for lang in sorted(LANG_MARKERS):  # deterministic tie order
-        h = hits[lang]
-        if best is None:
-            best = F.struct(h.alias("n"), F.lit(lang).alias("lang"))
-        else:
-            best = F.when(hits[lang] > best["n"], F.struct(h.alias("n"), F.lit(lang).alias("lang"))).otherwise(best)
-    pred = F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
-    return pred, best["n"].cast("bigint")
+
+def language_pred_struct(text_col) -> "F.Column":
+    """The (pred, hits) marker scan as ONE struct column.
+
+    r6 evaluation rewrite: a marker hit count is "how many normalized
+    words are in the marker set"; since normalized words are exactly the
+    maximal ``[a-z0-9]+`` runs of ``norm_text_col``, that equals
+    ``regexp_count(norm, '\\b(m1|m2|…)\\b')`` — the ``\\b`` anchors
+    forbid matches inside longer tokens, and non-overlapping counting
+    can't miss adjacent tokens (they are separated by a space).  One
+    compiled-regex codegen'd pass per language replaces a per-element
+    interpreted lambda filter that measured ~1.2 ms/row; values are
+    identical."""
+    from srag_spark.operators.dedup import bind_col
+
+    langs = sorted(LANG_MARKERS)
+
+    def _counts(norm):
+        # built unconditionally, so each count (and the shared norm)
+        # evaluates exactly once per row
+        return F.array(
+            *[
+                F.regexp_count(
+                    norm,
+                    F.lit(r"\b(?:" + "|".join(LANG_MARKERS[lang]) + r")\b"),
+                ).cast("long")
+                for lang in langs
+            ]
+        )
+
+    def _from_hits(harr):
+        hits = {lang: F.element_at(harr, i + 1) for i, lang in enumerate(langs)}
+        best = None
+        for lang in langs:  # deterministic tie order
+            h = hits[lang]
+            if best is None:
+                best = F.struct(h.alias("n"), F.lit(lang).alias("lang"))
+            else:
+                best = F.when(hits[lang] > best["n"], F.struct(h.alias("n"), F.lit(lang).alias("lang"))).otherwise(best)
+        pred = F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+        return F.struct(
+            pred.alias("pred"), best["n"].cast("bigint").alias("hits")
+        )
+
+    # the argmax when-chain references every count several times, and
+    # conditional branches defeat codegen subexpression elimination —
+    # bind the count ARRAY so chain references are cheap element_ats
+    return bind_col(bind_col(norm_text_col(text_col), _counts), _from_hits)
 
 
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, pred_lang, marker_hits): argmax of marker-word hits, ties
     broken by language code order; 'und' (undetermined) when no marker
-    matches — the ISO-639-3 convention."""
-    pred, hits = language_pred_cols(F.col(text_col))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        pred.alias("pred_lang"),
-        hits.alias("marker_hits"),
+    matches — the ISO-639-3 convention.
+
+    The (pred, hits) pair is selected as ONE struct column and unpacked
+    in a second projection (r6): selecting the two expressions
+    separately evaluates the shared marker scan twice per row, and
+    CollapseProject keeps multi-referenced non-cheap aliases intact, so
+    the two-step select halves the work.  spread_input parallelizes the
+    marker scan over an under-partitioned input (no-op at scale)."""
+    from srag_spark.operators.dedup import spread_input
+
+    return (
+        spread_input(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            language_pred_struct(F.col(text_col)).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            F.col("_s.pred").alias("pred_lang"),
+            F.col("_s.hits").alias("marker_hits"),
+        )
+    )
+
+
+def quality_base_array(raw) -> "F.Column":
+    """The five base quality scalars as ONE array<long> column —
+    ``[n_words, total_token_len, stopword_count, alnum_chars, chars]``
+    — so consumers evaluate the split + regex scans once per row and
+    derive every metric with cheap ``element_at`` arithmetic."""
+    w = F.array_remove(F.split(raw, r"\s+"), "")
+    return F.array(
+        F.size(w).cast("long"),
+        F.length(F.concat_ws("", w)).cast("long"),
+        F.regexp_count(
+            raw,
+            F.lit(r"(?i)(?:^|\s)(?:" + "|".join(STOPWORDS) + r")(?=\s|$)"),
+        ).cast("long"),
+        F.length(F.regexp_replace(F.lower(raw), "[^a-z0-9]", "")).cast("long"),
+        F.length(raw).cast("long"),
     )
 
 
@@ -68,26 +143,58 @@ def quality_metric_cols(text_col) -> dict[str, "F.Column"]:
     """Per-row quality-signal column expressions over a raw text column
     (keys: n_words, avg_word_len_r, stop_ratio_r, alnum_ratio_r,
     quality_r) — join-free for pipeline composition."""
+    from srag_spark.operators.dedup import bind_col
+
     raw = text_col
-    w = F.array_remove(F.split(raw, r"\s+"), "")
-    n_words = F.size(w)
-    total_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
-    stop = F.size(F.filter(w, lambda t: F.lower(t).isin(*STOPWORDS)))
-    alnum = F.length(F.regexp_replace(F.lower(raw), "[^a-z0-9]", ""))
-    chars = F.length(raw)
+    # r6 evaluation rewrite — no higher-order functions and no repeated
+    # heavy subexpressions:
+    #   * total token length = length(concat_ws('', words)) — equal to
+    #     the old fold of per-token lengths;
+    #   * stopword count = one compiled-regex pass: a token matches
+    #     lower(t) ∈ STOPWORDS iff the raw text contains the stopword
+    #     case-insensitively between whitespace/string boundaries
+    #     (tokens are maximal non-whitespace runs; the leading boundary
+    #     is consumed, the trailing one is a lookahead so adjacent
+    #     stopwords still both count);
+    #   * the five base scalars are computed in ONE bound array per
+    #     metric (conditional when-branches defeat codegen subexpression
+    #     elimination, so un-bound each reference re-split/re-scanned
+    #     the text — the previous form measured ~ms/row in the composed
+    #     curation gate).
+    base = quality_base_array(raw)
     nz = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))  # noqa: E731
-    n_words_d = n_words.cast("double")
-    quality = (
-        F.lit(0.4) * F.least(n_words_d / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.3) * F.least(nz(stop, n_words) * F.lit(10.0), F.lit(1.0))
-        + F.lit(0.3) * nz(alnum, chars)
-    )
+
+    def _metric(build):
+        return bind_col(
+            base,
+            lambda b: build(
+                F.element_at(b, 1),  # n_words
+                F.element_at(b, 2),  # total token length
+                F.element_at(b, 3),  # stopword count
+                F.element_at(b, 4),  # alnum chars
+                F.element_at(b, 5),  # raw chars
+            ),
+        )
+
+    def _quality(n_words, _tl, stop, alnum, chars):
+        return (
+            F.lit(0.4) * F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+            + F.lit(0.3) * F.least(nz(stop, n_words) * F.lit(10.0), F.lit(1.0))
+            + F.lit(0.3) * nz(alnum, chars)
+        )
+
     return {
-        "n_words": n_words.cast("bigint"),
-        "avg_word_len_r": F.round(nz(total_len, n_words), 6),
-        "stop_ratio_r": F.round(nz(stop, n_words), 6),
-        "alnum_ratio_r": F.round(nz(alnum, chars), 6),
-        "quality_r": F.round(quality, 6),
+        "n_words": _metric(lambda n, *_: n),
+        "avg_word_len_r": F.round(
+            _metric(lambda n, tl, *_: nz(tl, n)), 6
+        ),
+        "stop_ratio_r": F.round(
+            _metric(lambda n, _tl, stop, *_: nz(stop, n)), 6
+        ),
+        "alnum_ratio_r": F.round(
+            _metric(lambda _n, _tl, _s, alnum, chars: nz(alnum, chars)), 6
+        ),
+        "quality_r": F.round(_metric(_quality), 6),
     }
 
 
@@ -98,10 +205,32 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         quality = 0.4·clamp(n_words/100) + 0.3·stop_presence
                 + 0.3·alnum_ratio
     """
-    cols = quality_metric_cols(F.col(text_col))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        *[c.alias(name) for name, c in cols.items()],
+    from srag_spark.operators.dedup import spread_input
+
+    # two-step select (r6): the base-stat array is computed ONCE per row
+    # into a real column, and the five metrics are cheap element_at
+    # arithmetic over it — selecting five independent metric columns
+    # would evaluate the split + regex scans five times (CollapseProject
+    # keeps the multi-referenced non-cheap alias intact)
+    base = quality_base_array(F.col(text_col))
+    nz = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))  # noqa: E731
+    b = lambda i: F.element_at(F.col("_b"), i)  # noqa: E731
+    quality = (
+        F.lit(0.4) * F.least(b(1).cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(nz(b(3), b(1)) * F.lit(10.0), F.lit(1.0))
+        + F.lit(0.3) * nz(b(4), b(5))
+    )
+    return (
+        spread_input(docs)
+        .select(F.col(id_col).alias("doc_id"), base.alias("_b"))
+        .select(
+            "doc_id",
+            b(1).alias("n_words"),
+            F.round(nz(b(2), b(1)), 6).alias("avg_word_len_r"),
+            F.round(nz(b(3), b(1)), 6).alias("stop_ratio_r"),
+            F.round(nz(b(4), b(5)), 6).alias("alnum_ratio_r"),
+            F.round(quality, 6).alias("quality_r"),
+        )
     )
 
 
@@ -124,23 +253,42 @@ def repetition_stats(
     Pure native column expressions; exact DuckDB oracle.  Unlike
     ``shingles_col`` these n-grams are NOT deduplicated before counting —
     the duplicate fraction is the signal."""
-    w = words_col(F.col(text_col))
-    n_words = F.size(w)
-    grams = F.when(
-        n_words >= n,
-        F.transform(
-            F.sequence(F.lit(0), n_words - n),
-            lambda i: F.array_join(F.slice(w, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    n_grams = F.size(grams)
-    distinct_ratio = F.when(
-        n_grams > 0,
-        F.size(F.array_distinct(grams)).cast("double") / n_grams,
-    ).otherwise(F.lit(1.0))
-    max_wl = F.coalesce(
-        F.array_max(F.transform(w, lambda t: F.length(t))), F.lit(0)
-    )
+    from srag_spark.operators.dedup import bind_col
+
+    # let-bind both the word array and the gram array (r6): the un-bound
+    # forms re-tokenized per gram and re-built the gram array per
+    # consuming output column
+    def _stats(w):
+        n_words = F.size(w)
+
+        def _from_grams(grams):
+            n_grams = F.size(grams)
+            return F.struct(
+                n_words.cast("bigint").alias("n_words"),
+                n_grams.cast("bigint").alias("n_ngrams"),
+                F.round(
+                    F.when(
+                        n_grams > 0,
+                        F.size(F.array_distinct(grams)).cast("double") / n_grams,
+                    ).otherwise(F.lit(1.0)),
+                    6,
+                ).alias("distinct_ngram_ratio_r"),
+                F.coalesce(
+                    F.array_max(F.transform(w, lambda t: F.length(t))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("max_word_len"),
+            )
+
+        grams = F.when(
+            n_words >= n,
+            F.transform(
+                F.sequence(F.lit(0), n_words - n),
+                lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return bind_col(grams, _from_grams)
+
     raw = F.col(text_col)
     digits = F.length(F.regexp_replace(raw, "[^0-9]", ""))
     chars = F.length(raw)
@@ -149,11 +297,15 @@ def repetition_stats(
     )
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n_words.cast("bigint").alias("n_words"),
-        n_grams.cast("bigint").alias("n_ngrams"),
-        F.round(distinct_ratio, 6).alias("distinct_ngram_ratio_r"),
-        max_wl.cast("bigint").alias("max_word_len"),
+        bind_col(words_col(raw), _stats).alias("_s"),
         F.round(digit_ratio, 6).alias("digit_ratio_r"),
+    ).select(
+        "doc_id",
+        F.col("_s.n_words").alias("n_words"),
+        F.col("_s.n_ngrams").alias("n_ngrams"),
+        F.col("_s.distinct_ngram_ratio_r").alias("distinct_ngram_ratio_r"),
+        F.col("_s.max_word_len").alias("max_word_len"),
+        "digit_ratio_r",
     )
 
 
@@ -214,7 +366,11 @@ def lm_perplexity(
     (at 100 TB the token table dwarfs the input; two linear scans beat
     one materialization).  Only three scalars and the bounded vocab
     ever reach the driver."""
-    toks = docs.select(
+    from srag_spark.operators.dedup import spread_input
+
+    # guide §2.5: both linear token passes below inherit the scan's
+    # parallelism; spread an under-partitioned input (no-op at scale)
+    toks = spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(words_col(F.col(text_col))).alias("tok"),
     )
@@ -438,16 +594,23 @@ def ngram_topk(
     ``n`` words contribute nothing.  Nothing quadratic, nothing
     driver-side beyond the k result rows.
     """
-    w = words_col(F.col(text_col))
-    grams = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.array_join(F.slice(w, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("ngram")
+    from srag_spark.operators.dedup import bind_col, spread_input
+
+    def _grams(w):
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # bind_col: tokenize once per row, not once per gram (r6 — 16× on
+    # the gram build); spread_input: a small single-file doc table
+    # otherwise serializes the explode on 1-2 scan tasks (no-op at scale)
+    g = spread_input(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(bind_col(words_col(F.col(text_col)), _grams)).alias("ngram"),
     )
     return (
         g.groupBy("ngram")

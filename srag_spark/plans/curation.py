@@ -122,9 +122,14 @@ def gate_and_exact_dedup(
 ) -> DataFrame:
     """Stage 1: inline language/quality gates on the scan + window-min
     exact dedup (one shuffle).  Lazy — callers persist or table-write."""
+    from srag_spark.operators.dedup import spread_input
+
     text = F.col(text_col)
     pred_lang, _hits = language_pred_cols(text)
     quality = quality_metric_cols(text)["quality_r"]
+    # guide §2.5: the gate expressions are the curation scan's dominant
+    # per-row cost; spread an under-partitioned input (no-op at scale)
+    docs = spread_input(docs)
     gated = docs.select(
         F.col(id_col).alias("doc_id"),
         text.alias("text"),
