@@ -825,8 +825,14 @@ def _interleaved_src(spark, sf_dir):
     `corpus_pack_interleaved` (which packs it for multimodal training).
     Per doc: half-1 text span, a media anchor, six single-word audio
     spans, half-2 text span; doc_id%97==0 → 4n single-word mega docs."""
+    from srag_spark.operators.dedup import spread_input
+
+    # r6 (guide §2.5): the span construction + downstream parse/pack
+    # explode expands the small doc scan many-fold; spread the scan
+    # BEFORE the construction so it does not serialize on 1-2 file
+    # splits (no-op at corpus scale)
     docs = (
-        _t(spark, sf_dir, "documents")
+        spread_input(_t(spark, sf_dir, "documents"))
         .select(
             F.col("doc_id").alias("did"),
             F.col("doc_id").cast("string").alias("doc_id"),

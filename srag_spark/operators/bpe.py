@@ -217,7 +217,11 @@ def apply_bpe(
 
         return words.map(enc)
 
-    return docs.withColumn(
+    from srag_spark.operators.dedup import spread_input
+
+    # guide §2.5: the Python encoder's parallelism is the scan's
+    # partition count; spread an under-partitioned input (no-op at scale)
+    return spread_input(docs).withColumn(
         "bpe_tokens", encode(words_col(F.col(text_col)))
     ).withColumn("bpe_token_count", F.size("bpe_tokens"))
 

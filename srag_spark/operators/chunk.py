@@ -85,12 +85,20 @@ def chunk_documents(
 ) -> DataFrame:
     """(doc_id, text[, metadata]) → chunks (doc_id, segment_index, text,
     metadata).  Index-time recursive chunker: max 1000 chars / 200 overlap
-    (TextChunker.scala:14 call-site; HuggingFaceAdapter.scala:33)."""
+    (TextChunker.scala:14 call-site; HuggingFaceAdapter.scala:33).
+    The input is spread first (guide §2.5): the Python chunker's
+    parallelism is the scan's partition count, and a small single-file
+    doc table would otherwise run it on 1-2 workers (no-op at scale)."""
+    from srag_spark.operators.dedup import spread_input
+
     udf = _make_chunk_udf(max_chars, overlap)
-    return _explode_chunks(docs_text, udf(F.col("text")))
+    return _explode_chunks(spread_input(docs_text), udf(F.col("text")))
 
 
 def word_group_chunk_documents(docs_text: DataFrame, chunk_size: int = 1000) -> DataFrame:
-    """P8 fallback chunker: 1000-word groups (QueryService.scala:28-33,272)."""
+    """P8 fallback chunker: 1000-word groups (QueryService.scala:28-33,272).
+    Input spread like :func:`chunk_documents`."""
+    from srag_spark.operators.dedup import spread_input
+
     udf = _make_word_group_udf(chunk_size)
-    return _explode_chunks(docs_text, udf(F.col("text")))
+    return _explode_chunks(spread_input(docs_text), udf(F.col("text")))

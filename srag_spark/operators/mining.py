@@ -74,6 +74,9 @@ def ict_pairs(
         raise ValueError("query_words must be >= 1")
     if min_words < 2 * query_words:
         raise ValueError("min_words must be >= 2 * query_words")
+    from srag_spark.operators.dedup import spread_input
+
+    docs = spread_input(docs)  # guide §2.5; no-op at scale
     base = (
         docs.select(
             F.col(id_col).alias("doc_id"), words_col(F.col(text_col)).alias("_w")

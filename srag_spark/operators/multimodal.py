@@ -114,7 +114,12 @@ def decode_media(media: DataFrame) -> DataFrame:
 
     mapInPandas over MEDIA_SCHEMA rows; per-row codec errors are captured
     in ``decode_ok`` (the pipeline never dies on one bad blob — mirrors
-    the reference's per-job failure isolation, J6)."""
+    the reference's per-job failure isolation, J6).  The input is spread
+    first (guide §2.5): the Python decode's parallelism is the scan's
+    partition count (no-op at scale)."""
+    from srag_spark.operators.dedup import spread_input
+
+    media = spread_input(media)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd  # noqa: PLC0415

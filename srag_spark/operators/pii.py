@@ -61,24 +61,39 @@ def scrub_pii(
 ) -> DataFrame:
     """(doc_id, text_redacted, n_email, n_ipv4, n_phone, has_pii) — one
     row per input doc, PII spans replaced by class tokens."""
+    from srag_spark.operators.dedup import spread_input
+
     cols = pii_cols(F.col(text_col))
     # NULL text must yield 0-count / has_pii=false (not NULL): a
     # downstream keep-filter on ~has_pii silently DROPS null verdicts,
     # which at corpus scale loses every null-text doc.
-    counts = {
-        k: F.coalesce(cols[k].cast("int"), F.lit(0)).alias(k)
-        for k in ("n_email", "n_ipv4", "n_phone")
-    }
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        cols["text_redacted"].alias("text_redacted"),
-        counts["n_email"],
-        counts["n_ipv4"],
-        counts["n_phone"],
-        (
-            F.coalesce(cols["n_email"], F.lit(0))
-            + F.coalesce(cols["n_ipv4"], F.lit(0))
-            + F.coalesce(cols["n_phone"], F.lit(0))
-            > 0
-        ).alias("has_pii"),
+    #
+    # r6: the detector chain is computed ONCE per row into a struct and
+    # unpacked in a second projection — the counts feed both their own
+    # output columns and has_pii, and each extra reference re-ran its
+    # whole stage-chained regex prefix; the scan is also spread (guide
+    # §2.5, no-op at scale).
+    return (
+        spread_input(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.struct(
+                cols["text_redacted"].alias("t"),
+                *[
+                    F.coalesce(cols[k].cast("int"), F.lit(0)).alias(k)
+                    for k in ("n_email", "n_ipv4", "n_phone")
+                ],
+            ).alias("_p"),
+        )
+        .select(
+            "doc_id",
+            F.col("_p.t").alias("text_redacted"),
+            F.col("_p.n_email").alias("n_email"),
+            F.col("_p.n_ipv4").alias("n_ipv4"),
+            F.col("_p.n_phone").alias("n_phone"),
+            (
+                F.col("_p.n_email") + F.col("_p.n_ipv4") + F.col("_p.n_phone")
+                > 0
+            ).alias("has_pii"),
+        )
     )

@@ -151,7 +151,11 @@ def bm25_topk(
             .limit(k)
         )
 
-    docs = chunks.select(
+    from srag_spark.operators.dedup import spread_input
+
+    # guide §2.5: the tokenize + explode passes below inherit the scan's
+    # partitioning; spread an under-partitioned input (no-op at scale)
+    docs = spread_input(chunks).select(
         *_KEY, "text", _tokens_col(F.col("text")).alias("tokens")
     ).withColumn("dl", F.size("tokens"))
     stats = docs.agg(

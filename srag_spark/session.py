@@ -33,6 +33,20 @@ def get_spark(
     if shuffle_partitions is None:
         cpus_s = os.environ.get("SPARK_GRAFT_CPUS", "")
         shuffle_partitions = int(cpus_s) if cpus_s.isdigit() else 32
+    # driver memory: in local mode the driver JVM IS the executor, so
+    # heap must scale with concurrent tasks — same 0.75 GiB/core formula
+    # bench.py's scaling children use (r5's sf1 run crashed Python
+    # workers under an 8g heap at 32 cores).  SPARK_GRAFT_DRIVER_MEM
+    # overrides; on a real cluster executor memory is provisioned by
+    # spark-submit and this value only sizes the (thin) driver.
+    cpus_s = os.environ.get("SPARK_GRAFT_CPUS", "")
+    cores_guess = int(cpus_s) if cpus_s.isdigit() else (os.cpu_count() or 8)
+    default_mem = f"{max(8, (cores_guess * 3) // 4)}g"
+    # scan split size: 32 MB keeps a handful-of-files local dataset from
+    # serializing its scans (128 MB splits put a 6 M-row table on 1-2
+    # tasks) while staying far above per-task overhead; raise via env on
+    # clusters doing huge sequential scans (guide §6)
+    max_part_bytes = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m")
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -57,7 +71,8 @@ def get_spark(
         # quieter local runs
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem))
+        .config("spark.sql.files.maxPartitionBytes", max_part_bytes)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
