@@ -105,6 +105,27 @@ def shingles_col(c, n: int = 3) -> "F.Column":
     return bind_col(words_col(c), _build)
 
 
+def no_pushdown(cond) -> "F.Column":
+    """Block filter pushdown for an EXPENSIVE predicate by conjoining a
+    vacuously-true non-deterministic term — the native-expression
+    analogue of guide §4.4's ``asNondeterministic`` device.
+
+    Why: Catalyst pushes deterministic filters through exchanges
+    (including an explicit :func:`spread_input` repartition) down to the
+    scan, so a predicate built from heavy text expressions re-serializes
+    onto the scan's 1-2 tasks no matter how the plan above is spread.
+    A non-deterministic conjunct pins the filter where it was written.
+
+    The term is ``spark_partition_id() >= 0`` — always true, free to
+    evaluate, formally non-deterministic (partition-dependent), and
+    crucially SEEDLESS: a ``rand()`` guard draws a fresh seed per plan
+    construction, so two invocations of the same query build different
+    plans and Spark's CacheManager plan-matching no longer recognizes
+    persisted intermediates (measured: it turned the bench's warmed
+    curation cache into a per-run recompute).  Results are unchanged."""
+    return cond & (F.spark_partition_id() >= F.lit(0))
+
+
 _SPREAD_COMPLEX_NODES = ("Join", "Aggregate", "Window", "Sort", "Repartition")
 
 

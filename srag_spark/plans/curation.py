@@ -122,13 +122,18 @@ def gate_and_exact_dedup(
 ) -> DataFrame:
     """Stage 1: inline language/quality gates on the scan + window-min
     exact dedup (one shuffle).  Lazy — callers persist or table-write."""
-    from srag_spark.operators.dedup import spread_input
+    from srag_spark.operators.dedup import no_pushdown, spread_input
 
     text = F.col(text_col)
     pred_lang, _hits = language_pred_cols(text)
     quality = quality_metric_cols(text)["quality_r"]
     # guide §2.5: the gate expressions are the curation scan's dominant
-    # per-row cost; spread an under-partitioned input (no-op at scale)
+    # per-row cost; spread an under-partitioned input (no-op at scale).
+    # The gate predicate is pinned ABOVE the spread exchange with
+    # no_pushdown — Catalyst otherwise pushes it through the repartition
+    # back onto the serialized scan side (observed in the plan: the full
+    # marker/quality expression duplicated into every union branch's
+    # scan filter).
     docs = spread_input(docs)
     gated = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -136,8 +141,10 @@ def gate_and_exact_dedup(
         pred_lang.alias("pred_lang"),
         quality.alias("quality_r"),
     ).filter(
-        F.col("pred_lang").isin(*lang_whitelist)
-        & (F.col("quality_r") >= F.lit(float(min_quality)))
+        no_pushdown(
+            F.col("pred_lang").isin(*lang_whitelist)
+            & (F.col("quality_r") >= F.lit(float(min_quality)))
+        )
     )
     w = Window.partitionBy(F.md5(norm_text_col(F.col("text"))))
     return (
