@@ -758,7 +758,7 @@ def embedding_neardup_pairs(
     # ≥ threshold verdict re-applied in Spark SQL — same candidate set,
     # same scores, same output; the quadratic relation never exists as
     # rows.
-    coded = emb.select(
+    coded = spread_input(emb).select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("v"),
         hyperplane_bucket_col(vec_col, planes).alias("code"),
@@ -1073,21 +1073,27 @@ def semdedup_flags(
     relation feeds both join sides plus the output, so it is persisted
     (register a ``persisted=[]`` list and ``release()`` after the
     action)."""
-    from srag_spark.operators.similarity import _centroid_dots_sql, make_centroids
+    from srag_spark.operators.similarity import ivf_assign_struct, make_centroids
 
     if dim is None:
         raise ValueError("semdedup_flags requires an explicit dim= (vector length)")
     cents = centroids if centroids is not None else make_centroids(n_clusters, dim)
     v = F.col(vec_col)
-    dots = _centroid_dots_sql(vec_col, cents)
     # malformed embeddings (null / wrong dim) would land in a null cell
-    # and silently skew the self-join — drop them once, like the ANN ops
-    valid = emb.filter(v.isNotNull() & (F.size(v) == dim))
+    # and silently skew the self-join — drop them once, like the ANN ops.
+    # spread_input: the assignment dots run on the scan's partitioning
+    # (guide §2.5; no-op at scale); the (cell, csim) pair is ONE
+    # assignment-struct evaluation per row (ivf_assign_struct, r6).
+    valid = spread_input(emb).filter(v.isNotNull() & (F.size(v) == dim))
     assigned = valid.select(
         F.col(id_col).alias("id"),
         v.alias("v"),
-        F.expr(f"CAST(array_position({dots}, array_max({dots})) AS INT)").alias("cell"),
-        F.round(F.expr(f"array_max({dots})"), 6).alias("csim_r"),
+        ivf_assign_struct(vec_col, cents).alias("_a"),
+    ).select(
+        "id",
+        "v",
+        F.col("_a.cell").alias("cell"),
+        F.round(F.col("_a.csim"), 6).alias("csim_r"),
     )
     rank_w = Window.partitionBy("cell").orderBy(F.desc("csim_r"), F.asc("id"))
     ranked = _persist(
@@ -1204,13 +1210,11 @@ def embedding_cross_pairs(
         )
 
     # the broadcast join is map-side, so its parallelism is the LEFT
-    # scan's partition count — a handful of parquet files would
-    # serialize the candidate scoring; an explicit round-robin
-    # repartition (AQE-coalesce-proof) spreads it (guide §2.5)
-    P = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # scan's partition count — spread the left input BEFORE the bucket
+    # codes are computed (a repartition after them would leave the
+    # n_planes fold-dots on the serialized scan side; guide §2.5)
     return (
-        _banded(left, "l")
-        .repartition(P)
+        _banded(spread_input(left), "l")
         .join(F.broadcast(_banded(right, "r")), ["band_id", "block"])
         .select(
             "id_l",

@@ -205,9 +205,9 @@ def cluster_balanced_sample(
     the ANN operators do.
     """
     from srag_spark.operators.corpus import sample_stratified
+    from srag_spark.operators.dedup import spread_input
     from srag_spark.operators.similarity import (
-        _centroid_dots_sql,
-        ivf_cell_col,
+        ivf_assign_struct,
         make_centroids,
     )
 
@@ -215,13 +215,17 @@ def cluster_balanced_sample(
         raise ValueError("cluster_balanced_sample requires an explicit dim=")
     cents = centroids if centroids is not None else make_centroids(n_clusters, dim)
     v = F.col(vec_col)
-    dots = _centroid_dots_sql(vec_col, cents)
-    assigned = emb.filter(v.isNotNull() & (F.size(v) == dim)).select(
-        F.col(id_col),
-        # the one shared assignment expression — SemDeDup/IVF and this
-        # sampler must agree on cells by construction
-        ivf_cell_col(vec_col, cents).alias("cell"),
-        F.round(F.expr(f"array_max({dots})"), 6).alias("csim_r"),
+    # one assignment-struct evaluation per row (the shared SemDeDup/IVF
+    # expression — cells agree by construction) over a spread scan
+    assigned = (
+        spread_input(emb)
+        .filter(v.isNotNull() & (F.size(v) == dim))
+        .select(F.col(id_col), ivf_assign_struct(vec_col, cents).alias("_a"))
+        .select(
+            id_col,
+            F.col("_a.cell").alias("cell"),
+            F.round(F.col("_a.csim"), 6).alias("csim_r"),
+        )
     )
     return sample_stratified(
         assigned,

@@ -42,7 +42,7 @@ def brute_force_topk(
     Pass ``dim=`` to use the dim-unrolled codegen'd dot product
     (bit-identical; see ``dedup.dot_sql``) — the fold form stays the
     fallback for callers that cannot know the vector length."""
-    from srag_spark.operators.dedup import dot_sql
+    from srag_spark.operators.dedup import dot_sql, spread_input
 
     q = F.broadcast(
         queries.select(F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("qv"))
@@ -52,7 +52,7 @@ def brute_force_topk(
         if dim is not None
         else F.round(dot_col(F.col("v"), F.col("qv")), 6)
     )
-    scored = emb.select(
+    scored = spread_input(emb).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     ).crossJoin(q).select(
         "query_id",
@@ -178,12 +178,32 @@ def _centroid_dots_sql(vec_sql: str, centroids: list[list[float]]) -> str:
 
 def ivf_cell_col(vec_sql: str, centroids: list[list[float]]) -> "F.Column":
     """IVF cell assignment: 1-based index of the nearest centroid (max
-    dot for unit vectors; first index wins ties).  Native, deterministic;
-    one ``F.expr`` parse (see :func:`hyperplane_bucket_col`)."""
-    dots = _centroid_dots_sql(vec_sql, centroids)
-    return F.expr(
-        f"CAST(array_position({dots}, array_max({dots})) AS INT)"
-    )
+    dot for unit vectors; first index wins ties).  Native, deterministic.
+    The centroid-dot array is let-bound (``dedup.bind_col``, r6) so the
+    n_centroids interpreted fold-dots evaluate once per row — the
+    ``array_position(dots, array_max(dots))`` form otherwise evaluates
+    the whole dot array twice."""
+    return ivf_assign_struct(vec_sql, centroids)["cell"]
+
+
+def ivf_assign_struct(vec_sql: str, centroids: list[list[float]]) -> "F.Column":
+    """(cell, csim) assignment struct — nearest-centroid index plus the
+    RAW max centroid dot, from ONE evaluation of the dot array.
+    Consumers needing both (SemDeDup, cluster-balanced sampling) select
+    this once and unpack fields; ``csim`` is unrounded so callers apply
+    their own rounding."""
+    from srag_spark.operators.dedup import bind_col
+
+    dots_arr = F.expr(_centroid_dots_sql(vec_sql, centroids))
+
+    def _build(d):
+        m = F.array_max(d)
+        return F.struct(
+            F.array_position(d, m).cast("int").alias("cell"),
+            m.alias("csim"),
+        )
+
+    return bind_col(dots_arr, _build)
 
 
 def ivf_probe_cells_col(
@@ -232,6 +252,9 @@ def ivf_topk(
         raise ValueError(
             f"got {len(centroids)} centroids for n_centroids={n_centroids}"
         )
+    from srag_spark.operators.dedup import spread_input
+
+    emb = spread_input(emb)  # guide §2.5; no-op at scale
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
@@ -344,9 +367,11 @@ def knn_graph(
 
         from srag_spark.functions import pairkernels as pk
 
+        from srag_spark.operators.dedup import spread_input
+
         width = band_width(n_planes, bands)
         planes = make_hyperplanes(n_planes, dim)
-        coded = emb.select(
+        coded = spread_input(emb).select(
             F.col(id_col).alias("doc_id"),
             F.col(vec_col).alias("v"),
             hyperplane_bucket_col(vec_col, planes).alias("code"),
@@ -580,7 +605,10 @@ def lsh_topk(
     driver-side data peek: the operator must stay lazily plannable)."""
     if dim is None:
         raise ValueError("lsh_topk requires an explicit dim= (vector length)")
+    from srag_spark.operators.dedup import spread_input
+
     planes = make_hyperplanes(n_planes, dim)
+    emb = spread_input(emb)  # guide §2.5; no-op at scale
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
