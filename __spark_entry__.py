@@ -4581,7 +4581,12 @@ def q_bloom_probe(spark, sf_dir):
     )
     from srag_spark.operators.dedup import norm_text_col
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from srag_spark.operators.dedup import spread_input
+
+    # r6 (guide §2.5): the md5(norm_text) key projection feeds three
+    # consumers (bloom build, bucket census, probe batch), each
+    # otherwise re-running the regex normalization on the 1-2-task scan
+    docs = spread_input(_t(spark, sf_dir, "documents")).select("doc_id", "text")
     keys = docs.select(
         "doc_id", F.md5(norm_text_col(F.col("text"))).alias("text_hash")
     )

@@ -151,11 +151,11 @@ def bm25_topk(
             .limit(k)
         )
 
-    from srag_spark.operators.dedup import spread_input
-
-    # guide §2.5: the tokenize + explode passes below inherit the scan's
-    # partitioning; spread an under-partitioned input (no-op at scale)
-    docs = spread_input(chunks).select(
+    # note (r6): a spread_input here was measured NET-NEGATIVE — the
+    # lexical split is cheap relative to shuffling the full text column,
+    # so the repartition cost exceeded the parallelism gain for both the
+    # standalone top-k and the composed retrieval path; left unspread.
+    docs = chunks.select(
         *_KEY, "text", _tokens_col(F.col("text")).alias("tokens")
     ).withColumn("dl", F.size("tokens"))
     stats = docs.agg(

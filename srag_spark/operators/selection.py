@@ -102,15 +102,23 @@ def dsir_weights(
     implementation of the public DSIR recipe (hashed bag-of-ngrams
     importance weights), added for the training-data pipeline family.
     """
-    # bounded: <= 16^hash_chars rows each — driver-safe by construction
-    t_counts = {
-        r["bucket"]: r["c"]
-        for r in _bucket_counts(target, text_col, hash_chars).collect()
-    }
-    r_counts = {
-        r["bucket"]: r["c"]
-        for r in _bucket_counts(docs, text_col, hash_chars).collect()
-    }
+    # bounded: <= 16^hash_chars rows each — driver-safe by construction.
+    # The two count passes are independent jobs; submitting them from a
+    # small thread pool overlaps their stages so the second pass
+    # back-fills executors freed by the first's tail (guide §2.6) —
+    # actions were only sequential because the driver called them
+    # sequentially.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        t_fut = pool.submit(
+            lambda: _bucket_counts(target, text_col, hash_chars).collect()
+        )
+        r_fut = pool.submit(
+            lambda: _bucket_counts(docs, text_col, hash_chars).collect()
+        )
+        t_counts = {r["bucket"]: r["c"] for r in t_fut.result()}
+        r_counts = {r["bucket"]: r["c"] for r in r_fut.result()}
 
     b_space = float(16 ** hash_chars)
     t_denom = float(sum(t_counts.values())) + alpha * b_space
