@@ -53,8 +53,11 @@ AUDIO_SENTENCE_END = (".", "!", "?")
 def tokenize_ws(text: str) -> list[str]:
     """Whitespace tokenization, empty tokens dropped.
 
-    ≡ Java ``text.split("\\s+").filter(_.nonEmpty)``
-    (TextPreparatorPipeline.scala:48-60).
+    The reference's ``text.split("\\s+").filter(_.nonEmpty)``
+    (TextPreparatorPipeline.scala:48-60), frozen here with PYTHON
+    ``str.split()`` semantics: Unicode-aware (NBSP, U+3000, ... all
+    split), unlike Java's default ASCII-only ``\\s`` (ADVICE r5 — the
+    native operators use ``(?U)\\s+`` to match this spec).
     """
     if text is None:
         return []

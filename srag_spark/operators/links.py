@@ -51,7 +51,11 @@ def _unescape_col(col):
 
 
 def _normalize_ws(col):
-    return F.array_join(F.array_remove(F.split(col, r"\s+"), ""), " ")
+    # (?U) = Java UNICODE_CHARACTER_CLASS: \s matches Unicode whitespace
+    # (NBSP, U+3000, ...), matching the frozen golden spec's Python
+    # str.split() semantics — Java's default ASCII-only \s diverged on
+    # 'foo\xa0bar' (ADVICE r5).  ASCII inputs are unchanged.
+    return F.array_join(F.array_remove(F.split(col, r"(?U)\s+"), ""), " ")
 
 
 def extract_links(
@@ -97,7 +101,10 @@ def extract_links(
                 F.regexp_replace(F.col("a.inner"), r"<[^>]+>", " ")
             )
         ).alias("anchor_text"),
-        F.col("a.attrs").rlike(r'(?i)rel="[^"]*nofollow').alias("nofollow"),
+        # closing-quote tail matches golden's _NOFOLLOW_RE: an
+        # unterminated rel attribute (rel="nofollow with no closing
+        # quote) is NOT a nofollow marker (ADVICE r5)
+        F.col("a.attrs").rlike(r'(?i)rel="[^"]*nofollow[^"]*"').alias("nofollow"),
     )
     out = exploded.filter(F.col("href") != "")
     if drop_nofollow:
@@ -410,9 +417,20 @@ def host_stats(
     rows = docs.withColumn("host", host_of(F.col(url_col))).filter(
         F.col("host").isNotNull()
     )
+    # n_paths counts URLs with the AUTHORITY lowercased (paths stay
+    # case-sensitive): case-variant hosts of one resource land in one
+    # host group, so they must not count as two paths (ADVICE r5).  The
+    # group key is the lowercased host already; only the authority
+    # portion of the counted URL is normalized to match it.
+    canon_url = F.concat(
+        F.regexp_extract(F.col(url_col), _URL_PARTS, 1),
+        F.lit("://"),
+        F.lower(F.regexp_extract(F.col(url_col), _URL_PARTS, 2)),
+        F.regexp_extract(F.col(url_col), _URL_PARTS, 3),
+    )
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct(F.col(url_col)).alias("n_paths"),
+        F.countDistinct(canon_url).alias("n_paths"),
     ]
     if noindex_col:
         aggs.append(

@@ -49,6 +49,26 @@ def test_host_stats_census(spark):
     }
 
 
+def test_host_stats_case_variant_hosts_one_path(spark):
+    # https://A.test/p and https://a.test/p are ONE resource: they land
+    # in one (lowercased) host group and must count as one path — the
+    # raw-URL countDistinct counted two (ADVICE r5).  A case-variant
+    # PATH stays two paths (paths are case-sensitive).
+    df = spark.createDataFrame(
+        [
+            ("https://A.test/p",),
+            ("https://a.test/p",),
+            ("https://a.test/P",),
+        ],
+        "url string",
+    )
+    out = host_stats(df).collect()
+    assert len(out) == 1
+    assert out[0]["host"] == "a.test"
+    assert out[0]["n_docs"] == 3
+    assert out[0]["n_paths"] == 2
+
+
 def test_host_stats_minimal_columns(spark):
     df = spark.createDataFrame(
         [("https://s.test/a",), ("https://s.test/b",)], "url string"

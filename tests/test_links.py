@@ -27,6 +27,13 @@ CASES = [
     '<A HREF="/up">line1\nline2</A>',
     # single-quoted href is NOT a double-quoted href attribute → skipped
     "<a href='/sq'>skip</a><a href=\"/dq\">kept</a>",
+    # non-ASCII whitespace (NBSP, ideographic space) in anchor text:
+    # golden's tokenize_ws (Python str.split) is Unicode-aware, so the
+    # operator's split must be too (ADVICE r5)
+    '<a href="/u">foo\xa0bar　baz</a>',
+    # unterminated rel attribute: golden requires the closing quote, so
+    # this is NOT nofollow (ADVICE r5)
+    '<a href="/x" rel="nofollow>unterminated</a>',
     # empty / tag-free payloads
     "",
     "no anchors at all",
