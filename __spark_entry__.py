@@ -285,30 +285,61 @@ def q_q2_vector_topk(spark, sf_dir):
 
 
 def q_q3_bm25_topk(spark, sf_dir):
-    """Q3: in-engine BM25 top-k (OpenSearchAdapter.scala:196-262
-    reimplemented as two aggregation passes)."""
+    """Q3: in-engine BM25 top-k (OpenSearchAdapter.scala:196-262).
+    r6 evaluation shape (mirrors retrieval.bm25_topk): tf comes from
+    one alternation-regex pass per doc (a hit ≡ a token equal to a
+    query term, so tf/df/dl are value-identical to the exploded-token
+    form — the oracle still computes the exploded form) and the light
+    (doc, dl, hits) relation is persisted for its two consumers; the
+    corpus-tokens-sized explode and its groupBy shuffle are gone."""
+    from srag_spark.operators.dedup import _persist
     from srag_spark.operators.retrieval import tokenize_lex
 
     k1, b = 1.2, 0.75
     terms = sorted(set(tokenize_lex(BM25_QUERY)))
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select(
+    alt = "|".join(terms)
+    hit_pat = f"(?<![a-z0-9])({alt})(?![a-z0-9])"
+    docs = _persist(
+        _t(spark, sf_dir, "documents").select(
             "doc_id",
-            F.array_remove(
-                F.split(F.lower(F.col("text")), "[^a-z0-9]+"), ""
-            ).alias("toks"),
-        )
-        .withColumn("dl", F.size("toks"))
+            F.expr(
+                "CAST(regexp_count(lower(text), '[a-z0-9]+') AS INT)"
+            ).alias("dl"),
+            F.expr(
+                f"regexp_extract_all(lower(text), '{hit_pat}', 1)"
+            ).alias("_hits"),
+        ),
+        None,
     )
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+
+    def _count_of(t_):
+        return lambda h: h == F.lit(t_)
+
     tf = (
-        docs.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        docs.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.filter(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t_).alias("term"),
+                                F.size(
+                                    F.filter(F.col("_hits"), _count_of(t_))
+                                ).cast("double").alias("tf"),
+                            )
+                            for t_ in terms
+                        ]
+                    ),
+                    lambda s: s["tf"] > 0,
+                )
+            ).alias("_tc"),
+        )
+        .select("doc_id", "dl", F.col("_tc.term").alias("term"), F.col("_tc.tf").alias("tf"))
     )
     idf = (
         tf.groupBy("term")

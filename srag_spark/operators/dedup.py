@@ -106,24 +106,53 @@ def shingles_col(c, n: int = 3) -> "F.Column":
 
 
 def no_pushdown(cond) -> "F.Column":
-    """Block filter pushdown for an EXPENSIVE predicate by conjoining a
-    vacuously-true non-deterministic term — the native-expression
-    analogue of guide §4.4's ``asNondeterministic`` device.
+    """Block filter pushdown for an EXPENSIVE predicate by wrapping it
+    in a single non-deterministic CASE — the native-expression analogue
+    of guide §4.4's ``asNondeterministic`` device.
 
     Why: Catalyst pushes deterministic filters through exchanges
     (including an explicit :func:`spread_input` repartition) down to the
     scan, so a predicate built from heavy text expressions re-serializes
     onto the scan's 1-2 tasks no matter how the plan above is spread.
-    A non-deterministic conjunct pins the filter where it was written.
 
-    The term is ``spark_partition_id() >= 0`` — always true, free to
+    The shape matters (r6, measured): the earlier ``cond & nondet``
+    conjunction did NOT work — PushDownPredicates splits a conjunction
+    and pushes the deterministic conjuncts anyway, leaving only the
+    guard above the exchange (the sfx10 plan showed the full gate
+    predicate duplicated into every union branch's serialized scan
+    filter AND re-evaluated in the project above: 5.3 s vs 0.6 s for
+    the same columns unfiltered).  ``CASE WHEN nondet THEN cond END``
+    is one non-splittable, non-deterministic predicate: it cannot be
+    split into conjuncts, cannot be pushed through the exchange, and —
+    equally important — cannot be substituted through the projection
+    that computes ``cond``'s input columns, so the expensive
+    expressions evaluate ONCE, in the projection.
+
+    The guard is ``spark_partition_id() >= 0`` — always true, free to
     evaluate, formally non-deterministic (partition-dependent), and
     crucially SEEDLESS: a ``rand()`` guard draws a fresh seed per plan
     construction, so two invocations of the same query build different
     plans and Spark's CacheManager plan-matching no longer recognizes
     persisted intermediates (measured: it turned the bench's warmed
-    curation cache into a per-run recompute).  Results are unchanged."""
-    return cond & (F.spark_partition_id() >= F.lit(0))
+    curation cache into a per-run recompute).  Results are unchanged
+    (the CASE yields ``cond`` exactly; a NULL ``cond`` filters out
+    either way)."""
+    return F.when(F.spark_partition_id() >= F.lit(0), cond)
+
+
+def nondet_col(col) -> "F.Column":
+    """Pin an EXPENSIVE projected expression so it evaluates exactly
+    once: wrap it in the same vacuously-true non-deterministic CASE as
+    :func:`no_pushdown`.  A filter that references the wrapped alias
+    can then not be substituted through the projection (Catalyst pushes
+    even non-deterministic predicates through deterministic projects by
+    alias substitution — measured on the curation gate: the full marker
+    scan evaluated once in the pushed filter and AGAIN in the project),
+    and CollapseProject will not merge an outer field-unpacking project
+    into it (that would duplicate a non-deterministic expression).
+    Values are unchanged — the guard is always true and seedless, so
+    plan equality (CacheManager matching) is preserved."""
+    return F.when(F.spark_partition_id() >= F.lit(0), col)
 
 
 _SPREAD_COMPLEX_NODES = ("Join", "Aggregate", "Window", "Sort", "Repartition")
@@ -564,6 +593,9 @@ def cluster_canonical(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
     Exact DuckDB oracle: recursive CTE (min reachable id).
     """
+    def _lbl_t(lbls):
+        return lbls.schema["label"].dataType.simpleString()
+
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -588,20 +620,22 @@ def cluster_canonical(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             ),
             "label",
         ).select("doc_id", F.col("jumped").alias("label"))
+        # the node's previous label rides the union as ``_old`` (non-null
+        # only on the labels branch; every doc_id appears there exactly
+        # once, so max() recovers it), which folds the convergence check
+        # into the SAME groupBy shuffle + checkpoint — the former
+        # separate new⋈labels changed-count join cost one extra shuffle
+        # and one extra join job per round (guide §2.4)
         new = (
-            labels.unionByName(nbr)
-            .unionByName(hop)
+            labels.withColumn("_old", F.col("label"))
+            .unionByName(nbr.withColumn("_old", F.lit(None).cast(_lbl_t(labels))))
+            .unionByName(hop.withColumn("_old", F.lit(None).cast(_lbl_t(labels))))
             .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("_old").alias("_old"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.withColumnRenamed("label", "new_label")
-            .join(labels, "doc_id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(~F.col("label").eqNullSafe(F.col("_old"))).count()
+        labels = new.select("doc_id", "label")
         if changed == 0:
             break
     edges.unpersist()

@@ -151,22 +151,77 @@ def bm25_topk(
             .limit(k)
         )
 
-    # note (r6): a spread_input here was measured NET-NEGATIVE — the
-    # lexical split is cheap relative to shuffling the full text column,
-    # so the repartition cost exceeded the parallelism gain for both the
-    # standalone top-k and the composed retrieval path; left unspread.
-    docs = chunks.select(
-        *_KEY, "text", _tokens_col(F.col("text")).alias("tokens")
-    ).withColumn("dl", F.size("tokens"))
+    # r6 evaluation rewrite (guide §2.3/§2.4 — shuffle fewer bytes,
+    # remove shuffles outright): the old shape exploded EVERY token of
+    # every doc and hash-aggregated the survivors into per-(chunk, term)
+    # tf — a corpus-tokens-sized explode feeding a shuffle.  But the
+    # query's term set is tiny and known, so one alternation regex pass
+    # per doc extracts ONLY matching occurrences (``hits`` arrays are
+    # as short as the match count), and tf comes from counting inside
+    # the row — the explode below is over the ≤|terms| distinct matched
+    # terms per doc, and NO groupBy shuffle exists at all.  ``dl`` is a
+    # token-run count (regexp_count of the token alphabet), value-equal
+    # to size(split(...)).  The lookarounds pin each alternative to a
+    # maximal [a-z0-9] run, so a hit ≡ a token equal to the term —
+    # tf/df/dl are value-identical to the exploded form (pinned by the
+    # q3 oracle entries; terms are alnum-only, so the alternation is
+    # injection-safe).  An earlier spread_input here was net-negative
+    # (shuffling full text costs more than the pass it parallelizes);
+    # with the explode gone the scan-shaped pass is cheaper still.
+    alt = "|".join(terms)
+    hit_pat = f"(?<![a-z0-9])({alt})(?![a-z0-9])"
+    # the LIGHT relation (keys + dl + matched occurrences, no text) is
+    # persisted: stats and tf both consume it, which would otherwise be
+    # two full scans + two evaluations of the regex pass.  The text
+    # column deliberately stays OUT of the cached relation (guide §2.3:
+    # decide on lightweight proxies, move payloads once) — the final
+    # fetch joins the ≤k winners back against a plain text scan.
+    from srag_spark.operators.dedup import _persist
+
+    docs = _persist(
+        chunks.select(
+            *_KEY,
+            F.expr(
+                "CAST(regexp_count(lower(text), '[a-z0-9]+') AS INT)"
+            ).alias("dl"),
+            F.expr(
+                f"regexp_extract_all(lower(text), '{hit_pat}', 1)"
+            ).alias("_hits"),
+        ),
+        None,
+    )
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
 
+    def _count_of(t_: str):
+        # single-parameter closure: a default-arg form (lambda h, t=t_)
+        # would be bound by pyspark as the BINARY (element, index)
+        # lambda and silently compare against the index column
+        return lambda h: h == F.lit(t_)
+
     tf_full = (
-        docs.select(*_KEY, "dl", F.explode("tokens").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy(*_KEY, "dl", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        docs.select(
+            *_KEY,
+            "dl",
+            F.explode(
+                F.filter(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t_).alias("term"),
+                                F.size(
+                                    F.filter(F.col("_hits"), _count_of(t_))
+                                ).cast("double").alias("tf"),
+                            )
+                            for t_ in terms
+                        ]
+                    ),
+                    lambda s: s["tf"] > 0,
+                )
+            ).alias("_tc"),
+        )
+        .select(*_KEY, "dl", F.col("_tc.term").alias("term"), F.col("_tc.tf").alias("tf"))
     )
     # index-wide df — from the UNfiltered tf relation
     df_t = tf_full.groupBy("term").agg(
@@ -208,7 +263,7 @@ def bm25_topk(
     # dominant data motion)
     topk = scored.orderBy(F.desc("score"), *_KEY).limit(k)
     return (
-        docs.select(*_KEY, "text")
+        chunks.select(*_KEY, "text")
         .join(F.broadcast(topk), list(_KEY))
         .select(*_KEY, "text", "score")
         .orderBy(F.desc("score"), *_KEY)

@@ -122,28 +122,42 @@ def gate_and_exact_dedup(
 ) -> DataFrame:
     """Stage 1: inline language/quality gates on the scan + window-min
     exact dedup (one shuffle).  Lazy — callers persist or table-write."""
-    from srag_spark.operators.dedup import no_pushdown, spread_input
+    from srag_spark.operators.dedup import nondet_col, spread_input
 
     text = F.col(text_col)
     pred_lang, _hits = language_pred_cols(text)
     quality = quality_metric_cols(text)["quality_r"]
     # guide §2.5: the gate expressions are the curation scan's dominant
     # per-row cost; spread an under-partitioned input (no-op at scale).
-    # The gate predicate is pinned ABOVE the spread exchange with
-    # no_pushdown — Catalyst otherwise pushes it through the repartition
-    # back onto the serialized scan side (observed in the plan: the full
-    # marker/quality expression duplicated into every union branch's
-    # scan filter).
+    # The gate struct is computed ONCE in a projection ABOVE the spread
+    # exchange and pinned there with nondet_col — without the pin,
+    # Catalyst substitutes the keep-predicate through the projection and
+    # splits its conjuncts through the repartition onto the serialized
+    # scan side, evaluating the full marker/quality expressions once in
+    # every union branch's scan filter AND again in the project (r6
+    # measured at sfx10: 5.3 s → 1.15 s with the filter pinned, 0.65 s
+    # with the single-evaluation struct below).
     docs = spread_input(docs)
-    gated = docs.select(
-        F.col(id_col).alias("doc_id"),
-        text.alias("text"),
-        pred_lang.alias("pred_lang"),
-        quality.alias("quality_r"),
-    ).filter(
-        no_pushdown(
-            F.col("pred_lang").isin(*lang_whitelist)
-            & (F.col("quality_r") >= F.lit(float(min_quality)))
+    gate = nondet_col(
+        F.struct(
+            pred_lang.alias("pred_lang"), quality.alias("quality_r")
+        )
+    )
+    gated = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), text.alias("text"), gate.alias("_g")
+        )
+        .filter(
+            # field accesses on the pinned struct attribute — the
+            # expensive expressions behind them evaluated once, above
+            F.col("_g.pred_lang").isin(*lang_whitelist)
+            & (F.col("_g.quality_r") >= F.lit(float(min_quality)))
+        )
+        .select(
+            "doc_id",
+            "text",
+            F.col("_g.pred_lang").alias("pred_lang"),
+            F.col("_g.quality_r").alias("quality_r"),
         )
     )
     w = Window.partitionBy(F.md5(norm_text_col(F.col("text"))))
