@@ -210,14 +210,17 @@ def ivf_probe_cells_col(
     vec_sql: str, centroids: list[list[float]], nprobe: int
 ) -> "F.Column":
     """The query's ``nprobe`` nearest cells, by centroid dot desc (ties:
-    lower cell index) — classic IVF multi-cell probing."""
+    lower cell index) — classic IVF multi-cell probing.  The dot array
+    is let-bound (r6): inlined inside the per-element lambda it was
+    re-evaluated once per cell — n_centroids² fold-dots per query row."""
     n = len(centroids)
     dots = _centroid_dots_sql(vec_sql, centroids)
     return F.expr(
+        f"element_at(transform(array({dots}), d -> "
         "transform(slice(array_sort(transform(sequence(1, "
-        f"{n}), i -> named_struct('nd', -element_at({dots}, i), "
+        f"{n}), i -> named_struct('nd', -element_at(d, i), "
         "'cell', CAST(i AS INT)))), 1, "
-        f"{int(nprobe)}), s -> s.cell)"
+        f"{int(nprobe)}), s -> s.cell)), 1)"
     )
 
 
@@ -252,13 +255,18 @@ def ivf_topk(
         raise ValueError(
             f"got {len(centroids)} centroids for n_centroids={n_centroids}"
         )
-    from srag_spark.operators.dedup import spread_input
+    from srag_spark.operators.dedup import nondet_col, spread_input
 
     emb = spread_input(emb)  # guide §2.5; no-op at scale
+    # nondet_col pins the n_centroids-dot assignment in THIS projection:
+    # the probe equi-join otherwise pushes its implicit isnotnull(cell)
+    # through the projection and the spread exchange onto the serialized
+    # scan, evaluating the full dot array there AND here (r6 measured:
+    # join+score 2.7 s → 0.9 s at sfx10)
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
-        ivf_cell_col(vec_col, centroids).alias("cell"),
+        nondet_col(ivf_cell_col(vec_col, centroids)).alias("cell"),
     )
     q = F.broadcast(
         queries.select(
@@ -570,20 +578,31 @@ def probe_buckets_col(bucket_col, n_planes: int, probes: int) -> "F.Column":
     when ``probes`` ≥ 2 — every Hamming-1 neighbor (one bit flipped).
     Multi-probe rescues near-boundary vectors whose sign flipped on one
     hyperplane (the classic LSH recall cliff) at the cost of ``n_planes``
-    extra equi-join probes per query — still never a scan."""
-    variants = [bucket_col]
-    if probes >= 2:
-        for i in range(n_planes):
-            prefix = F.substring(bucket_col, 1, i) if i else F.lit("")
-            bit = F.substring(bucket_col, i + 1, 1)
-            flipped = F.when(bit == "1", F.lit("0")).otherwise(F.lit("1"))
-            suffix = (
-                F.substring(bucket_col, i + 2, n_planes - i - 1)
-                if i < n_planes - 1
-                else F.lit("")
-            )
-            variants.append(F.concat(prefix, flipped, suffix))
-    return F.array(*variants)
+    extra equi-join probes per query — still never a scan.
+
+    The bucket code is let-bound (``dedup.bind_col``, r6): each of the
+    ``n_planes`` variants references it up to 3× (prefix, bit, suffix),
+    so the un-bound form inlined the full ``n_planes``-dot code
+    expression ~3·n_planes times — a plan-size/evaluation blowup that
+    measured 1.5 s on a 5-row query side at sfx10."""
+    from srag_spark.operators.dedup import bind_col
+
+    def _variants(code):
+        variants = [code]
+        if probes >= 2:
+            for i in range(n_planes):
+                prefix = F.substring(code, 1, i) if i else F.lit("")
+                bit = F.substring(code, i + 1, 1)
+                flipped = F.when(bit == "1", F.lit("0")).otherwise(F.lit("1"))
+                suffix = (
+                    F.substring(code, i + 2, n_planes - i - 1)
+                    if i < n_planes - 1
+                    else F.lit("")
+                )
+                variants.append(F.concat(prefix, flipped, suffix))
+        return F.array(*variants)
+
+    return bind_col(bucket_col, _variants)
 
 
 def lsh_topk(
