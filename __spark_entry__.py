@@ -59,7 +59,12 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in")
 
 
 def _doc_words(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").select(
+    from srag_spark.operators.dedup import spread_input
+
+    # guide §2.5: the split + downstream explode/chunk work on this
+    # shared relation otherwise serializes on the scan's 1-2 file
+    # splits (no-op at corpus scale)
+    return spread_input(_t(spark, sf_dir, "documents")).select(
         "doc_id", _WORDS(F.col("text")).alias("words")
     )
 
@@ -420,9 +425,18 @@ def q_q7_rerank_filter(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup by normalized 5-word prefix: canonical = min doc_id per
-    group (hash-groupBy dedup for a training-data pipeline)."""
-    docs = _doc_words(spark, sf_dir).select(
-        "doc_id", F.array_join(F.slice("words", 1, 5), " ").alias("k")
+    group (hash-groupBy dedup for a training-data pipeline).  The small
+    (doc_id, k) relation is persisted (r6): both join sides consume it,
+    and the join's isnotnull(k) otherwise pushes the whole text split
+    into BOTH scans' filters AND projections (4 evaluations, serialized
+    on the scan splits)."""
+    from srag_spark.operators.dedup import _persist
+
+    docs = _persist(
+        _doc_words(spark, sf_dir).select(
+            "doc_id", F.array_join(F.slice("words", 1, 5), " ").alias("k")
+        ),
+        None,
     )
     canon = docs.groupBy("k").agg(F.min("doc_id").alias("canonical_id"))
     return (
@@ -4615,11 +4629,17 @@ def q_bloom_probe(spark, sf_dir):
     from srag_spark.operators.dedup import spread_input
 
     # r6 (guide §2.5): the md5(norm_text) key projection feeds three
-    # consumers (bloom build, bucket census, probe batch), each
-    # otherwise re-running the regex normalization on the 1-2-task scan
+    # consumers (bloom build, bucket census, probe batch) — spread the
+    # scan AND persist the skinny key relation so the regex
+    # normalization runs once instead of once per consumer
+    from srag_spark.operators.dedup import _persist
+
     docs = spread_input(_t(spark, sf_dir, "documents")).select("doc_id", "text")
-    keys = docs.select(
-        "doc_id", F.md5(norm_text_col(F.col("text"))).alias("text_hash")
+    keys = _persist(
+        docs.select(
+            "doc_id", F.md5(norm_text_col(F.col("text"))).alias("text_hash")
+        ),
+        None,
     )
     base = keys.filter(F.col("doc_id") % 3 != 0)
     blooms = bloom_from_index(base, n_buckets=8, n_hash=3, hex_digits=4)

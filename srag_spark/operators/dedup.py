@@ -525,6 +525,12 @@ def line_dedup_flags(
       whenever a single line dominates.
 
     Reassembly is the caller's ``array_join(collect_list(...))``."""
+    # guide §2.5: the line explode + per-line md5 normalization run on
+    # the scan's partitioning; spread an under-partitioned input (no-op
+    # at corpus scale).  The exploded relation is deliberately NOT
+    # persisted for the agg mode's two consumers — line-granular caching
+    # is corpus-sized (same two-pass-over-persist call as substrings).
+    docs = spread_input(docs)
     lines = (
         docs.select(
             F.col(id_col).alias("doc_id"),

@@ -103,19 +103,40 @@ def dsir_weights(
     importance weights), added for the training-data pipeline family.
     """
     # bounded: <= 16^hash_chars rows each — driver-safe by construction.
-    # The two count passes are independent jobs; submitting them from a
-    # small thread pool overlaps their stages so the second pass
-    # back-fills executors freed by the first's tail (guide §2.6) —
-    # actions were only sequential because the driver called them
-    # sequentially.
+    # r6: the raw pool's feature-bucket relation is computed ONCE and
+    # persisted — the raw-count pass and the scoring pass below both
+    # consume it, where the previous shape re-ran the tokenize + n-gram
+    # + md5 work per pass (the relation is skinny — id + 3-char bucket —
+    # so MEMORY_AND_DISK beats recompute; at true corpus scale prefer a
+    # committed intermediate table, plans.pipeline-style).  The target
+    # pass is an independent job submitted from a thread so its stages
+    # overlap the raw pass's tail (guide §2.6).
     from concurrent.futures import ThreadPoolExecutor
 
+    from srag_spark.operators.dedup import _persist, spread_input
+
+    feats = _persist(
+        spread_input(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            words_col(F.col(text_col)).alias("_w"),
+        )
+        .select(
+            "doc_id",
+            F.explode_outer(dsir_features_col(F.col("_w"))).alias("feat"),
+        )
+        .withColumn("bucket", dsir_bucket_col(F.col("feat"), hash_chars)),
+        None,
+    )
     with ThreadPoolExecutor(max_workers=2) as pool:
         t_fut = pool.submit(
             lambda: _bucket_counts(target, text_col, hash_chars).collect()
         )
         r_fut = pool.submit(
-            lambda: _bucket_counts(docs, text_col, hash_chars).collect()
+            lambda: feats.filter(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.count("*").alias("c"))
+            .collect()
         )
         t_counts = {r["bucket"]: r["c"] for r in t_fut.result()}
         r_counts = {r["bucket"]: r["c"] for r in r_fut.result()}
@@ -134,20 +155,8 @@ def dsir_weights(
     ]
     lam = spark.createDataFrame(lam_rows, "bucket string, lam double")
 
-    from srag_spark.operators.dedup import spread_input
-
     scored = (
-        spread_input(docs)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            words_col(F.col(text_col)).alias("_w"),
-        )
-        .select(
-            "doc_id",
-            F.explode_outer(dsir_features_col(F.col("_w"))).alias("feat"),
-        )
-        .withColumn("bucket", dsir_bucket_col(F.col("feat"), hash_chars))
-        .join(F.broadcast(lam), "bucket", "left")
+        feats.join(F.broadcast(lam), "bucket", "left")
         .groupBy("doc_id")
         .agg(
             F.count("feat").alias("n_feats"),

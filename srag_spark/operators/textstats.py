@@ -374,7 +374,13 @@ def lm_perplexity(
         F.col(id_col).alias("doc_id"),
         F.explode(words_col(F.col(text_col))).alias("tok"),
     )
-    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    # counts is VOCABULARY-bounded (never corpus-sized), so persisting
+    # it is safe at any scale and saves one full token-explode pass —
+    # its two consumers (vocab top-k, corpus totals) otherwise each
+    # re-run the explode + groupBy (r6)
+    from srag_spark.operators.dedup import _persist
+
+    counts = _persist(toks.groupBy("tok").agg(F.count("*").alias("c")), None)
     vocab = counts.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_k)
 
     totals = counts.agg(
@@ -658,9 +664,11 @@ def pmi_pairs(
     bigram side is small; top-k is TakeOrderedAndProject, never a global
     sort.  Nothing quadratic, nothing driver-side beyond 2 scalars + k
     result rows."""
-    from srag_spark.operators.dedup import _persist, words_col
+    from srag_spark.operators.dedup import _persist, spread_input, words_col
 
-    toks = docs.select(words_col(F.col(text_col)).alias("w"))
+    # guide §2.5: parallelize the tokenize pass that materializes the
+    # shared relation (no-op at corpus scale)
+    toks = spread_input(docs).select(words_col(F.col(text_col)).alias("w"))
     if materialize:
         # three consumers (totals, bigram counts, unigram counts) share
         # the tokenized relation — persist it so the regex normalization
