@@ -876,6 +876,8 @@ def _interleaved_src(spark, sf_dir):
     # explode expands the small doc scan many-fold; spread the scan
     # BEFORE the construction so it does not serialize on 1-2 file
     # splits (no-op at corpus scale)
+    from srag_spark.operators.dedup import no_pushdown
+
     docs = (
         spread_input(_t(spark, sf_dir, "documents"))
         .select(
@@ -883,7 +885,10 @@ def _interleaved_src(spark, sf_dir):
             F.col("doc_id").cast("string").alias("doc_id"),
             _WORDS(F.col("text")).alias("w"),
         )
-        .filter(F.size("w") >= 12)
+        # no_pushdown pins the length gate above the spread exchange —
+        # substituted through the projection it re-ran the split on the
+        # serialized scan side (r6)
+        .filter(no_pushdown(F.size("w") >= 12))
     )
     n = F.size("w")
     n1 = F.floor(n / 2).cast("int")
@@ -937,14 +942,19 @@ def _lex_docs(spark, sf_dir):
     array (the _LEX_SQL twin) — every token is [a-z0-9]+ so the words
     can be embedded verbatim inside constructed HTML markup and
     tab-separated PDF run lines without any escaping concern."""
+    from srag_spark.operators.dedup import no_pushdown, spread_input
+
     return (
-        _t(spark, sf_dir, "documents")
+        spread_input(_t(spark, sf_dir, "documents"))
         .select(
             F.col("doc_id").alias("did"),
             F.col("doc_id").cast("string").alias("doc_id"),
             _LEX(F.col("text")).alias("w"),
         )
-        .filter(F.size("w") >= 12)
+        # spread + pinned gate (r6): the tokenization and the markup
+        # construction downstream otherwise serialize on the scan's 1-2
+        # file splits, with the length gate's split re-evaluated there
+        .filter(no_pushdown(F.size("w") >= 12))
     )
 
 

@@ -431,6 +431,7 @@ def extract_documents(
         parse_kernel = _counting(parse_kernel, doc_counter)
         slicer_kernel = _counting(slicer_kernel, doc_counter)
 
+    docs = _maybe_pin_small_scan(docs.select("doc_id", "spans"))
     n = F.size("spans")
     small_src = docs.filter(n <= salt_threshold).select("doc_id", "spans")
     if num_partitions:
@@ -447,6 +448,33 @@ def extract_documents(
         .applyInPandas(_reassemble, schema=EXTRACTED_SCHEMA)
     )
     return small.unionByName(big)
+
+
+_PIN_SCAN_BYTES_ENV = "SPARK_GRAFT_PIN_SCAN_BYTES"
+_PIN_SCAN_BYTES_DEFAULT = 2 * 1024**3  # fits comfortably in a local heap
+
+
+def _maybe_pin_small_scan(docs: DataFrame) -> DataFrame:
+    """Scale-adaptive fix for the two-branch double scan (module note):
+    the small/mega split reads the input twice, which is the right
+    trade at corpus scale (persisting a 100 TB span table is worse)
+    but pure waste on a SMALL input — there, persist the (already
+    pruned) frame so the mega branch reads the cache instead of
+    re-scanning.  "Small" = the optimizer's size estimate is under
+    ``$SPARK_GRAFT_PIN_SCAN_BYTES`` (default 2 GiB); big inputs are
+    returned untouched, so nothing corpus-sized is ever pinned."""
+    import os
+
+    try:
+        limit = int(os.environ.get(_PIN_SCAN_BYTES_ENV, _PIN_SCAN_BYTES_DEFAULT))
+        size = int(
+            docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if 0 < size < limit:
+            return docs.persist()
+    except Exception:  # noqa: BLE001 — planning-only probe; never fatal
+        return docs
+    return docs
 
 
 def extract_documents_flat(
@@ -472,6 +500,7 @@ def extract_documents_flat(
     spark = docs.sparkSession
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    docs = _maybe_pin_small_scan(docs.select("doc_id", "spans"))
     n = F.size("spans")
     small_src = docs.filter(n <= salt_threshold).select("doc_id", "spans")
     if num_partitions:
