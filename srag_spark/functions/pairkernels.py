@@ -113,6 +113,21 @@ def threshold_candidate_pairs(
     return np.concatenate(out_src), np.concatenate(out_nbr)
 
 
+_POP16 = None
+
+
+def pop16_table() -> np.ndarray:
+    """Lazily-built 16-bit popcount lookup (module-global so reused
+    Python workers build it once per process, not once per pandas
+    group)."""
+    global _POP16
+    if _POP16 is None:
+        _POP16 = np.array(
+            [bin(v).count("1") for v in range(1 << 16)], dtype=np.uint8
+        )
+    return _POP16
+
+
 def block_matrix(pdf, vec_col: str, dim: int):
     """(valid_row_positions, (m, dim) float64 matrix) from a pandas
     group frame — rows whose vector is not exactly ``dim`` long are

@@ -370,10 +370,27 @@ def simhash_near_pairs(
     blocks; pairs sharing ≥1 block are candidates (any pair within
     hamming ≤ bands-1 must share a block); verify exact hamming.
 
-    ``materialize`` persists the signature input once — both self-join
-    sides otherwise re-execute whatever plan produced it (for
-    simhash_signatures: the token explode + 32-sum aggregation); pass a
-    ``persisted`` list to :func:`release` the cache after consumption."""
+    ``materialize`` persists the signature input once — both the band
+    groups and any caller re-reads otherwise re-execute whatever plan
+    produced it (for simhash_signatures: the token explode + 32-sum
+    aggregation); pass a ``persisted`` list to :func:`release` the
+    cache after consumption.
+
+    r6 restructure (guide §4.2/§8, same device as
+    ``embedding_neardup_pairs``): the former band SELF-JOIN materialized
+    the O(Σ block²) candidate relation as JVM rows and evaluated an
+    interpreted HOF hamming per pair — with only 2^(32/bands) distinct
+    block values, real corpora (boilerplate-heavy, near-copy clusters)
+    make blocks dense and the relation quadratic (measured 258 s at the
+    sfx10 proxy).  Now each (band_id, block) group computes its own
+    pairwise hammings INSIDE a numpy kernel — uint32 XOR + popcount,
+    exact integer arithmetic, bit-identical to the string form — and
+    only pairs within ``max_hamming`` ever become rows; the global
+    ``distinct`` then dedups band collisions over that tiny survivor
+    set.  Chunked like functions/pairkernels so a degenerate block
+    stays at memory bandwidth, never OOM."""
+    import pandas as pd  # noqa: PLC0415
+
     if materialize:
         sigs = _persist(sigs, persisted)
     width = 32 // bands
@@ -387,28 +404,55 @@ def simhash_near_pairs(
             )
         ).alias("band_id", "block"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    id_field = banded.schema["doc_id"].dataType.simpleString()
+    out_schema = f"doc_a {id_field}, doc_b {id_field}, hamming int"
+    mh = int(max_hamming)
+
+    def _blk_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np  # noqa: PLC0415
+
+        ids = pdf["doc_id"].to_numpy()
+        sig = np.array(
+            [int(s, 2) for s in pdf["simhash"]], dtype=np.uint32
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame(
+                {"doc_a": ids[:0], "doc_b": ids[:0],
+                 "hamming": np.array([], dtype=np.int32)}
+            )
+        # ascending doc order so a<b is a pure index condition
+        order = np.argsort(ids, kind="stable")
+        ids, sig = ids[order], sig[order]
+        from srag_spark.functions.pairkernels import pop16_table
+
+        out_a, out_b, out_h = [], [], []
+        step = max(1, (4 * 1024 * 1024) // m)
+        pop16 = pop16_table()  # built once per worker process
+        for lo in range(0, m, step):
+            hi = min(m, lo + step)
+            x = sig[lo:hi, None] ^ sig[None, :]
+            h = pop16[x & np.uint32(0xFFFF)] + pop16[x >> np.uint32(16)]
+            rows, cols = np.nonzero(h <= mh)
+            keep = rows + lo < cols  # strict upper triangle: doc_a < doc_b
+            rows, cols = rows[keep], cols[keep]
+            out_a.append(ids[rows + lo])
+            out_b.append(ids[cols])
+            out_h.append(h[rows, cols].astype(np.int32))
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
         )
-        .distinct()
+
+    pairs = banded.groupBy("band_id", "block").applyInPandas(
+        _blk_pairs, out_schema
     )
-    return cands.select(
-        "doc_a",
-        "doc_b",
-        simhash_hamming(F.col("sig_a"), F.col("sig_b")).alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    ).distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -289,13 +289,16 @@ def repetition_stats(
         ).otherwise(F.array().cast("array<string>"))
         return bind_col(grams, _from_grams)
 
+    from srag_spark.operators.dedup import spread_input
+
     raw = F.col(text_col)
     digits = F.length(F.regexp_replace(raw, "[^0-9]", ""))
     chars = F.length(raw)
     digit_ratio = F.when(chars > 0, digits.cast("double") / chars).otherwise(
         F.lit(0.0)
     )
-    return docs.select(
+    # guide §2.5 (no-op at corpus scale)
+    return spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
         bind_col(words_col(raw), _stats).alias("_s"),
         F.round(digit_ratio, 6).alias("digit_ratio_r"),
@@ -325,9 +328,13 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """(doc_id, full_md5, sketch): content fingerprint = md5 of the
     normalized text plus the ``n_mins`` lexicographically smallest shingle
     md5s (a winnowing-style sketch — stable under small edits)."""
+    from srag_spark.operators.dedup import spread_input
+
     sh = shingles_col(F.col(text_col), 3)
     hashed = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
-    return docs.select(
+    # guide §2.5: per-row shingle md5 work otherwise serializes on the
+    # scan's 1-2 file splits (no-op at corpus scale)
+    return spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
         F.md5(norm_text_col(F.col(text_col))).alias("full_md5"),
         F.array_join(F.slice(hashed, 1, n_mins), "|").alias("sketch"),
@@ -454,11 +461,14 @@ def c4_line_filter(
     dedup): these rules are row-local — native split + higher-order
     filter + array_join, zero shuffles, zero Python — so they compose
     inline into any scan (the ideal 100 TB shape, like pii.scrub_pii)."""
+    from srag_spark.operators.dedup import spread_input
+
     lines = F.split(F.col(text_col), "\n")
     kept = F.filter(lines, c4_line_keep_col)
     n_lines = F.size(lines)
     n_kept = F.size(kept)
-    return docs.select(
+    # guide §2.5 (no-op at corpus scale)
+    return spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
         F.array_join(kept, "\n").alias("text_kept"),
         n_lines.cast("int").alias("n_lines"),
@@ -558,7 +568,10 @@ def gopher_rules(
         & (alpha_frac >= min_alpha_frac)
         & (n_stop >= min_stopwords)
     )
-    return docs.select(
+    from srag_spark.operators.dedup import spread_input
+
+    # guide §2.5 (no-op at corpus scale)
+    return spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
         n_words.cast("int").alias("n_words"),
         F.round(mean_len, 4).alias("mean_word_len_r"),
@@ -838,7 +851,10 @@ def tfidf_keywords(
     """
     from pyspark.sql import Window
 
-    terms = docs.select(
+    from srag_spark.operators.dedup import spread_input
+
+    # guide §2.5 (no-op at corpus scale)
+    terms = spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.filter(
@@ -994,7 +1010,10 @@ def readability(
     :func:`flesch_cols` components as a derived table.  Row-local,
     zero shuffles; compose the columns directly via flesch_cols to
     inline the gate into an existing scan."""
+    from srag_spark.operators.dedup import spread_input
+
     cols = flesch_cols(F.col(text_col))
-    return docs.select(
+    # guide §2.5 (no-op at corpus scale)
+    return spread_input(docs).select(
         F.col(id_col), *[c.alias(n) for n, c in cols.items()]
     )
