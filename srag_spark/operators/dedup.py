@@ -660,16 +660,22 @@ def cluster_canonical(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nbr = edges.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
         ).select(F.col("dst").alias("doc_id"), "label")
-        hop = labels.join(
-            labels.select(
-                F.col("doc_id").alias("label"), F.col("label").alias("jumped")
-            ),
-            "label",
-        ).select("doc_id", F.col("jumped").alias("label"))
+        if it == 0:
+            # pointer jumping is an identity in the first round (every
+            # label IS its own doc_id, so label-of-label = label) — skip
+            # the self-join, one less shuffle on round 1 (r6)
+            hop = labels.limit(0)
+        else:
+            hop = labels.join(
+                labels.select(
+                    F.col("doc_id").alias("label"), F.col("label").alias("jumped")
+                ),
+                "label",
+            ).select("doc_id", F.col("jumped").alias("label"))
         # the node's previous label rides the union as ``_old`` (non-null
         # only on the labels branch; every doc_id appears there exactly
         # once, so max() recovers it), which folds the convergence check
