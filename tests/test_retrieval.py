@@ -145,6 +145,57 @@ def test_bm25_matches_hand_scored_corpus(spark):
         assert got[k] == pytest.approx(exp[k])
 
 
+def test_bm25_regex_tf_edge_cases(spark):
+    # r6 pins the alternation-regex tf rewrite against the tokenizer
+    # semantics it replaced: a "hit" must be exactly a token equal to
+    # the term — substrings of longer tokens don't count, punctuation
+    # splits tokens, adjacent repeats all count, terms at string
+    # start/end count, case folds, NULL text contributes nothing.
+    corpus = {
+        ("e1", 0): "fox foxes firefox fox-trot FOX fox",  # 4 'fox' tokens
+        ("e2", 0): "fox",                                  # bare term
+        ("e3", 0): "prefix.fox,fox!fox?suffix",            # punctuation splits
+        ("e4", 0): "no match here",
+        ("e5", 0): None,                                   # null text
+        ("e6", 0): "quick quickly quick3quick quick",      # boundaries
+    }
+    chunks = spark.createDataFrame(
+        [(d, s, t, None) for (d, s), t in corpus.items()], CHUNK_SCHEMA
+    )
+    query = "quick fox"
+    got = {
+        (r["doc_id"], r["segment_index"]): r["score"]
+        for r in bm25_topk(chunks, query, k=10).collect()
+    }
+    # reference mirroring the operator's stats semantics exactly:
+    # n_docs counts EVERY chunk row (null text included, as count(1)
+    # always did); avgdl averages dl over non-null texts only (NULL dl
+    # is skipped by avg, in both the old size(split) and new
+    # regexp_count forms)
+    toks = {k: tokenize_lex(v) for k, v in corpus.items() if v is not None}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / len(toks)
+    k1, b = 1.2, 0.75
+    exp = {}
+    for term in set(tokenize_lex(query)):
+        df = sum(1 for t in toks.values() if term in t)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for key, t in toks.items():
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            dl = len(t)
+            exp[key] = exp.get(key, 0.0) + idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * dl / avgdl)
+            )
+    assert got.keys() == exp.keys()
+    assert ("e1", 0) in exp and ("e6", 0) in exp  # 4 and 2 true hits
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k])
+
+
 def test_bm25_empty_query_matches_all_at_zero(spark):
     chunks = spark.createDataFrame(
         [("d1", 0, "alpha", None), ("d2", 0, "beta", None)], CHUNK_SCHEMA
